@@ -1,0 +1,77 @@
+"""ginkgo_tpu — a TPU-native sparse linear-algebra framework.
+
+Re-designed from scratch with the capability surface of Ginkgo v1.5.0
+(/root/reference): sparse formats, SpMV/SpGEMM, Krylov solvers,
+preconditioners, incomplete/direct factorizations, algebraic multigrid,
+reordering, stopping criteria, logging, MatrixMarket IO, and a
+mesh-distributed layer — built on jax/XLA/Pallas/shard_map instead of the
+reference's Executor/Operation C++ dispatch (see SURVEY.md §7 for the design
+mapping).
+"""
+
+__version__ = "0.1.0"
+
+from .base import types
+from .base.types import precision_reduction
+from .base.linop import LinOp, Combination, Composition, Perturbation
+from .base.matrix_data import MatrixData, DeviceMatrixData
+from .base.executor import (
+    Executor,
+    ReferenceExecutor,
+    OmpExecutor,
+    TpuExecutor,
+    MeshExecutor,
+    default_executor,
+)
+
+from .matrix.dense import Dense
+from .matrix.csr import Csr
+from .matrix.coo import Coo
+from .matrix.diagonal import Diagonal, Identity, IdentityFactory, Permutation, RowGatherer
+
+from .io.mtx_io import (
+    read,
+    write,
+    read_raw,
+    write_raw,
+    read_binary_raw,
+    write_binary_raw,
+    layout_type,
+)
+
+from .log import logger as log
+from .utils import generators
+
+__all__ = [
+    "types",
+    "precision_reduction",
+    "LinOp",
+    "Combination",
+    "Composition",
+    "Perturbation",
+    "MatrixData",
+    "DeviceMatrixData",
+    "Executor",
+    "ReferenceExecutor",
+    "OmpExecutor",
+    "TpuExecutor",
+    "MeshExecutor",
+    "default_executor",
+    "Dense",
+    "Csr",
+    "Coo",
+    "Diagonal",
+    "Identity",
+    "IdentityFactory",
+    "Permutation",
+    "RowGatherer",
+    "read",
+    "write",
+    "read_raw",
+    "write_raw",
+    "read_binary_raw",
+    "write_binary_raw",
+    "layout_type",
+    "log",
+    "generators",
+]

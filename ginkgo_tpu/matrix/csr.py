@@ -1,0 +1,357 @@
+"""CSR sparse matrix.
+
+TPU-native analog of reference Csr (include/ginkgo/core/matrix/csr.hpp:178-
+1337, core/matrix/csr.cpp, cuda/matrix/csr_kernels.cu).  The reference's five
+SpMV strategies are runtime-polymorphic objects balancing ragged rows over
+warps; here a strategy is a static string picking one of the XLA/Pallas kernel
+plans in ops/spmv.py (+ ops/spmv_pallas.py):
+
+  'classical'    take + sorted segment-sum        (≈ classical/load_balance)
+  'merge_path'   scan + boundary-difference       (≈ merge_path)
+  'sparselib'    jax.experimental.sparse binding  (≈ cusparse/sparselib)
+  'sellp'        convert-once to SELL-P slices, fully static (TPU preferred)
+  'pallas'       Pallas row-block kernel
+  'auto'         heuristic pick (≈ automatical, csr.hpp:526)
+
+nnz is static per matrix instance (XLA requirement), matching the reference's
+immutable-sparsity assumption for apply.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
+from ..base.matrix_data import MatrixData, DeviceMatrixData
+from ..base import types
+from ..ops import spmv as spmv_ops
+
+STRATEGIES = ("classical", "merge_path", "sparselib", "sellp", "pallas", "auto")
+
+
+@linop_dataclass
+class Csr(LinOp):
+    row_ptrs: jnp.ndarray  # (n+1,)
+    col_idxs: jnp.ndarray  # (nnz,)
+    values: jnp.ndarray  # (nnz,)
+    shape: tuple = static_field(default=(0, 0))
+    strategy: str = static_field(default="auto")
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def create(shape, row_ptrs, col_idxs, values, strategy="auto") -> "Csr":
+        return Csr(
+            row_ptrs=jnp.asarray(row_ptrs),
+            col_idxs=jnp.asarray(col_idxs),
+            values=jnp.asarray(values),
+            shape=tuple(int(s) for s in shape),
+            strategy=strategy,
+        )
+
+    @staticmethod
+    def from_matrix_data(
+        data: MatrixData, index_dtype=types.DEFAULT_INDEX_TYPE, strategy="auto"
+    ) -> "Csr":
+        d = data.sum_duplicates()
+        row_ptrs = np.zeros(d.shape[0] + 1, dtype=np.int64)
+        np.add.at(row_ptrs, d.rows + 1, 1)
+        row_ptrs = np.cumsum(row_ptrs)
+        return Csr(
+            row_ptrs=jnp.asarray(row_ptrs, dtype=index_dtype),
+            col_idxs=jnp.asarray(d.cols, dtype=index_dtype),
+            values=jnp.asarray(d.values),
+            shape=tuple(d.shape),
+            strategy=strategy,
+        )
+
+    read = from_matrix_data
+
+    @staticmethod
+    def from_device_data(data: DeviceMatrixData, strategy="auto") -> "Csr":
+        d = data.sort_row_major()
+        n = d.shape[0]
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(d.rows), d.rows, num_segments=n, indices_are_sorted=True
+        )
+        row_ptrs = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)]
+        ).astype(d.rows.dtype)
+        return Csr(
+            row_ptrs=row_ptrs,
+            col_idxs=d.cols,
+            values=d.values,
+            shape=d.shape,
+            strategy=strategy,
+        )
+
+    @staticmethod
+    def from_scipy(sp, strategy="auto") -> "Csr":
+        m = sp.tocsr()
+        return Csr.create(m.shape, m.indptr, m.indices, m.data, strategy=strategy)
+
+    # -- core -----------------------------------------------------------------
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.values.shape[0]
+
+    num_stored_elements = nnz
+
+    def with_strategy(self, strategy: str) -> "Csr":
+        assert strategy in STRATEGIES, strategy
+        return self.replace(strategy=strategy)
+
+    def _resolve_strategy(self) -> str:
+        if self.strategy != "auto":
+            return self.strategy
+        return "classical"
+
+    def apply(self, b):
+        if isinstance(b, Csr):  # apply doubles as SpGEMM (csr.cpp:188-191)
+            return self.spgemm(b)
+        arr, was_1d = as_2d(b)
+        strat = self._resolve_strategy()
+        if strat == "classical":
+            out = spmv_ops.csr_spmv_classical(
+                self.row_ptrs, self.col_idxs, self.values, arr, self.shape[0]
+            )
+        elif strat == "merge_path":
+            out = spmv_ops.csr_spmv_merge_path(
+                self.row_ptrs, self.col_idxs, self.values, arr, self.shape[0]
+            )
+        elif strat == "sparselib":
+            out = self._sparselib_apply(arr)
+        elif strat == "sellp":
+            out = self.to_sellp().apply(arr)
+        elif strat == "pallas":
+            from ..ops import spmv_pallas
+
+            out = spmv_pallas.csr_spmv(
+                self.row_ptrs, self.col_idxs, self.values, arr, self.shape[0]
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown strategy {strat}")
+        return restore_1d(out, was_1d)
+
+    def apply_advanced(self, alpha, b, beta, x):
+        arr, was_1d = as_2d(b)
+        xa, _ = as_2d(x)
+        out = spmv_ops.advanced(self.apply(arr), alpha, beta, xa)
+        return restore_1d(out, was_1d)
+
+    def _sparselib_apply(self, arr):
+        from jax.experimental import sparse as jsparse
+
+        nnz = self.nnz
+        rids = spmv_ops.row_ids_from_ptrs(self.row_ptrs, nnz)
+        bcoo = jsparse.BCOO(
+            (self.values, jnp.stack([rids, self.col_idxs], axis=1)),
+            shape=self.shape,
+            indices_sorted=True,
+            unique_indices=True,
+        )
+        return bcoo @ arr
+
+    # -- structure ops ----------------------------------------------------------
+
+    def row_ids(self):
+        return spmv_ops.row_ids_from_ptrs(self.row_ptrs, self.nnz)
+
+    def transpose(self) -> "Csr":
+        rids = self.row_ids()
+        order = jnp.lexsort((rids, self.col_idxs))
+        new_rows = self.col_idxs[order]
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(new_rows),
+            new_rows,
+            num_segments=self.shape[1],
+            indices_are_sorted=True,
+        )
+        row_ptrs = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)]
+        ).astype(self.row_ptrs.dtype)
+        return Csr(
+            row_ptrs=row_ptrs,
+            col_idxs=rids[order],
+            values=self.values[order],
+            shape=(self.shape[1], self.shape[0]),
+            strategy=self.strategy,
+        )
+
+    def conj_transpose(self) -> "Csr":
+        t = self.transpose()
+        return t.replace(values=jnp.conj(t.values))
+
+    def scale(self, alpha) -> "Csr":
+        return self.replace(values=self.values * jnp.asarray(alpha).reshape(()))
+
+    def inv_scale(self, alpha) -> "Csr":
+        return self.replace(values=self.values / jnp.asarray(alpha).reshape(()))
+
+    def extract_diagonal(self):
+        from .diagonal import Diagonal
+
+        n = min(self.shape)
+        rids = self.row_ids()
+        on_diag = (rids == self.col_idxs) & (rids < n)
+        diag = jax.ops.segment_sum(
+            jnp.where(on_diag, self.values, 0),
+            jnp.where(on_diag, rids, 0).astype(jnp.int32),
+            num_segments=n,
+        )
+        return Diagonal(values=diag)
+
+    def compute_absolute(self) -> "Csr":
+        return self.replace(values=jnp.abs(self.values))
+
+    def add_scaled_identity(self, alpha, beta) -> "Csr":
+        """self := alpha*I + beta*self; requires all diagonal entries present
+        in the sparsity pattern (same precondition as the reference kernel)."""
+        rids = self.row_ids()
+        is_diag = rids == self.col_idxs
+        a = jnp.asarray(alpha).reshape(())
+        b = jnp.asarray(beta).reshape(())
+        return self.replace(values=b * self.values + jnp.where(is_diag, a, 0))
+
+    # permutations: perm given as forward permutation array p, result row i =
+    # source row p[i] (reference Permutable semantics, lin_op.hpp:507)
+    def row_permute(self, perm) -> "Csr":
+        return _permute_csr(self, row_perm=np.asarray(perm), col_perm=None)
+
+    def column_permute(self, perm) -> "Csr":
+        return _permute_csr(self, row_perm=None, col_perm=np.asarray(perm))
+
+    def symm_permute(self, perm) -> "Csr":
+        p = np.asarray(perm)
+        return _permute_csr(self, row_perm=p, col_perm=p)
+
+    def inverse_row_permute(self, perm) -> "Csr":
+        p = np.asarray(perm)
+        inv = np.empty_like(p)
+        inv[p] = np.arange(len(p))
+        return self.row_permute(inv)
+
+    def inverse_column_permute(self, perm) -> "Csr":
+        p = np.asarray(perm)
+        inv = np.empty_like(p)
+        inv[p] = np.arange(len(p))
+        return self.column_permute(inv)
+
+    # -- algebra ------------------------------------------------------------
+
+    def spgemm(self, other: "Csr") -> "Csr":
+        from ..ops import spgemm as spgemm_ops
+
+        return spgemm_ops.spgemm(self, other)
+
+    def spgeam(self, alpha, other: "Csr", beta=1.0) -> "Csr":
+        from ..ops import spgemm as spgemm_ops
+
+        return spgemm_ops.spgeam(alpha, self, beta, other)
+
+    # -- conversions ----------------------------------------------------------
+
+    def to_matrix_data(self) -> MatrixData:
+        return MatrixData(
+            self.shape,
+            np.asarray(self.row_ids()),
+            np.asarray(self.col_idxs),
+            np.asarray(self.values),
+        )
+
+    write = to_matrix_data
+
+    def to_dense(self):
+        from .dense import Dense
+
+        rids = self.row_ids()
+        vals = jnp.zeros(self.shape, dtype=self.dtype).at[rids, self.col_idxs].add(
+            self.values
+        )
+        return Dense(values=vals)
+
+    def to_coo(self):
+        from .coo import Coo
+
+        return Coo(
+            rows=self.row_ids(),
+            cols=self.col_idxs,
+            values=self.values,
+            shape=self.shape,
+        )
+
+    def to_csr(self):
+        return self
+
+    def to_ell(self, max_nnz_per_row: int | None = None):
+        from .ell import Ell
+
+        return Ell.from_csr(self, max_nnz_per_row)
+
+    def to_sellp(self, slice_size: int = 64, stride_factor: int = 1):
+        from .sellp import Sellp
+
+        return Sellp.from_csr(self, slice_size, stride_factor)
+
+    def to_hybrid(self, **kw):
+        from .hybrid import Hybrid
+
+        return Hybrid.from_csr(self, **kw)
+
+    def to_fbcsr(self, block_size: int):
+        from .fbcsr import Fbcsr
+
+        return Fbcsr.from_csr(self, block_size)
+
+    def to_sparsity_csr(self):
+        from .sparsity_csr import SparsityCsr
+
+        return SparsityCsr(
+            row_ptrs=self.row_ptrs,
+            col_idxs=self.col_idxs,
+            value=jnp.ones((), dtype=self.dtype),
+            shape=self.shape,
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sps
+
+        return sps.csr_matrix(
+            (
+                np.asarray(self.values),
+                np.asarray(self.col_idxs),
+                np.asarray(self.row_ptrs),
+            ),
+            shape=self.shape,
+        )
+
+    def astype(self, dtype) -> "Csr":
+        return self.replace(values=self.values.astype(dtype))
+
+    # row-length helpers (host) used by conversions / strategy heuristics
+    def host_row_lengths(self) -> np.ndarray:
+        rp = np.asarray(self.row_ptrs)
+        return rp[1:] - rp[:-1]
+
+
+def _permute_csr(m: Csr, row_perm, col_perm) -> Csr:
+    """Host-side structural permutation (structure changes ⇒ setup path)."""
+    sp = m.to_scipy().tocoo()
+    rows, cols = sp.row, sp.col
+    if row_perm is not None:
+        inv = np.empty_like(row_perm)
+        inv[row_perm] = np.arange(len(row_perm))
+        rows = inv[rows]
+    if col_perm is not None:
+        invc = np.empty_like(col_perm)
+        invc[col_perm] = np.arange(len(col_perm))
+        cols = invc[cols]
+    data = MatrixData.from_coo(m.shape, rows, cols, sp.data)
+    return Csr.from_matrix_data(data, strategy=m.strategy)

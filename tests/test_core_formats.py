@@ -1,0 +1,331 @@
+"""Tier-1/2 tests: matrix_data, Dense, Csr, Coo, Diagonal, Permutation vs
+numpy/scipy oracles (reference model: core/test/matrix + reference/test/matrix)."""
+
+import io
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+import ginkgo_tpu as gko
+from ginkgo_tpu.utils import generators
+
+VALUE_TYPES = [np.float32, np.float64, np.complex128]
+RTOL = {np.float32: 2e-5, np.float64: 1e-12, np.complex128: 1e-12}
+
+
+def random_csr(rng, n=37, m=29, dtype=np.float64, strategy="classical"):
+    data = generators.generate_random_matrix(n, m, 0, 7, rng, dtype=dtype)
+    return gko.Csr.from_matrix_data(data, strategy=strategy), data
+
+
+# -- matrix_data --------------------------------------------------------------
+
+
+def test_matrix_data_dedup_and_sort():
+    d = gko.MatrixData.from_coo(
+        (3, 3), [2, 0, 0, 2], [1, 1, 1, 1], [1.0, 2.0, 3.0, 4.0]
+    )
+    s = d.sum_duplicates()
+    assert s.nnz == 2
+    dense = s.to_dense()
+    assert dense[0, 1] == 5.0 and dense[2, 1] == 5.0
+
+
+def test_matrix_data_remove_zeros_transpose():
+    d = gko.MatrixData.from_coo((2, 3), [0, 1], [2, 0], [0.0, 7.0])
+    assert d.remove_zeros().nnz == 1
+    t = d.transpose()
+    assert t.shape == (3, 2)
+    assert t.to_dense()[0, 1] == 7.0
+
+
+# -- Dense -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", VALUE_TYPES)
+def test_dense_apply_and_blas1(rng, dtype):
+    a = generators.generate_random_dense(13, 7, rng, dtype)
+    b = generators.generate_random_dense(7, 3, rng, dtype)
+    A = gko.Dense.create(a)
+    out = A.apply(b)
+    np.testing.assert_allclose(out, a @ b, rtol=RTOL[dtype])
+
+    v = gko.Dense.create(generators.generate_random_dense(13, 3, rng, dtype))
+    w = gko.Dense.create(generators.generate_random_dense(13, 3, rng, dtype))
+    np.testing.assert_allclose(
+        v.compute_conj_dot(w),
+        np.sum(np.conj(v.values) * w.values, axis=0),
+        rtol=RTOL[dtype],
+    )
+    np.testing.assert_allclose(
+        v.compute_norm2(),
+        np.linalg.norm(np.asarray(v.values), axis=0),
+        rtol=RTOL[dtype],
+    )
+    np.testing.assert_allclose(
+        v.compute_norm1(), np.abs(v.values).sum(axis=0), rtol=RTOL[dtype]
+    )
+    z = v.add_scaled(2.0, w)
+    np.testing.assert_allclose(z.values, v.values + 2.0 * w.values, rtol=RTOL[dtype])
+
+
+def test_dense_advanced_apply(rng):
+    a = generators.generate_random_dense(5, 4, rng)
+    b = generators.generate_random_dense(4, 2, rng)
+    x = generators.generate_random_dense(5, 2, rng)
+    A = gko.Dense.create(a)
+    out = A.apply_advanced(2.0, b, -0.5, x)
+    np.testing.assert_allclose(out, 2.0 * (a @ b) - 0.5 * x, rtol=1e-12)
+
+
+def test_dense_permutes_and_diag(rng):
+    a = generators.generate_random_dense(6, 6, rng)
+    A = gko.Dense.create(a)
+    p = np.random.default_rng(0).permutation(6)
+    np.testing.assert_allclose(A.row_permute(p).values, a[p])
+    np.testing.assert_allclose(A.column_permute(p).values, a[:, p])
+    np.testing.assert_allclose(A.symm_permute(p).values, a[p][:, p])
+    np.testing.assert_allclose(
+        A.inverse_row_permute(p).row_permute(p).values, a, rtol=1e-14
+    )
+    np.testing.assert_allclose(A.extract_diagonal().values, np.diag(a))
+    np.testing.assert_allclose(
+        A.add_scaled_identity(3.0, 2.0).values, 3.0 * np.eye(6) + 2.0 * a
+    )
+
+
+# -- CSR ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", VALUE_TYPES)
+@pytest.mark.parametrize("strategy", ["classical", "merge_path", "sparselib"])
+def test_csr_spmv_strategies(rng, dtype, strategy):
+    if dtype == np.complex128 and strategy == "sparselib":
+        pytest.skip("BCOO complex path not exercised")
+    A, data = random_csr(rng, dtype=dtype, strategy=strategy)
+    sp = sps.csr_matrix(
+        (data.values, (data.rows, data.cols)), shape=data.shape
+    )
+    x = generators.generate_random_dense(data.shape[1], 3, rng, dtype)
+    np.testing.assert_allclose(A.apply(x), sp @ x, rtol=RTOL[dtype], atol=1e-6)
+    x1 = x[:, 0]
+    np.testing.assert_allclose(A.apply(x1), sp @ x1, rtol=RTOL[dtype], atol=1e-6)
+
+
+def test_csr_advanced_apply(rng):
+    A, data = random_csr(rng)
+    sp = sps.csr_matrix((data.values, (data.rows, data.cols)), shape=data.shape)
+    b = generators.generate_random_dense(data.shape[1], 2, rng)
+    c = generators.generate_random_dense(data.shape[0], 2, rng)
+    out = A.apply_advanced(2.0, b, -1.0, c)
+    np.testing.assert_allclose(out, 2.0 * (sp @ b) - c, rtol=1e-12)
+
+
+def test_csr_empty_rows_and_empty_matrix(rng):
+    # deliberately include empty rows (edge case seeded in reference tests)
+    data = gko.MatrixData.from_coo((5, 4), [0, 0, 3], [1, 3, 2], [1.0, 2.0, 3.0])
+    A = gko.Csr.from_matrix_data(data)
+    x = np.ones(4)
+    np.testing.assert_allclose(A.apply(x), [3.0, 0, 0, 3.0, 0])
+
+    E = gko.Csr.from_matrix_data(gko.MatrixData.empty((3, 3)))
+    np.testing.assert_allclose(E.apply(np.ones(3)), np.zeros(3))
+
+
+def test_csr_transpose_roundtrip(rng):
+    A, data = random_csr(rng, dtype=np.complex128)
+    sp = sps.csr_matrix((data.values, (data.rows, data.cols)), shape=data.shape)
+    T = A.transpose()
+    np.testing.assert_allclose(T.to_dense().values, sp.T.toarray(), rtol=1e-12)
+    H = A.conj_transpose()
+    np.testing.assert_allclose(H.to_dense().values, sp.conj().T.toarray(), rtol=1e-12)
+
+
+def test_csr_diag_scale_absolute(rng):
+    A, data = random_csr(rng, n=20, m=20)
+    sp = sps.csr_matrix((data.values, (data.rows, data.cols)), shape=data.shape)
+    np.testing.assert_allclose(
+        A.extract_diagonal().values, sp.diagonal(), rtol=1e-14
+    )
+    np.testing.assert_allclose(
+        A.scale(3.0).to_dense().values, 3.0 * sp.toarray(), rtol=1e-14
+    )
+    np.testing.assert_allclose(
+        A.compute_absolute().to_dense().values, np.abs(sp.toarray()), rtol=1e-14
+    )
+
+
+def test_csr_permutations(rng):
+    A, data = random_csr(rng, n=10, m=10)
+    dense = data.to_dense()
+    p = np.random.default_rng(3).permutation(10)
+    np.testing.assert_allclose(A.row_permute(p).to_dense().values, dense[p])
+    np.testing.assert_allclose(A.column_permute(p).to_dense().values, dense[:, p])
+    np.testing.assert_allclose(A.symm_permute(p).to_dense().values, dense[p][:, p])
+
+
+def test_csr_conversions_roundtrip(rng):
+    A, data = random_csr(rng)
+    dense = data.sum_duplicates().to_dense()
+    np.testing.assert_allclose(A.to_dense().values, dense)
+    np.testing.assert_allclose(A.to_coo().to_dense().values, dense)
+    np.testing.assert_allclose(A.to_coo().to_csr().to_dense().values, dense)
+    md = A.to_matrix_data()
+    np.testing.assert_allclose(md.to_dense(), dense)
+
+
+def test_csr_from_device_data(rng):
+    data = generators.generate_random_matrix(9, 9, 1, 4, rng)
+    dd = data.to_device()
+    A = gko.Csr.from_device_data(dd)
+    np.testing.assert_allclose(A.to_dense().values, data.sum_duplicates().to_dense())
+
+
+# -- COO ----------------------------------------------------------------------
+
+
+def test_coo_spmv_and_apply2(rng):
+    data = generators.generate_random_matrix(15, 11, 0, 5, rng)
+    A = gko.Coo.from_matrix_data(data)
+    sp = sps.csr_matrix((data.values, (data.rows, data.cols)), shape=data.shape)
+    x = generators.generate_random_dense(11, 2, rng)
+    y = generators.generate_random_dense(15, 2, rng)
+    np.testing.assert_allclose(A.apply(x), sp @ x, rtol=1e-12)
+    np.testing.assert_allclose(A.apply2(x, y), y + sp @ x, rtol=1e-12)
+    np.testing.assert_allclose(
+        A.transpose().to_dense().values, sp.T.toarray(), rtol=1e-12
+    )
+
+
+# -- Diagonal / Identity / Permutation ----------------------------------------
+
+
+def test_diagonal_ops(rng):
+    d = rng.uniform(1, 2, 8)
+    D = gko.Diagonal.create(d)
+    x = generators.generate_random_dense(8, 2, rng)
+    np.testing.assert_allclose(D.apply(x), d[:, None] * x)
+    np.testing.assert_allclose(D.rapply(x.T), x.T * d[None, :])
+    np.testing.assert_allclose(D.inverse().apply(x), x / d[:, None])
+    np.testing.assert_allclose(D.to_csr().to_dense().values, np.diag(d))
+
+
+def test_identity_and_factory(rng):
+    I = gko.Identity.create(5, np.float64)
+    x = generators.generate_random_dense(5, 1, rng)
+    np.testing.assert_allclose(I.apply(x), x)
+    A, _ = random_csr(rng, n=5, m=5)
+    I2 = gko.IdentityFactory(np.float64).generate(A)
+    assert I2.shape == (5, 5)
+
+
+def test_permutation_linop(rng):
+    p = np.random.default_rng(1).permutation(7)
+    P = gko.Permutation.create(p)
+    x = generators.generate_random_dense(7, 2, rng)
+    np.testing.assert_allclose(P.apply(x), x[p])
+    np.testing.assert_allclose(P.inverse_apply(P.apply(x)), x)
+    np.testing.assert_allclose(P.transpose().apply(P.apply(x)), x)
+
+
+# -- Combination / Composition / Perturbation ----------------------------------
+
+
+def test_combination_composition_perturbation(rng):
+    a = generators.generate_random_dense(6, 6, rng)
+    b = generators.generate_random_dense(6, 6, rng)
+    A, B = gko.Dense.create(a), gko.Dense.create(b)
+    x = generators.generate_random_dense(6, 2, rng)
+    comb = gko.Combination(coefficients=(2.0, -1.0), operators=(A, B))
+    np.testing.assert_allclose(comb.apply(x), 2 * (a @ x) - (b @ x), rtol=1e-12)
+    comp = gko.Composition(operators=(A, B))
+    np.testing.assert_allclose(comp.apply(x), a @ (b @ x), rtol=1e-12)
+    u = generators.generate_random_dense(6, 2, rng)
+    v = generators.generate_random_dense(2, 6, rng)
+    pert = gko.Perturbation(scalar=0.5, basis=jnp.asarray(u), projector=jnp.asarray(v))
+    np.testing.assert_allclose(pert.apply(x), x + 0.5 * (u @ (v @ x)), rtol=1e-12)
+
+
+# -- IO -------------------------------------------------------------------------
+
+
+def test_mtx_roundtrip_real(tmp_path, rng):
+    data = generators.generate_random_matrix(8, 6, 0, 4, rng)
+    p = tmp_path / "m.mtx"
+    gko.write_raw(str(p), data)
+    back = gko.read_raw(str(p))
+    np.testing.assert_allclose(back.to_dense(), data.sum_duplicates().to_dense())
+
+
+def test_mtx_roundtrip_complex_and_read_csr(tmp_path, rng):
+    data = generators.generate_random_matrix(5, 5, 1, 3, rng, dtype=np.complex128)
+    p = tmp_path / "c.mtx"
+    gko.write_raw(str(p), data)
+    A = gko.read(str(p))
+    np.testing.assert_allclose(
+        A.to_dense().values, data.sum_duplicates().to_dense(), rtol=1e-14
+    )
+
+
+def test_mtx_symmetric_pattern_parse():
+    text = """%%MatrixMarket matrix coordinate real symmetric
+% comment
+3 3 4
+1 1 2.0
+2 1 -1.0
+2 2 2.0
+3 2 -1.0
+"""
+    d = gko.read_raw(io.StringIO(text))
+    dense = d.to_dense()
+    np.testing.assert_allclose(dense, dense.T)
+    assert dense[0, 1] == -1.0 and dense[1, 2] == -1.0
+
+    pat = """%%MatrixMarket matrix coordinate pattern general
+2 2 2
+1 1
+2 2
+"""
+    dp = gko.read_raw(io.StringIO(pat))
+    np.testing.assert_allclose(dp.to_dense(), np.eye(2))
+
+
+def test_mtx_array_layout():
+    text = """%%MatrixMarket matrix array real general
+2 2
+1.0
+3.0
+2.0
+4.0
+"""
+    d = gko.read_raw(io.StringIO(text))
+    np.testing.assert_allclose(d.to_dense(), [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_binary_roundtrip(tmp_path, rng):
+    data = generators.generate_random_matrix(7, 7, 0, 3, rng)
+    p = tmp_path / "m.npz"
+    gko.write_binary_raw(str(p), data)
+    back = gko.read_binary_raw(str(p))
+    np.testing.assert_allclose(back.to_dense(), data.to_dense())
+
+
+# -- jit/pytree integration -----------------------------------------------------
+
+
+def test_csr_is_pytree_and_jittable(rng):
+    import jax
+
+    A, data = random_csr(rng, n=12, m=12)
+    sp_dense = data.sum_duplicates().to_dense()
+    x = np.ones((12, 1))
+
+    @jax.jit
+    def f(op, v):
+        return op.apply(v)
+
+    np.testing.assert_allclose(f(A, x), sp_dense @ x, rtol=1e-12)
+    leaves = jax.tree_util.tree_leaves(A)
+    assert len(leaves) == 3  # row_ptrs, col_idxs, values
