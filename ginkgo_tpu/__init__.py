@@ -27,6 +27,7 @@ from .base.executor import (
 from .matrix.dense import Dense
 from .matrix.csr import Csr
 from .matrix.coo import Coo
+from .matrix.dia import Dia
 from .matrix.diagonal import Diagonal, Identity, IdentityFactory, Permutation, RowGatherer
 
 from .io.mtx_io import (
@@ -41,6 +42,12 @@ from .io.mtx_io import (
 
 from .log import logger as log
 from .utils import generators
+
+from . import stop
+from . import solver
+from . import preconditioner
+from .solver import Cg, Fcg, Ir
+from .preconditioner import Jacobi, JacobiFactory
 
 __all__ = [
     "types",
@@ -60,6 +67,7 @@ __all__ = [
     "Dense",
     "Csr",
     "Coo",
+    "Dia",
     "Diagonal",
     "Identity",
     "IdentityFactory",

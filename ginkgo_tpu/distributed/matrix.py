@@ -1,0 +1,184 @@
+"""Mesh-distributed matrix and vectors (SPMD over a 1-D row partition).
+
+Reference: core/distributed/matrix.cpp — per-rank split into a local (diagonal
+block) and non-local (off-diagonal, compressed columns) matrix (matrix.hpp:177,
+556-557), assembly via build_local_nonlocal (matrix_kernels.hpp:51), halo
+exchange in `communicate()` (matrix.cpp:263-303), and apply that overlaps the
+local SpMV with the exchange (matrix.cpp:306-335).
+
+TPU-native redesign: instead of MPI ranks with ragged per-rank buffers, the
+matrix is a *stacked SPMD pytree*: every per-part array is padded to the max
+part size and stacked on a leading parts axis that is sharded over a
+jax.sharding.Mesh axis.  Inside `shard_map`, each device sees its own padded
+shard; the halo exchange is an `all_gather` of the local x block over the
+mesh axis (rides ICI), followed by a static gather of the needed columns; XLA
+overlaps the collective with the local SpMV in one fused computation — the
+compiler-scheduled version of matrix.cpp:321-323's manual overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
+from ..base.matrix_data import MatrixData
+from ..ops import spmv as spmv_ops
+from .partition import Partition
+
+
+@linop_dataclass
+class DistCsr(LinOp):
+    """Row-distributed CSR.  All array fields have leading axis = num_parts
+    (shard it over the mesh); inside shard_map that axis has extent 1."""
+
+    # local (diagonal) block, local column indexing
+    l_row_ptrs: jnp.ndarray  # (P, L+1)
+    l_cols: jnp.ndarray  # (P, NL)
+    l_vals: jnp.ndarray  # (P, NL)
+    # non-local block, columns index into the halo buffer
+    nl_row_ptrs: jnp.ndarray  # (P, L+1)
+    nl_cols: jnp.ndarray  # (P, NNL)
+    nl_vals: jnp.ndarray  # (P, NNL)
+    # halo: padded-global index (part*L + local) of each needed remote column
+    halo_src: jnp.ndarray  # (P, H)
+    row_valid: jnp.ndarray  # (P, L) 1.0 for true rows, 0.0 for padding
+    shape: tuple = static_field(default=(0, 0))
+    local_size: int = static_field(default=0)  # L
+    num_parts: int = static_field(default=1)
+    axis_name: Any = static_field(default=None)
+
+    @property
+    def dtype(self):
+        return self.l_vals.dtype
+
+    # -- assembly (build_local_nonlocal analog, host-side) ---------------------
+
+    @staticmethod
+    def from_matrix_data(
+        data: MatrixData, partition: Partition, axis_name="rows"
+    ) -> "DistCsr":
+        d = data.sum_duplicates()
+        n, m = d.shape
+        assert n == m, "distributed matrix requires square operator (row part)"
+        P = partition.num_parts
+        L = partition.padded_local_size
+        part_r = partition.part_of_row[d.rows]
+        part_c = partition.part_of_row[d.cols]
+        loc_r = partition.local_of_row[d.rows]
+        loc_c = partition.local_of_row[d.cols]
+
+        l_rp = np.zeros((P, L + 1), np.int32)
+        nl_rp = np.zeros((P, L + 1), np.int32)
+        l_entries, nl_entries, halos = [], [], []
+        for p in range(P):
+            mine = part_r == p
+            is_local = mine & (part_c == p)
+            is_nl = mine & (part_c != p)
+            # local block (sorted by row-major local indices)
+            lr, lc, lv = loc_r[is_local], loc_c[is_local], d.values[is_local]
+            order = np.lexsort((lc, lr))
+            lr, lc, lv = lr[order], lc[order], lv[order]
+            np.add.at(l_rp[p], lr + 1, 1)
+            l_entries.append((lr, lc, lv))
+            # non-local block: compress needed remote cols
+            nr = loc_r[is_nl]
+            ncol_global_padded = part_c[is_nl] * L + loc_c[is_nl]
+            nv = d.values[is_nl]
+            uniq, inv = np.unique(ncol_global_padded, return_inverse=True)
+            order = np.lexsort((inv, nr))
+            nr, ninv, nv = nr[order], inv[order], nv[order]
+            np.add.at(nl_rp[p], nr + 1, 1)
+            nl_entries.append((nr, ninv, nv))
+            halos.append(uniq)
+        l_rp = np.cumsum(l_rp, axis=1, dtype=np.int32)
+        nl_rp = np.cumsum(nl_rp, axis=1, dtype=np.int32)
+
+        NL = max(max(len(e[0]) for e in l_entries), 1)
+        NNL = max(max(len(e[0]) for e in nl_entries), 1)
+        H = max(max(len(h) for h in halos), 1)
+        l_cols = np.zeros((P, NL), np.int32)
+        l_vals = np.zeros((P, NL), d.values.dtype)
+        nl_cols = np.zeros((P, NNL), np.int32)
+        nl_vals = np.zeros((P, NNL), d.values.dtype)
+        halo_src = np.zeros((P, H), np.int32)
+        row_valid = np.zeros((P, L), d.values.dtype)
+        for p in range(P):
+            lr, lc, lv = l_entries[p]
+            l_cols[p, : len(lc)] = lc
+            l_vals[p, : len(lv)] = lv
+            nr, nc, nv = nl_entries[p]
+            nl_cols[p, : len(nc)] = nc
+            nl_vals[p, : len(nv)] = nv
+            halo_src[p, : len(halos[p])] = halos[p]
+            row_valid[p, : partition.part_sizes[p]] = 1
+
+        return DistCsr(
+            l_row_ptrs=jnp.asarray(l_rp),
+            l_cols=jnp.asarray(l_cols),
+            l_vals=jnp.asarray(l_vals),
+            nl_row_ptrs=jnp.asarray(nl_rp),
+            nl_cols=jnp.asarray(nl_cols),
+            nl_vals=jnp.asarray(nl_vals),
+            halo_src=jnp.asarray(halo_src),
+            row_valid=jnp.asarray(row_valid),
+            shape=(n, m),
+            local_size=L,
+            num_parts=P,
+            axis_name=axis_name,
+        )
+
+    # -- shard-level ops (call inside shard_map; leading parts axis == 1) -------
+
+    def _sq(self, a):
+        return a[0]
+
+    def apply(self, x_local):
+        """Distributed SpMV for the local shard.  x_local: (L, k) or (L,).
+
+        all_gather(x) over the mesh axis = the halo exchange; the local SpMV
+        is independent of the collective so XLA overlaps them
+        (the matrix.cpp:321-323 overlap, compiler-scheduled)."""
+        arr, was_1d = as_2d(x_local)
+        L = self.local_size
+        # local contribution
+        y = spmv_ops.csr_spmv_classical(
+            self._sq(self.l_row_ptrs),
+            self._sq(self.l_cols),
+            self._sq(self.l_vals),
+            arr,
+            L,
+        )
+        # halo exchange + non-local contribution
+        xg = jax.lax.all_gather(arr, self.axis_name)  # (P, L, k)
+        xg = xg.reshape(-1, arr.shape[1])
+        halo = jnp.take(xg, self._sq(self.halo_src), axis=0)  # (H, k)
+        y = y + spmv_ops.csr_spmv_classical(
+            self._sq(self.nl_row_ptrs),
+            self._sq(self.nl_cols),
+            self._sq(self.nl_vals),
+            halo,
+            L,
+        )
+        y = y * self._sq(self.row_valid)[:, None]
+        return restore_1d(y, was_1d)
+
+    def extract_diagonal_local(self):
+        """(L,) diagonal of the local block (for scalar-Jacobi inside a
+        distributed solve)."""
+        rp = self._sq(self.l_row_ptrs)
+        cols = self._sq(self.l_cols)
+        vals = self._sq(self.l_vals)
+        L = self.local_size
+        nnz = cols.shape[0]
+        rids = spmv_ops.row_ids_from_ptrs(rp, nnz)
+        on_diag = (rids == cols) & (jnp.arange(nnz) < rp[-1])
+        diag = jax.ops.segment_sum(
+            jnp.where(on_diag, vals, 0),
+            jnp.where(on_diag, rids, 0).astype(jnp.int32),
+            num_segments=L,
+        )
+        return jnp.where(self._sq(self.row_valid) > 0, diag, 1)

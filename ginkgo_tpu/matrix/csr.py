@@ -310,6 +310,11 @@ class Csr(LinOp):
 
         return Fbcsr.from_csr(self, block_size)
 
+    def to_dia(self):
+        from .dia import Dia
+
+        return Dia.from_matrix_data(self.to_matrix_data())
+
     def to_sparsity_csr(self):
         from .sparsity_csr import SparsityCsr
 

@@ -1,0 +1,160 @@
+"""Conjugate gradient (and flexible CG).
+
+Reference: core/solver/cg.cpp (driver loop :107-190, 18n/iter memory-traffic
+annotation :148-156, step kernels common/unified/solver/cg_kernels.cpp) and
+fcg.cpp.  The reference's per-iteration host sync on the stop flag
+disappears: the whole loop is one `lax.while_loop`, criteria fused in-graph,
+per-column stop masks freezing converged columns exactly like the
+stopping-status-masked step_1/step_2 kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from .solver_base import (
+    IterativeSolverMixin,
+    SolveInfo,
+    extract_max_iters,
+    masked_cols,
+    safe_div,
+    vdot,
+)
+
+
+@linop_dataclass
+class Cg(IterativeSolverMixin, LinOp):
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    axis_name: Any = static_field(default=None)
+    track_history: bool = static_field(default=False)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _solve_impl(self, b, x0):
+        A, M = self.A, self.preconditioner
+        cap = extract_max_iters(self.criterion)
+        k = b.shape[1]
+
+        r0 = b - A.apply(x0)  # cg.cpp:142
+        baselines = self._baselines(b, r0)
+        hist0 = (
+            jnp.zeros((cap, k), dtype=jnp.result_type(b.real.dtype))
+            if self.track_history
+            else None
+        )
+
+        def cond(st):
+            x, r, p, rho_prev, it, stopped, resnorm, hist = st
+            return (it < cap) & ~jnp.all(stopped)
+
+        def body(st):
+            x, r, p, rho_prev, it, stopped, resnorm, hist = st
+            z = M.apply(r)  # cg.cpp:159
+            rho = vdot(r, z, self.axis_name)  # cg.cpp:161
+            # step_1: p = z + beta p with beta = rho/rho_prev (cg.cpp:177)
+            beta = safe_div(rho, rho_prev)
+            first = it == 0
+            p_new = jnp.where(first, z, z + beta[None, :] * p)
+            p_new = masked_cols(p_new, p, stopped)
+            q = A.apply(p_new)  # cg.cpp:181
+            pq = vdot(p_new, q, self.axis_name)  # cg.cpp:183
+            alpha = jnp.where(stopped, 0, safe_div(rho, pq))
+            # step_2: x += alpha p; r -= alpha q (cg.cpp:187)
+            x_new = x + alpha[None, :] * p_new
+            r_new = r - alpha[None, :] * q
+            stopped_new, rn = self._check_stop(
+                it + 1, stopped, r=r_new, rho=rho, baselines=baselines
+            )
+            if hist is not None:
+                hist = jax.lax.dynamic_update_slice(
+                    hist, rn[None, :].astype(hist.dtype), (it, jnp.zeros_like(it))
+                )
+            return (x_new, r_new, p_new, rho, it + 1, stopped_new, rn, hist)
+
+        init = (
+            x0,
+            r0,
+            jnp.zeros_like(b),
+            jnp.ones((k,), dtype=b.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), dtype=bool),
+            baselines["initial_resnorm"],
+            hist0,
+        )
+        x, r, p, rho, it, stopped, resnorm, hist = jax.lax.while_loop(
+            cond, body, init
+        )
+        return x, SolveInfo(
+            iterations=it, residual_norm=resnorm, converged=stopped, history=hist
+        )
+
+
+@linop_dataclass
+class Fcg(IterativeSolverMixin, LinOp):
+    """Flexible CG (reference core/solver/fcg.cpp): Polak-Ribiere style
+    rho_t = dot(r_new - r_old, z_new) so the preconditioner may vary."""
+
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    axis_name: Any = static_field(default=None)
+    track_history: bool = static_field(default=False)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _solve_impl(self, b, x0):
+        A, M = self.A, self.preconditioner
+        cap = extract_max_iters(self.criterion)
+        k = b.shape[1]
+
+        r0 = b - A.apply(x0)
+        baselines = self._baselines(b, r0)
+
+        def cond(st):
+            return (st[5] < cap) & ~jnp.all(st[6])
+
+        def body(st):
+            x, r, r_old, p, rho_prev, it, stopped, resnorm = st
+            z = M.apply(r)
+            rho = vdot(r, z, self.axis_name)
+            rho_t = vdot(r - r_old, z, self.axis_name)  # fcg extra t-vector
+            beta = safe_div(rho_t, rho_prev)
+            first = it == 0
+            p_new = jnp.where(first, z, z + beta[None, :] * p)
+            p_new = masked_cols(p_new, p, stopped)
+            q = A.apply(p_new)
+            pq = vdot(p_new, q, self.axis_name)
+            alpha = jnp.where(stopped, 0, safe_div(rho, pq))
+            x_new = x + alpha[None, :] * p_new
+            r_new = r - alpha[None, :] * q
+            stopped_new, rn = self._check_stop(
+                it + 1, stopped, r=r_new, rho=rho, baselines=baselines
+            )
+            return (x_new, r_new, r, p_new, rho, it + 1, stopped_new, rn)
+
+        init = (
+            x0,
+            r0,
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            jnp.ones((k,), dtype=b.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), dtype=bool),
+            baselines["initial_resnorm"],
+        )
+        x, r, r_old, p, rho, it, stopped, resnorm = jax.lax.while_loop(
+            cond, body, init
+        )
+        return x, SolveInfo(
+            iterations=it, residual_norm=resnorm, converged=stopped, history=None
+        )

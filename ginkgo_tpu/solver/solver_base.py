@@ -1,0 +1,264 @@
+"""Common solver machinery.
+
+Reference: include/ginkgo/core/solver/solver_base.hpp:57-148
+(EnableSolverBase / EnableIterativeBase / EnablePreconditionedIterativeSolver)
+and the per-solver workspace_traits (cg.cpp:215-258).
+
+Design (SURVEY §7): a solver is a pytree LinOp holding the system operator,
+the generated preconditioner, and a fused stopping criterion; its whole
+iteration runs inside one `lax.while_loop`, with per-column stop masks
+replacing the reference's device stopping_status + host check
+(cg.cpp:166-171).  Distributed solves reuse the same code: the `axis_name`
+static field makes every dot/norm a psum over the mesh axis, and `A.apply`
+is the halo-exchanging distributed SpMV — the analog of Ginkgo's
+distribution-transparent solvers (precision_dispatch_real_complex_distributed,
+cg.cpp:97).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
+from ..stop.criterion import (
+    Criterion,
+    Combined,
+    Iteration,
+    Time,
+    combine,
+    default_criteria,
+)
+from ..matrix.diagonal import Identity
+
+HARD_ITER_CAP = 10_000
+
+
+# -- reductions (distribution-aware) -----------------------------------------
+
+
+def vdot(a, b, axis_name=None):
+    """Column-wise conjugated dot (k,); psum over mesh axis if distributed."""
+    s = jnp.sum(jnp.conj(a) * b, axis=0)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def norm2(a, axis_name=None):
+    s = jnp.sum(jnp.abs(a) ** 2, axis=0)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return jnp.sqrt(s.real)
+
+
+def safe_div(num, den):
+    """num/den with 0 where den == 0 (stopped columns carry zeroed scalars,
+    mirroring the reference's stopping-status-masked step kernels)."""
+    den_ok = den != 0
+    return jnp.where(den_ok, num / jnp.where(den_ok, den, 1), 0)
+
+
+def masked_cols(new, old, stopped):
+    """Freeze columns that have stopped: (n,k) update masked by (k,) bools."""
+    return jnp.where(stopped[None, :], old, new)
+
+
+# -- solve result --------------------------------------------------------------
+
+
+@linop_dataclass
+class SolveInfo:
+    iterations: jnp.ndarray  # scalar int32: iterations performed
+    residual_norm: jnp.ndarray  # (k,) final tracked residual norm
+    converged: jnp.ndarray  # (k,) bool
+    history: Any = None  # (cap, k) per-iteration residual norms or None
+
+    @property
+    def num_iterations(self):
+        return int(self.iterations)
+
+
+def extract_max_iters(criterion: Criterion, default: int = HARD_ITER_CAP) -> int:
+    found = []
+
+    def walk(c):
+        if isinstance(c, Iteration):
+            found.append(c.max_iters)
+        elif isinstance(c, Combined):
+            for ch in c.criteria:
+                walk(ch)
+
+    walk(criterion)
+    return min(found) if found else default
+
+
+def extract_time_limit(criterion: Criterion):
+    found = []
+
+    def walk(c):
+        if isinstance(c, Time):
+            found.append(c.time_limit_sec)
+        elif isinstance(c, Combined):
+            for ch in c.criteria:
+                walk(ch)
+
+    walk(criterion)
+    return min(found) if found else None
+
+
+# -- factory (GKO_ENABLE_LIN_OP_FACTORY analog, lin_op.hpp:1038) ----------------
+
+
+class SolverFactory:
+    """Fluent factory: Cg.build(criteria=[...], preconditioner=JacobiFactory())
+    .generate(A) -> solver LinOp.  Parameters mirror the reference's
+    GKO_FACTORY_PARAMETER_SCALAR/VECTOR declarations."""
+
+    def __init__(self, solver_cls, criteria=None, preconditioner=None, **params):
+        self.solver_cls = solver_cls
+        self.criteria = criteria
+        self.preconditioner = preconditioner
+        self.params = params
+
+    def with_criteria(self, *criteria):
+        self.criteria = list(criteria)
+        return self
+
+    def with_preconditioner(self, factory):
+        self.preconditioner = factory
+        return self
+
+    def on(self, exec=None):  # executor placement is a no-op under XLA
+        return self
+
+    def generate(self, A):
+        crit = combine(self.criteria) if self.criteria is not None else (
+            default_criteria()
+        )
+        if self.preconditioner is None:
+            M = Identity.create(A.shape[0], A.dtype)
+        elif hasattr(self.preconditioner, "generate"):
+            M = self.preconditioner.generate(A)
+        else:
+            M = self.preconditioner  # already a LinOp
+        return self.solver_cls.create(
+            A=A, preconditioner=M, criterion=crit, **self.params
+        )
+
+
+class IterativeSolverMixin:
+    """Shared apply/solve plumbing for Krylov solvers."""
+
+    @classmethod
+    def build(cls, criteria=None, preconditioner=None, **params) -> SolverFactory:
+        return SolverFactory(
+            cls, criteria=criteria, preconditioner=preconditioner, **params
+        )
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def apply(self, b):
+        x, _ = self.solve(b)
+        return x
+
+    def apply_with_initial_guess(self, b, x0):
+        x, _ = self.solve(b, x0)
+        return x
+
+    def solve(self, b, x0=None):
+        """Returns (x, SolveInfo).  Fully jittable."""
+        barr, was_1d = as_2d(b)
+        if x0 is None:
+            xarr = jnp.zeros_like(barr)
+        else:
+            xarr, _ = as_2d(x0)
+        x, info = self._solve_impl(barr, xarr)
+        return restore_1d(x, was_1d), info
+
+    def solve_chunked(self, b, x0=None, chunk: int = 50, loggers=()):
+        """Host-orchestrated driver honoring Time criteria and streaming
+        iteration_complete events to loggers between fixed-size in-graph
+        chunks (the TPU answer to the reference's per-iteration host check)."""
+        from ..log.logger import Event
+
+        limit = extract_time_limit(self.criterion)
+        max_iters = extract_max_iters(self.criterion)
+        barr, was_1d = as_2d(b)
+        x = jnp.zeros_like(barr) if x0 is None else as_2d(x0)[0]
+        start = _time.perf_counter()
+        done_iters = 0
+        info = None
+        chunk_solver = None
+        while done_iters < max_iters:
+            n_now = min(chunk, max_iters - done_iters)
+            if chunk_solver is None or n_now != chunk:
+                chunk_solver = self._with_max_iters(n_now)
+            x, info = chunk_solver._solve_impl(barr, x)
+            done_iters += int(info.iterations)
+            for lg in loggers:
+                lg.on(
+                    Event.iteration_complete,
+                    solver=self,
+                    iteration=done_iters,
+                    residual_norm=info.residual_norm,
+                    converged=bool(jnp.all(info.converged)),
+                )
+            if bool(jnp.all(info.converged)):
+                break
+            if limit is not None and _time.perf_counter() - start > limit:
+                break
+        info = SolveInfo(
+            iterations=jnp.asarray(done_iters, jnp.int32),
+            residual_norm=info.residual_norm,
+            converged=info.converged,
+            history=None,
+        )
+        return restore_1d(x, was_1d), info
+
+    def _with_max_iters(self, n):
+        return self.replace(criterion=self.criterion)._replace_iteration_cap(n)
+
+    def _replace_iteration_cap(self, n):
+        def swap(c):
+            if isinstance(c, Iteration):
+                return Iteration(max_iters=n)
+            if isinstance(c, Combined):
+                return Combined(criteria=tuple(swap(ch) for ch in c.criteria))
+            return c
+
+        newc = swap(self.criterion)
+        if extract_max_iters(newc, default=-1) == -1:
+            newc = Combined(criteria=(Iteration(max_iters=n), newc))
+        return self.replace(criterion=newc)
+
+    # -- criterion evaluation inside the loop --------------------------------
+
+    def _check_stop(self, iteration, stopped, r=None, rho=None, baselines=None):
+        k = baselines["num_cols"]
+        ctx = dict(baselines)
+        ctx["iteration"] = iteration
+        if r is not None and self.criterion.needs_residual_norm:
+            ctx["residual_norm"] = norm2(r, self.axis_name)
+        else:
+            ctx["residual_norm"] = jnp.full((k,), jnp.inf)
+        ctx["implicit_sq_residual_norm"] = (
+            jnp.abs(rho) if rho is not None else jnp.full((k,), jnp.inf)
+        )
+        return stopped | self.criterion.check_converged(ctx), ctx["residual_norm"]
+
+    def _baselines(self, b, r0):
+        return {
+            "num_cols": b.shape[1],
+            "rhs_norm": norm2(b, self.axis_name),
+            "initial_resnorm": norm2(r0, self.axis_name),
+        }

@@ -1,0 +1,173 @@
+"""Stopping criteria, fused in-graph.
+
+Reference: include/ginkgo/core/stop/ — `Criterion`/`Updater`
+(criterion.hpp:64-152), per-RHS-column `stopping_status` bytes
+(stopping_status.hpp:62-145), `Iteration` (iteration.hpp:52), `Time`
+(time.hpp:52), `ResidualNorm` with baseline modes (residual_norm.hpp:65-193),
+`ImplicitResidualNorm` (:193), `Combined` (combined.hpp:55).
+
+The reference checks on host every iteration (a device→host sync per
+iteration, cg.cpp:166-171).  Here a criterion is a pytree whose `check(ctx)`
+returns a per-column boolean stop mask *inside* the solver's
+`lax.while_loop` — no host sync ever.  `ctx` is a dict the solver fills with
+whatever it tracks:
+
+  iteration                    scalar int
+  residual_norm                (k,) true residual 2-norm, if tracked
+  implicit_sq_residual_norm    (k,) recurrent rho, if tracked
+  rhs_norm, initial_resnorm    (k,) baselines captured at solve start
+
+`Time` cannot be evaluated in-graph (XLA has no clock); it participates via
+the chunked driver (solver_base.solve_chunked) which checks wall time on host
+between fixed-size in-graph chunks — the documented TPU trade.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..base.linop import linop_dataclass, static_field
+
+
+# stopping_status bit encoding (stopping_status.hpp:62-145): we track the
+# converged/stopped distinction as the mask; criterion ids are static python.
+
+
+class Criterion:
+    needs_residual_norm = False
+    needs_implicit_norm = False
+    #: does a True mask mean *converged* (vs merely stopped)?  Mirrors the
+    #: converged/stopped bit split of stopping_status.hpp:62-145.
+    is_convergence = True
+
+    def check(self, ctx) -> jnp.ndarray:
+        """Return (k,) bool mask of columns that should stop now."""
+        raise NotImplementedError
+
+    def check_converged(self, ctx) -> jnp.ndarray:
+        """Mask of columns stopped *by convergence* (Iteration/Time excluded).
+        Column updates are frozen by this mask; loop exit additionally uses
+        the iteration cap, which hits all columns at once."""
+        if self.is_convergence:
+            return self.check(ctx)
+        k = ctx["num_cols"]
+        return jnp.zeros((k,), dtype=bool)
+
+    # factory-style sugar mirroring X::build().with_...().on(exec)
+    def generate(self, A=None, b=None, x=None, r=None):
+        return self
+
+
+@linop_dataclass
+class Iteration(Criterion):
+    """Stop after max_iters (iteration.hpp:52)."""
+
+    max_iters: int = static_field(default=100)
+    is_convergence = False
+
+    def check(self, ctx):
+        k = ctx["num_cols"]
+        return jnp.broadcast_to(ctx["iteration"] >= self.max_iters, (k,))
+
+
+@linop_dataclass
+class ResidualNorm(Criterion):
+    """||r|| < tolerance * baseline (residual_norm.hpp:65,137).
+
+    baseline: 'rhs_norm' (default, like reference), 'initial_resnorm',
+    'absolute'."""
+
+    tolerance: float = 1e-8
+    baseline: str = static_field(default="rhs_norm")
+
+    needs_residual_norm = True
+
+    def check(self, ctx):
+        rn = ctx["residual_norm"]
+        if self.baseline == "absolute":
+            base = 1.0
+        elif self.baseline == "initial_resnorm":
+            base = ctx["initial_resnorm"]
+        else:
+            base = ctx["rhs_norm"]
+        return rn <= self.tolerance * base
+
+
+@linop_dataclass
+class ImplicitResidualNorm(Criterion):
+    """sqrt(implicit rho) < tolerance * baseline (residual_norm.hpp:193)."""
+
+    tolerance: float = 1e-8
+    baseline: str = static_field(default="rhs_norm")
+
+    needs_implicit_norm = True
+
+    def check(self, ctx):
+        rn = jnp.sqrt(jnp.abs(ctx["implicit_sq_residual_norm"]))
+        if self.baseline == "absolute":
+            base = 1.0
+        elif self.baseline == "initial_resnorm":
+            base = ctx["initial_resnorm"]
+        else:
+            base = ctx["rhs_norm"]
+        return rn <= self.tolerance * base
+
+
+@linop_dataclass
+class Combined(Criterion):
+    """OR-combination (combined.hpp:55)."""
+
+    criteria: tuple = ()
+
+    @property
+    def needs_residual_norm(self):
+        return any(c.needs_residual_norm for c in self.criteria)
+
+    @property
+    def needs_implicit_norm(self):
+        return any(c.needs_implicit_norm for c in self.criteria)
+
+    def check(self, ctx):
+        mask = None
+        for c in self.criteria:
+            m = c.check(ctx)
+            mask = m if mask is None else (mask | m)
+        return mask
+
+    def check_converged(self, ctx):
+        mask = jnp.zeros((ctx["num_cols"],), dtype=bool)
+        for c in self.criteria:
+            mask = mask | c.check_converged(ctx)
+        return mask
+
+
+class Time(Criterion):
+    """Wall-clock limit (time.hpp:52).  Host-checked between solve chunks —
+    see solver_base.solve_chunked; inert inside the fused loop."""
+
+    is_convergence = False
+
+    def __init__(self, time_limit_sec: float):
+        self.time_limit_sec = float(time_limit_sec)
+
+    def check(self, ctx):
+        k = ctx["num_cols"]
+        return jnp.zeros((k,), dtype=bool)
+
+
+def combine(criteria) -> Criterion:
+    """Normalize a criterion / list of criteria to a single Criterion."""
+    if criteria is None:
+        return Combined(criteria=(Iteration(max_iters=1000), ResidualNorm()))
+    if isinstance(criteria, Criterion):
+        return criteria
+    crits = tuple(criteria)
+    if len(crits) == 1:
+        return crits[0]
+    return Combined(criteria=crits)
+
+
+def default_criteria(max_iters=1000, tolerance=1e-8):
+    return Combined(
+        criteria=(Iteration(max_iters=max_iters), ResidualNorm(tolerance=tolerance))
+    )

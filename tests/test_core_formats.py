@@ -329,3 +329,55 @@ def test_csr_is_pytree_and_jittable(rng):
     np.testing.assert_allclose(f(A, x), sp_dense @ x, rtol=1e-12)
     leaves = jax.tree_util.tree_leaves(A)
     assert len(leaves) == 3  # row_ptrs, col_idxs, values
+
+
+# -- DIA ------------------------------------------------------------------------
+
+
+def test_dia_spmv_matches_csr(rng):
+    from ginkgo_tpu.matrix.dia import Dia, suitable_for_dia
+
+    data = generators.poisson_2d(9)  # 81x81, offsets 0,±1,±9
+    A = gko.Csr.from_matrix_data(data)
+    D = Dia.from_matrix_data(data)
+    assert D.num_diags == 5
+    assert suitable_for_dia(data)
+    x = generators.generate_random_dense(81, 3, rng)
+    np.testing.assert_allclose(np.asarray(D.apply(x)), np.asarray(A.apply(x)), rtol=1e-12)
+    x1 = x[:, 0]
+    np.testing.assert_allclose(np.asarray(D.apply(x1)), np.asarray(A.apply(x1)), rtol=1e-12)
+
+
+def test_dia_large_offsets_and_rect(rng):
+    from ginkgo_tpu.matrix.dia import Dia
+
+    # offsets crossing lane boundaries (>128) and a rectangular shape
+    n, m = 300, 260
+    rows = np.concatenate([np.arange(n), np.arange(n - 130), np.arange(140, n)])
+    cols = np.concatenate(
+        [np.arange(n) % m, (np.arange(n - 130) + 130) % m, np.arange(140, n) - 140]
+    )
+    # keep only structurally valid diagonal entries (c - r constant per group)
+    rows = np.concatenate([np.arange(min(n, m)), np.arange(0, m - 130), np.arange(140, n)])
+    cols = np.concatenate([np.arange(min(n, m)), np.arange(130, m), np.arange(0, n - 140)])
+    vals = np.random.default_rng(0).standard_normal(len(rows))
+    data = gko.MatrixData.from_coo((n, m), rows, cols, vals)
+    D = Dia.from_matrix_data(data)
+    dense = data.to_dense()
+    x = generators.generate_random_dense(m, 2, np.random.default_rng(1))
+    np.testing.assert_allclose(np.asarray(D.apply(x)), dense @ x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(D.to_dense().values), dense, rtol=1e-12)
+
+
+def test_dia_roundtrip_and_diag(rng):
+    from ginkgo_tpu.matrix.dia import Dia
+
+    data = generators.generate_tridiag_matrix(200)
+    D = Dia.from_matrix_data(data)
+    np.testing.assert_allclose(D.to_matrix_data().to_dense(), data.to_dense())
+    np.testing.assert_allclose(np.asarray(D.extract_diagonal().values), np.full(200, 2.0))
+    T = D.transpose()
+    np.testing.assert_allclose(T.to_matrix_data().to_dense(), data.to_dense().T)
+    C = D.to_csr()
+    x = generators.generate_random_dense(200, 1, rng)
+    np.testing.assert_allclose(np.asarray(D.apply(x)), np.asarray(C.apply(x)), rtol=1e-12)
