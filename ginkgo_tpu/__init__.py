@@ -28,6 +28,11 @@ from .matrix.dense import Dense
 from .matrix.csr import Csr
 from .matrix.coo import Coo
 from .matrix.dia import Dia
+from .matrix.ell import Ell, Sellp
+from .matrix.hybrid import Hybrid
+from .matrix.fbcsr import Fbcsr
+from .matrix.sparsity_csr import SparsityCsr
+from .matrix.fft import Fft, Fft2, Fft3
 from .matrix.diagonal import Diagonal, Identity, IdentityFactory, Permutation, RowGatherer
 
 from .io.mtx_io import (
@@ -46,7 +51,7 @@ from .utils import generators
 from . import stop
 from . import solver
 from . import preconditioner
-from .solver import Cg, Fcg, Ir
+from .solver import Cg, Fcg, Ir, Richardson, Bicgstab, Cgs, Bicg, Gmres, CbGmres, Idr
 from .preconditioner import Jacobi, JacobiFactory
 
 __all__ = [
@@ -68,6 +73,21 @@ __all__ = [
     "Csr",
     "Coo",
     "Dia",
+    "Ell",
+    "Sellp",
+    "Hybrid",
+    "Fbcsr",
+    "SparsityCsr",
+    "Fft",
+    "Fft2",
+    "Fft3",
+    "Richardson",
+    "Bicgstab",
+    "Cgs",
+    "Bicg",
+    "Gmres",
+    "CbGmres",
+    "Idr",
     "Diagonal",
     "Identity",
     "IdentityFactory",

@@ -296,7 +296,7 @@ class Csr(LinOp):
         return Ell.from_csr(self, max_nnz_per_row)
 
     def to_sellp(self, slice_size: int = 64, stride_factor: int = 1):
-        from .sellp import Sellp
+        from .ell import Sellp
 
         return Sellp.from_csr(self, slice_size, stride_factor)
 

@@ -1,5 +1,21 @@
 from .solver_base import SolveInfo, SolverFactory
 from .cg import Cg, Fcg
 from .ir import Ir, Richardson
+from .bicgstab import Bicgstab, Cgs, Bicg
+from .gmres import Gmres, CbGmres
+from .idr import Idr
 
-__all__ = ["SolveInfo", "SolverFactory", "Cg", "Fcg", "Ir", "Richardson"]
+__all__ = [
+    "SolveInfo",
+    "SolverFactory",
+    "Cg",
+    "Fcg",
+    "Ir",
+    "Richardson",
+    "Bicgstab",
+    "Cgs",
+    "Bicg",
+    "Gmres",
+    "CbGmres",
+    "Idr",
+]

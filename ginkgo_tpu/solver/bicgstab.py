@@ -1,0 +1,269 @@
+"""Nonsymmetric Krylov solvers: BiCGSTAB, CGS, BiCG.
+
+Reference: core/solver/bicgstab.cpp (318), cgs.cpp (288), bicg.cpp (317) and
+their fused per-backend step kernels.  Same TPU re-design as CG (cg.py): one
+`lax.while_loop`, per-column convergence masks, psum-aware reductions.
+BiCGSTAB folds the reference's half-iteration check (bicgstab.cpp checks s
+before the second half) into the same fused criterion evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from .solver_base import (
+    IterativeSolverMixin,
+    SolveInfo,
+    extract_max_iters,
+    masked_cols,
+    safe_div,
+    vdot,
+    norm2,
+)
+
+
+@linop_dataclass
+class Bicgstab(IterativeSolverMixin, LinOp):
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    axis_name: Any = static_field(default=None)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _solve_impl(self, b, x0):
+        A, M = self.A, self.preconditioner
+        cap = extract_max_iters(self.criterion)
+        k = b.shape[1]
+        ax = self.axis_name
+
+        r0 = b - A.apply(x0)
+        rr = r0  # shadow residual (bicgstab.cpp initialize)
+        baselines = self._baselines(b, r0)
+
+        def cond(st):
+            return (st[8] < cap) & ~jnp.all(st[9])
+
+        def body(st):
+            x, r, p, v, rho, alpha, omega, _rn_prev, it, stopped = st
+            rho_new = vdot(rr, r, ax)
+            beta = safe_div(rho_new * alpha, rho * omega)
+            p_new = r + beta[None, :] * (p - omega[None, :] * v)
+            y = M.apply(p_new)
+            v_new = A.apply(y)
+            alpha_new = jnp.where(stopped, 0, safe_div(rho_new, vdot(rr, v_new, ax)))
+            s = r - alpha_new[None, :] * v_new
+            # half-step convergence on s (bicgstab.cpp:)
+            s_norm = norm2(s, ax)
+            half_ctx = dict(baselines)
+            half_ctx.update(
+                iteration=it + 1,
+                residual_norm=s_norm,
+                implicit_sq_residual_norm=jnp.abs(rho_new),
+            )
+            half_done = self.criterion.check_converged(half_ctx) & ~stopped
+            z = M.apply(s)
+            t = A.apply(z)
+            tt = vdot(t, t, ax)
+            omega_new = jnp.where(stopped | half_done, 0, safe_div(vdot(t, s, ax), tt))
+            x_new = (
+                x
+                + alpha_new[None, :] * y
+                + omega_new[None, :] * z
+            )
+            x_new = masked_cols(x_new, x, stopped)
+            r_new = masked_cols(s - omega_new[None, :] * t, r, stopped)
+            stopped_half = stopped | half_done
+            stopped_new, rn = self._check_stop(
+                it + 1, stopped_half, r=r_new, rho=rho_new, baselines=baselines
+            )
+            return (
+                x_new,
+                r_new,
+                masked_cols(p_new, p, stopped),
+                masked_cols(v_new, v, stopped),
+                jnp.where(stopped, rho, rho_new),
+                jnp.where(stopped, alpha, alpha_new),
+                jnp.where(stopped, omega, jnp.where(half_done, 1.0, omega_new)),
+                rn,
+                it + 1,
+                stopped_new,
+            )
+
+        ones = jnp.ones((k,), dtype=b.dtype)
+        init = (
+            x0,
+            r0,
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            ones,
+            ones,
+            ones,
+            baselines["initial_resnorm"],
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), dtype=bool),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        x, r, p, v, rho, alpha, omega, rn, it, stopped = out
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=stopped, history=None
+        )
+
+
+@linop_dataclass
+class Cgs(IterativeSolverMixin, LinOp):
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    axis_name: Any = static_field(default=None)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _solve_impl(self, b, x0):
+        A, M = self.A, self.preconditioner
+        cap = extract_max_iters(self.criterion)
+        k = b.shape[1]
+        ax = self.axis_name
+
+        r0 = b - A.apply(x0)
+        rr = r0
+        baselines = self._baselines(b, r0)
+
+        def cond(st):
+            return (st[6] < cap) & ~jnp.all(st[7])
+
+        def body(st):
+            x, r, p, q, u, rho, it, stopped, rn_prev = st
+            rho_new = vdot(rr, r, ax)
+            beta = safe_div(rho_new, rho)
+            u_new = r + beta[None, :] * q
+            p_new = u_new + beta[None, :] * (q + beta[None, :] * p)
+            y = M.apply(p_new)
+            v = A.apply(y)
+            sigma = vdot(rr, v, ax)
+            alpha = jnp.where(stopped, 0, safe_div(rho_new, sigma))
+            q_new = u_new - alpha[None, :] * v
+            t = M.apply(u_new + q_new)
+            x_new = masked_cols(x + alpha[None, :] * t, x, stopped)
+            r_new = masked_cols(r - alpha[None, :] * A.apply(t), r, stopped)
+            stopped_new, rn = self._check_stop(
+                it + 1, stopped, r=r_new, rho=rho_new, baselines=baselines
+            )
+            return (
+                x_new,
+                r_new,
+                masked_cols(p_new, p, stopped),
+                masked_cols(q_new, q, stopped),
+                masked_cols(u_new, u, stopped),
+                jnp.where(stopped, rho, rho_new),
+                it + 1,
+                stopped_new,
+                rn,
+            )
+
+        init = (
+            x0,
+            r0,
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            jnp.ones((k,), dtype=b.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), dtype=bool),
+            baselines["initial_resnorm"],
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        x, r, p, q, u, rho, it, stopped, rn = out
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=stopped, history=None
+        )
+
+
+@linop_dataclass
+class Bicg(IterativeSolverMixin, LinOp):
+    """Classic BiCG; uses A^H and M^H applies (bicg.cpp).  The conjugate
+    operator is materialized once at generate time (a device transpose) —
+    the analog of the reference's conj_transpose kernels."""
+
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    At: Any = None
+    Mt: Any = None
+    axis_name: Any = static_field(default=None)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        At = A.conj_transpose() if hasattr(A, "conj_transpose") else A
+        M = preconditioner
+        Mt = M.conj_transpose() if hasattr(M, "conj_transpose") else M
+        return cls(
+            A=A, preconditioner=M, criterion=criterion, At=At, Mt=Mt, **params
+        )
+
+    def _solve_impl(self, b, x0):
+        A, M, At, Mt = self.A, self.preconditioner, self.At, self.Mt
+        cap = extract_max_iters(self.criterion)
+        k = b.shape[1]
+        ax = self.axis_name
+
+        r0 = b - A.apply(x0)
+        baselines = self._baselines(b, r0)
+
+        def cond(st):
+            return (st[6] < cap) & ~jnp.all(st[7])
+
+        def body(st):
+            x, r, r2, p, p2, rho, it, stopped, rn_prev = st
+            z = M.apply(r)
+            z2 = Mt.apply(r2)
+            rho_new = vdot(r2, z, ax)
+            beta = safe_div(rho_new, rho)
+            first = it == 0
+            p_new = jnp.where(first, z, z + beta[None, :] * p)
+            p2_new = jnp.where(first, z2, z2 + jnp.conj(beta)[None, :] * p2)
+            q = A.apply(p_new)
+            q2 = At.apply(p2_new)
+            alpha = jnp.where(stopped, 0, safe_div(rho_new, vdot(p2_new, q, ax)))
+            x_new = masked_cols(x + alpha[None, :] * p_new, x, stopped)
+            r_new = masked_cols(r - alpha[None, :] * q, r, stopped)
+            r2_new = masked_cols(r2 - jnp.conj(alpha)[None, :] * q2, r2, stopped)
+            stopped_new, rn = self._check_stop(
+                it + 1, stopped, r=r_new, rho=rho_new, baselines=baselines
+            )
+            return (
+                x_new,
+                r_new,
+                r2_new,
+                masked_cols(p_new, p, stopped),
+                masked_cols(p2_new, p2, stopped),
+                jnp.where(stopped, rho, rho_new),
+                it + 1,
+                stopped_new,
+                rn,
+            )
+
+        init = (
+            x0,
+            r0,
+            jnp.conj(r0),
+            jnp.zeros_like(b),
+            jnp.zeros_like(b),
+            jnp.ones((k,), dtype=b.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), dtype=bool),
+            baselines["initial_resnorm"],
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        x = out[0]
+        return x, SolveInfo(
+            iterations=out[6], residual_norm=out[8], converged=out[7], history=None
+        )

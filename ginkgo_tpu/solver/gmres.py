@@ -1,0 +1,275 @@
+"""Restarted GMRES and compressed-basis GMRES (CB-GMRES).
+
+Reference: core/solver/gmres.cpp (460; Krylov basis (krylov_dim+1)·n +
+Hessenberg + givens sin/cos per RHS, gmres.cpp:153-165), the shared
+common_gmres kernels (initialize / hessenberg_qr / solve_krylov,
+core/solver/common_gmres_kernels.hpp:52-70), and cb_gmres.cpp (519) with its
+`storage_precision` accessor modes {keep, reduce1, reduce2, integer,
+ireduce1, ireduce2} (cb_gmres.hpp:88-95, cb_gmres_accessor.hpp:87-97).
+
+TPU design: the whole restart cycle is in-graph — the inner Arnoldi `fori`
+runs exactly krylov_dim steps with converged columns frozen by masks, the
+Givens QR is applied on the fly, and restarts are an outer `lax.while_loop`
+that re-evaluates the TRUE residual (one extra SpMV per restart, instead of
+the reference's per-iteration host sync).  Multi-RHS = `jax.vmap` of the
+single-RHS core over columns; vmap lifts the while_loop into a run-until-all-
+done masked loop, which reproduces the per-column stopping semantics.
+
+Orthogonalization is two-pass classical Gram-Schmidt (CGS2) — same stability
+class as the reference's MGS but expressed as two dense matvecs against the
+basis, which run on the MXU instead of a sequential dot chain.
+
+CB-GMRES stores the basis through a dtype-converting accessor (§2.12): bf16 /
+int16 / int8 with one scale per basis vector; arithmetic stays in the solve
+dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from .solver_base import IterativeSolverMixin, SolveInfo, extract_max_iters
+
+# -- basis storage accessors (cb_gmres_accessor.hpp analog) --------------------
+
+_INT_MODES = {"integer": jnp.int16, "ireduce1": jnp.int16, "ireduce2": jnp.int8}
+
+
+def _storage_dtype(mode: str, arith_dtype):
+    ad = np.dtype(arith_dtype)
+    if mode == "keep":
+        return ad
+    if mode == "reduce1":
+        return np.dtype(np.float32) if ad == np.float64 else np.dtype(jnp.bfloat16)
+    if mode == "reduce2":
+        return np.dtype(jnp.bfloat16)
+    if mode in _INT_MODES:
+        return np.dtype(_INT_MODES[mode])
+    raise ValueError(mode)
+
+
+def _encode(w, mode: str, sdtype):
+    """vector -> (stored, scale)."""
+    if mode == "keep":
+        return w, jnp.ones((), w.dtype)
+    if mode in _INT_MODES:
+        imax = 32767.0 if sdtype == np.dtype(jnp.int16) else 127.0
+        amax = jnp.max(jnp.abs(w))
+        scale = jnp.where(amax > 0, amax / imax, 1.0)
+        q = jnp.clip(jnp.round(w / scale), -imax, imax).astype(sdtype)
+        return q, scale.astype(w.dtype)
+    return w.astype(sdtype), jnp.ones((), w.dtype)
+
+
+def _decode(stored, scale, arith_dtype):
+    return stored.astype(arith_dtype) * scale
+
+
+@linop_dataclass
+class Gmres(IterativeSolverMixin, LinOp):
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    krylov_dim: int = static_field(default=30)  # gmres.hpp default 100; 30 typical
+    storage_precision: str = static_field(default="keep")
+    axis_name: Any = static_field(default=None)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    # -- single-RHS core -------------------------------------------------------
+
+    def _solve_single(self, b, x0):
+        """b, x0: (n,).  Left-preconditioned restarted GMRES."""
+        A, M = self.A, self.preconditioner
+        m = self.krylov_dim
+        cap = extract_max_iters(self.criterion)
+        ax = self.axis_name
+        n = b.shape[0]
+        dt = b.dtype
+        mode = self.storage_precision
+        sdtype = _storage_dtype(mode, dt)
+
+        def pnorm(v):
+            s = jnp.sum(jnp.abs(v) ** 2)
+            if ax is not None:
+                s = jax.lax.psum(s, ax)
+            return jnp.sqrt(s.real)
+
+        def pdot_mat(V, w):
+            s = jnp.conj(V) @ w  # (m+1,)
+            if ax is not None:
+                s = jax.lax.psum(s, ax)
+            return s
+
+        r0 = b - A.apply(x0)
+        b_norm = pnorm(b)
+        r0_norm = pnorm(r0)
+        baselines = {
+            "num_cols": 1,
+            "rhs_norm": b_norm[None],
+            "initial_resnorm": r0_norm[None],
+        }
+
+        def crit_check(it, rnorm, rho):
+            ctx = dict(baselines)
+            ctx.update(
+                iteration=it,
+                residual_norm=rnorm[None],
+                implicit_sq_residual_norm=jnp.abs(rho)[None],
+            )
+            return self.criterion.check_converged(ctx)[0]
+
+        def cycle(x, it0, stopped0):
+            """One restart cycle; returns (x_new, iters_done, stopped)."""
+            r = b - A.apply(x)
+            z = M.apply(r)
+            beta = pnorm(z)
+            v0 = jnp.where(beta > 0, z / jnp.where(beta > 0, beta, 1), z)
+            Vs0 = jnp.zeros((m + 1, n), dtype=sdtype)
+            sc0 = jnp.ones((m + 1,), dtype=dt)
+            e0, s0 = _encode(v0, mode, sdtype)
+            Vs0 = Vs0.at[0].set(e0)
+            sc0 = sc0.at[0].set(s0)
+            H = jnp.zeros((m + 1, m), dtype=dt)  # rotated Hessenberg (R factor)
+            g = jnp.zeros((m + 1,), dtype=dt).at[0].set(beta.astype(dt))
+            cs = jnp.zeros((m,), dtype=dt)
+            sn = jnp.zeros((m,), dtype=dt)
+
+            def arnoldi(j, carry):
+                Vs, sc, H, g, cs, sn, it, stopped, steps = carry
+                active = ~stopped & (it < cap)
+                vj = _decode(Vs[j], sc[j], dt)
+                w = M.apply(A.apply(vj))
+                # CGS2 against rows 0..j (mask rows > j)
+                rowmask = (jnp.arange(m + 1) <= j).astype(dt)
+                Vd = Vs.astype(dt) * sc[:, None]  # decoded basis (m+1, n)
+                h1 = pdot_mat(Vd, w) * rowmask
+                w = w - Vd.T @ h1
+                h2 = pdot_mat(Vd, w) * rowmask
+                w = w - Vd.T @ h2
+                h = h1 + h2
+                hnext = pnorm(w).astype(dt)
+                wnorm = jnp.where(hnext > 0, w / jnp.where(hnext > 0, hnext, 1), w)
+                enc, s_enc = _encode(wnorm, mode, sdtype)
+                Vs = jnp.where(active, Vs.at[j + 1].set(enc), Vs)
+                sc = jnp.where(active, sc.at[j + 1].set(s_enc), sc)
+                # apply existing Givens rotations to h
+                def rot(i, hv):
+                    hi, hi1 = hv[i], hv[i + 1]
+                    use = i < j
+                    c, s = cs[i], sn[i]
+                    new_i = jnp.where(use, c * hi + s * hi1, hi)
+                    new_i1 = jnp.where(use, -jnp.conj(s) * hi + c * hi1, hi1)
+                    return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+
+                h = jax.lax.fori_loop(0, m, rot, h.at[j + 1].set(hnext))
+                # new rotation zeroing h[j+1]
+                a_, b_ = h[j], h[j + 1]
+                denom = jnp.sqrt(jnp.abs(a_) ** 2 + jnp.abs(b_) ** 2)
+                c_new = jnp.where(denom > 0, jnp.abs(a_) / jnp.where(denom > 0, denom, 1), 1.0).astype(dt)
+                phase = jnp.where(jnp.abs(a_) > 0, a_ / jnp.where(jnp.abs(a_) > 0, jnp.abs(a_), 1), 1.0)
+                s_new = jnp.where(denom > 0, phase * jnp.conj(b_) / jnp.where(denom > 0, denom, 1), 0.0).astype(dt)
+                h_rot = h.at[j].set(c_new * h[j] + s_new * h[j + 1]).at[j + 1].set(0)
+                g_new = g.at[j + 1].set(-jnp.conj(s_new) * g[j]).at[j].set(c_new * g[j])
+                H = jnp.where(active, H.at[:, j].set(h_rot), H)
+                g = jnp.where(active, g_new, g)
+                cs = jnp.where(active, cs.at[j].set(c_new), cs)
+                sn = jnp.where(active, sn.at[j].set(s_new), sn)
+                it = jnp.where(active, it + 1, it)
+                steps = jnp.where(active, steps + 1, steps)
+                rnorm_est = jnp.abs(g[j + 1])
+                stopped = stopped | (active & crit_check(it, rnorm_est, rnorm_est**2))
+                return (Vs, sc, H, g, cs, sn, it, stopped, steps)
+
+            carry = (
+                Vs0,
+                sc0,
+                H,
+                g,
+                cs,
+                sn,
+                it0,
+                stopped0 | crit_check(it0, r0_cycle_norm := pnorm(r), r0_cycle_norm**2),
+                jnp.asarray(0, jnp.int32),
+            )
+            Vs, sc, H, g, cs, sn, it, stopped, steps = jax.lax.fori_loop(
+                0, m, arnoldi, carry
+            )
+            # solve R y = g on the first `steps` columns; pad diag with 1
+            taken = jnp.arange(m) < steps
+            R = H[:m, :] + jnp.diag(jnp.where(taken, 0, 1).astype(dt))
+            gy = jnp.where(taken, g[:m], 0)
+            y = jax.scipy.linalg.solve_triangular(R, gy, lower=False)
+            Vd = Vs.astype(dt) * sc[:, None]
+            dx = Vd[:m].T @ y
+            x_new = x + dx
+            return x_new, it, stopped
+
+        def outer_cond(st):
+            x, it, stopped, rn = st
+            return (~stopped) & (it < cap)
+
+        def outer_body(st):
+            x, it, stopped, _ = st
+            x, it, stopped = cycle(x, it, stopped)
+            r_true = b - A.apply(x)
+            rn = pnorm(r_true)
+            stopped = stopped | crit_check(it, rn, rn**2)
+            return (x, it, stopped, rn)
+
+        init = (
+            x0,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            r0_norm,
+        )
+        x, it, stopped, rn = jax.lax.while_loop(outer_cond, outer_body, init)
+        return x, it, stopped, rn
+
+    def _solve_impl(self, b, x0):
+        solve1 = lambda bc, xc: self._solve_single(bc, xc)
+        x, it, stopped, rn = jax.vmap(solve1, in_axes=1, out_axes=(1, 0, 0, 0))(
+            b, x0
+        )
+        return x, SolveInfo(
+            iterations=jnp.max(it),
+            residual_norm=rn,
+            converged=stopped,
+            history=None,
+        )
+
+
+@linop_dataclass
+class CbGmres(IterativeSolverMixin, LinOp):
+    """CB-GMRES: GMRES with a reduced-precision basis accessor
+    (cb_gmres.hpp:88-95).  storage_precision in {keep, reduce1, reduce2,
+    integer, ireduce1, ireduce2}."""
+
+    A: Any
+    preconditioner: Any
+    criterion: Any
+    krylov_dim: int = static_field(default=30)
+    storage_precision: str = static_field(default="reduce1")
+    axis_name: Any = static_field(default=None)
+
+    @classmethod
+    def create(cls, A, preconditioner, criterion, **params):
+        return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _solve_impl(self, b, x0):
+        inner = Gmres(
+            A=self.A,
+            preconditioner=self.preconditioner,
+            criterion=self.criterion,
+            krylov_dim=self.krylov_dim,
+            storage_precision=self.storage_precision,
+            axis_name=self.axis_name,
+        )
+        return inner._solve_impl(b, x0)
