@@ -51,6 +51,7 @@ from .utils import generators
 from . import stop
 from . import solver
 from . import preconditioner
+from . import factorization
 from .solver import Cg, Fcg, Ir, Richardson, Bicgstab, Cgs, Bicg, Gmres, CbGmres, Idr
 from .preconditioner import Jacobi, JacobiFactory
 

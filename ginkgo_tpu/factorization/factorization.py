@@ -1,0 +1,41 @@
+"""Factorization container: holds L/U (or L/L^H) factors.
+
+Reference: include/ginkgo/core/factorization/factorization.hpp:104 and the
+Composition<V> output convention of the ilu/ic/par_ilu factories
+(factorization/ilu.hpp:71)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..base.linop import LinOp, linop_dataclass, static_field, Composition
+
+
+@linop_dataclass
+class Factorization(LinOp):
+    l_factor: Any
+    u_factor: Any
+    shape: tuple = static_field(default=(0, 0))
+
+    @property
+    def dtype(self):
+        return self.l_factor.dtype
+
+    def get_l_factor(self):
+        return self.l_factor
+
+    def get_u_factor(self):
+        return self.u_factor
+
+    def get_lower_factor(self):
+        return self.l_factor
+
+    def get_upper_factor(self):
+        return self.u_factor
+
+    def apply(self, b):
+        """Apply L @ U (the composed operator, like Composition(L, U))."""
+        return self.l_factor.apply(self.u_factor.apply(b))
+
+    def to_composition(self) -> Composition:
+        return Composition(operators=(self.l_factor, self.u_factor))

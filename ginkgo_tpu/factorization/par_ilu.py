@@ -1,0 +1,227 @@
+"""ParILU / ParIC — Chow-Patel fixed-point incomplete factorizations.
+
+Reference: core/factorization/par_ilu.cpp and par_ic.cpp with the
+compute_l_u_factors sweep kernels
+(common/cuda_hip/factorization/par_ilu_kernels.hpp.inc).
+
+The Chow-Patel iteration is embarrassingly parallel per nonzero — a perfect
+TPU fit (SURVEY §7 stage 5).  TPU design: the sparse dependency structure
+    l_ij = (a_ij - sum_{k<min(i,j)} l_ik u_kj) / u_jj
+is *expanded at generate time on the host* into a static product map
+(pl, pu, pout): one entry per (l_ik, u_kj) pair feeding an output nonzero.
+Each device sweep is then gather-multiply-segment_sum + elementwise update —
+exactly the async-free Jacobi version of the reference's sweeps, fully
+jittable, `sweeps` (reference `iterations`) unrolled via lax.fori_loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..matrix.csr import Csr
+from .factorization import Factorization
+
+
+def split_lu_pattern(A: Csr):
+    """Host: build L (unit diag, strict lower + diag) and U (upper incl diag)
+    CSR patterns from A's pattern, plus index maps for the sweeps."""
+    a = A.to_scipy().tocsr()
+    a.sort_indices()
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(a.indptr))
+    cols = a.indices
+    vals = a.data
+
+    lower_mask = rows > cols
+    upper_mask = ~lower_mask  # includes diagonal
+    # L pattern: strict lower + explicit unit diagonal
+    l_rows = np.concatenate([rows[lower_mask], np.arange(n)])
+    l_cols = np.concatenate([cols[lower_mask], np.arange(n)])
+    order = np.lexsort((l_cols, l_rows))
+    l_rows, l_cols = l_rows[order], l_cols[order]
+    l_indptr = np.zeros(n + 1, np.int64)
+    np.add.at(l_indptr, l_rows + 1, 1)
+    l_indptr = np.cumsum(l_indptr)
+    # U pattern: upper incl diagonal (ensure diag present)
+    u_rows = rows[upper_mask]
+    u_cols = cols[upper_mask]
+    have_diag = np.zeros(n, bool)
+    have_diag[u_rows[u_rows == u_cols]] = True
+    add_d = np.nonzero(~have_diag)[0]
+    u_rows = np.concatenate([u_rows, add_d])
+    u_cols = np.concatenate([u_cols, add_d])
+    order = np.lexsort((u_cols, u_rows))
+    u_rows, u_cols = u_rows[order], u_cols[order]
+    u_indptr = np.zeros(n + 1, np.int64)
+    np.add.at(u_indptr, u_rows + 1, 1)
+    u_indptr = np.cumsum(u_indptr)
+
+    def slot(indptr, indices, i, j):
+        s, e = indptr[i], indptr[i + 1]
+        return s + np.searchsorted(indices[s:e], j)
+
+    # diag slots
+    l_diag = np.array([slot(l_indptr, l_cols, i, i) for i in range(n)])
+    u_diag = np.array([slot(u_indptr, u_cols, i, i) for i in range(n)])
+
+    # dependency products for every A entry (i,j): k < min(i,j),
+    # (i,k) in L, (k,j) in U
+    pl, pu, pout = [], [], []
+    a_entry_target = np.empty(a.nnz, np.int64)  # slot in L or U
+    a_entry_is_lower = lower_mask.copy()
+    a_entry_udiag = np.zeros(a.nnz, np.int64)
+    # per-row L columns / per-col U rows navigation
+    for t in range(a.nnz):
+        i, j = rows[t], cols[t]
+        kmax = min(i, j)
+        # L row i columns < kmax intersect {k : (k,j) in U}
+        ls, le = l_indptr[i], l_indptr[i + 1]
+        lk = l_cols[ls:le]
+        lk_sel = lk < kmax
+        for off in np.nonzero(lk_sel)[0]:
+            k = lk[off]
+            us, ue = u_indptr[k], u_indptr[k + 1]
+            pos = np.searchsorted(u_cols[us:ue], j)
+            if pos < ue - us and u_cols[us + pos] == j:
+                pl.append(ls + off)
+                pu.append(us + pos)
+                pout.append(t)
+        if i > j:
+            a_entry_target[t] = slot(l_indptr, l_cols, i, j)
+            a_entry_udiag[t] = u_diag[j]
+        else:
+            a_entry_target[t] = slot(u_indptr, u_cols, i, j)
+
+    return dict(
+        n=n,
+        a_vals=jnp.asarray(vals),
+        a_rows=jnp.asarray(rows, jnp.int32),
+        a_cols=jnp.asarray(cols, jnp.int32),
+        l_indptr=jnp.asarray(l_indptr, jnp.int32),
+        l_cols=jnp.asarray(l_cols, jnp.int32),
+        u_indptr=jnp.asarray(u_indptr, jnp.int32),
+        u_cols=jnp.asarray(u_cols, jnp.int32),
+        l_diag=jnp.asarray(l_diag, jnp.int32),
+        u_diag=jnp.asarray(u_diag, jnp.int32),
+        pl=jnp.asarray(np.asarray(pl, np.int64), jnp.int32),
+        pu=jnp.asarray(np.asarray(pu, np.int64), jnp.int32),
+        pout=jnp.asarray(np.asarray(pout, np.int64), jnp.int32),
+        target=jnp.asarray(a_entry_target, jnp.int32),
+        is_lower=jnp.asarray(a_entry_is_lower),
+        udiag_of_entry=jnp.asarray(a_entry_udiag, jnp.int32),
+        nnz_l=len(l_cols),
+        nnz_u=len(u_cols),
+        shape=a.shape,
+    )
+
+
+def parilu_sweeps(plan, sweeps: int):
+    """Run Chow-Patel sweeps on device; returns (l_vals, u_vals)."""
+    a_vals = plan["a_vals"]
+    nnz_a = a_vals.shape[0]
+    n = plan["n"]
+    dt = a_vals.dtype
+
+    # initialize: u = upper(A); l = lower(A)/diag(A); unit diag on L
+    diag_slots = plan["a_rows"] == plan["a_cols"]
+    seg_rows = jnp.where(diag_slots, plan["a_rows"], 0).astype(jnp.int32)
+    diag_a = jax.ops.segment_sum(
+        jnp.where(diag_slots, a_vals, 0), seg_rows, num_segments=n
+    )
+    diag_present = jax.ops.segment_sum(
+        jnp.where(diag_slots, jnp.ones_like(a_vals), 0), seg_rows, num_segments=n
+    )
+    diag_a = jnp.where(diag_present > 0, diag_a, 1)  # rows lacking a diagonal
+
+    l0 = jnp.zeros((plan["nnz_l"],), dt).at[plan["l_diag"]].set(1.0)
+    safe_diag = jnp.where(diag_a != 0, diag_a, 1)
+    l_init_vals = jnp.where(
+        plan["is_lower"], a_vals / safe_diag[plan["a_cols"]], 0
+    )
+    l0 = l0.at[plan["target"]].add(jnp.where(plan["is_lower"], l_init_vals, 0))
+    u0 = jnp.zeros((plan["nnz_u"],), dt)
+    u0 = u0.at[plan["target"]].add(jnp.where(plan["is_lower"], 0, a_vals))
+    # ensure U diagonal nonzero even if A lacks it
+    u0 = u0.at[plan["u_diag"]].add(jnp.where(jnp.abs(u0[plan["u_diag"]]) > 0, 0, 1))
+
+    def sweep(_, lu):
+        lv, uv = lu
+        contrib = jnp.take(lv, plan["pl"]) * jnp.take(uv, plan["pu"])
+        s = jax.ops.segment_sum(
+            contrib, plan["pout"], num_segments=nnz_a, indices_are_sorted=False
+        )
+        rhs = a_vals - s
+        udiag = jnp.take(uv, plan["udiag_of_entry"])
+        udiag = jnp.where(udiag != 0, udiag, 1)
+        new_l_entry = rhs / udiag
+        # route each A entry to its factor slot; foreign entries are sent
+        # out of bounds and dropped (avoids cross-factor index collisions)
+        l_idx = jnp.where(plan["is_lower"], plan["target"], plan["nnz_l"])
+        u_idx = jnp.where(plan["is_lower"], plan["nnz_u"], plan["target"])
+        lv_new = lv.at[l_idx].set(new_l_entry, mode="drop")
+        uv_new = uv.at[u_idx].set(rhs, mode="drop")
+        return (lv_new, uv_new)
+
+    lv, uv = jax.lax.fori_loop(0, sweeps, sweep, (l0, u0))
+    return lv, uv
+
+
+class ParIluFactory:
+    """par_ilu.hpp factory: iterations (sweeps), skip_sorting."""
+
+    def __init__(self, iterations: int = 5, skip_sorting: bool = True):
+        self.iterations = int(iterations)
+
+    def generate(self, A) -> Factorization:
+        csr = A.to_csr() if hasattr(A, "to_csr") else A
+        plan = split_lu_pattern(csr)
+        lv, uv = parilu_sweeps(plan, self.iterations)
+        L = Csr(
+            row_ptrs=plan["l_indptr"],
+            col_idxs=plan["l_cols"],
+            values=lv,
+            shape=plan["shape"],
+        )
+        U = Csr(
+            row_ptrs=plan["u_indptr"],
+            col_idxs=plan["u_cols"],
+            values=uv,
+            shape=plan["shape"],
+        )
+        return Factorization(l_factor=L, u_factor=U, shape=plan["shape"])
+
+
+class ParIcFactory:
+    """par_ic.cpp analog: IC via ParILU sweeps on the symmetric pattern,
+    returning L and L^H."""
+
+    def __init__(self, iterations: int = 5, skip_sorting: bool = True):
+        self.iterations = int(iterations)
+
+    def generate(self, A) -> Factorization:
+        csr = A.to_csr() if hasattr(A, "to_csr") else A
+        plan = split_lu_pattern(csr)
+        lv, uv = parilu_sweeps(plan, self.iterations)
+        # IC factor: L_ic = L * sqrt(diag(U)); then A ≈ L_ic L_ic^H
+        n = plan["n"]
+        du = jnp.take(uv, plan["u_diag"])
+        du = jnp.where(du.real > 0, du, 1)
+        sq = jnp.sqrt(du)
+        lic_vals = lv * jnp.take(sq, plan["l_cols"])
+        L = Csr(
+            row_ptrs=plan["l_indptr"],
+            col_idxs=plan["l_cols"],
+            values=lic_vals,
+            shape=plan["shape"],
+        )
+        return Factorization(
+            l_factor=L, u_factor=L.conj_transpose(), shape=plan["shape"]
+        )
+
+
+ParIlu = ParIluFactory
+ParIc = ParIcFactory

@@ -330,9 +330,9 @@ class Csr(LinOp):
 
         return sps.csr_matrix(
             (
-                np.asarray(self.values),
-                np.asarray(self.col_idxs),
-                np.asarray(self.row_ptrs),
+                np.array(self.values),
+                np.array(self.col_idxs),
+                np.array(self.row_ptrs),
             ),
             shape=self.shape,
         )

@@ -4,6 +4,8 @@ from .ir import Ir, Richardson
 from .bicgstab import Bicgstab, Cgs, Bicg
 from .gmres import Gmres, CbGmres
 from .idr import Idr
+from .direct import Direct, DirectFactory
+from .triangular import LowerTrs, UpperTrs, LowerTrsFactory, UpperTrsFactory, TriangularSolver
 
 __all__ = [
     "SolveInfo",
@@ -18,4 +20,11 @@ __all__ = [
     "Gmres",
     "CbGmres",
     "Idr",
+    "LowerTrs",
+    "UpperTrs",
+    "LowerTrsFactory",
+    "UpperTrsFactory",
+    "TriangularSolver",
+    "Direct",
+    "DirectFactory",
 ]

@@ -1,0 +1,287 @@
+"""SpGEMM/SpGEAM, ParILU/ParIC, exact ILU(0)/IC(0), triangular solvers, ISAI,
+ILU-preconditioned solves (reference model: reference/test/factorization,
+reference/test/preconditioner, test/solver/*_trs)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+import jax.numpy as jnp
+
+import ginkgo_tpu as gko
+from ginkgo_tpu import stop
+from ginkgo_tpu.factorization import ParIlu, ParIc, IluFactory, IcFactory
+from ginkgo_tpu.preconditioner import (
+    IluPreconditionerFactory,
+    IcPreconditionerFactory,
+    LowerIsai,
+    GeneralIsai,
+)
+from ginkgo_tpu.solver.triangular import LowerTrsFactory, UpperTrsFactory
+from ginkgo_tpu.utils import generators
+
+
+def spd_sys(rng, n=30):
+    data = generators.make_spd(generators.generate_random_matrix(n, n, 2, 5, rng))
+    return gko.Csr.from_matrix_data(data), data.to_dense()
+
+
+# -- spgemm / spgeam -----------------------------------------------------------
+
+
+def test_spgemm_matches_scipy(rng):
+    da = generators.generate_random_matrix(20, 15, 1, 4, rng)
+    db = generators.generate_random_matrix(15, 25, 1, 4, rng)
+    A = gko.Csr.from_matrix_data(da)
+    B = gko.Csr.from_matrix_data(db)
+    C = A.spgemm(B)
+    expected = (da.to_dense() @ db.to_dense())
+    np.testing.assert_allclose(np.asarray(C.to_dense().values), expected, rtol=1e-12)
+    # apply doubles as spgemm (csr.cpp:188)
+    C2 = A.apply(B)
+    np.testing.assert_allclose(np.asarray(C2.to_dense().values), expected, rtol=1e-12)
+
+
+def test_spgeam_matches_scipy(rng):
+    da = generators.generate_random_matrix(18, 18, 1, 4, rng)
+    db = generators.generate_random_matrix(18, 18, 1, 4, rng)
+    A = gko.Csr.from_matrix_data(da)
+    B = gko.Csr.from_matrix_data(db)
+    C = A.spgeam(2.0, B, -0.5)
+    expected = 2.0 * da.to_dense() - 0.5 * db.to_dense()
+    np.testing.assert_allclose(np.asarray(C.to_dense().values), expected, rtol=1e-12)
+
+
+# -- triangular solvers ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("algorithm", ["block_scan", "sweeps"])
+@pytest.mark.parametrize("lower", [True, False])
+def test_trisolve_exact(rng, algorithm, lower):
+    n = 37
+    dense = np.tril(rng.standard_normal((n, n))) if lower else np.triu(
+        rng.standard_normal((n, n))
+    )
+    dense[np.abs(dense) < 0.5] = 0  # sparsify
+    np.fill_diagonal(dense, rng.uniform(1, 2, n))
+    T = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(dense))
+    b = rng.standard_normal((n, 2))
+    fac = (LowerTrsFactory if lower else UpperTrsFactory)(
+        algorithm=algorithm, block=8
+    )
+    solver = fac.generate(T)
+    x = np.asarray(solver.apply(b))
+    np.testing.assert_allclose(dense @ x, b, rtol=1e-9, atol=1e-10)
+
+
+def test_trisolve_unit_diagonal(rng):
+    n = 20
+    dense = np.tril(rng.standard_normal((n, n)), -1)
+    dense[np.abs(dense) < 0.7] = 0
+    md = gko.MatrixData.from_dense(dense + np.eye(n) * 7.0)  # stored diag != 1
+    T = gko.Csr.from_matrix_data(md)
+    b = rng.standard_normal((n, 1))
+    solver = LowerTrsFactory(unit_diagonal=True, block=4).generate(T)
+    x = np.asarray(solver.apply(b))
+    np.testing.assert_allclose((dense + np.eye(n)) @ x, b, rtol=1e-10, atol=1e-12)
+
+
+# -- exact ILU(0)/IC(0) ------------------------------------------------------------
+
+
+def test_ilu0_exact_on_full_pattern_matches_lu(rng):
+    # on a dense pattern, ILU(0) == LU
+    n = 12
+    dense = rng.standard_normal((n, n)) + n * np.eye(n)
+    A = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(dense))
+    fact = IluFactory().generate(A)
+    L = np.asarray(fact.get_l_factor().to_dense().values)
+    U = np.asarray(fact.get_u_factor().to_dense().values)
+    np.testing.assert_allclose(L @ U, dense, rtol=1e-9, atol=1e-10)
+    assert np.allclose(np.diag(L), 1.0)
+
+
+def test_ilu0_residual_on_pattern(rng):
+    A, dense = spd_sys(rng)
+    fact = IluFactory().generate(A)
+    L = np.asarray(fact.get_l_factor().to_dense().values)
+    U = np.asarray(fact.get_u_factor().to_dense().values)
+    # ILU(0) property: (LU)_ij == A_ij on the sparsity pattern
+    mask = dense != 0
+    np.testing.assert_allclose((L @ U)[mask], dense[mask], rtol=1e-8, atol=1e-9)
+
+
+def test_ic0_exact_on_full_pattern_matches_cholesky(rng):
+    n = 10
+    m = rng.standard_normal((n, n))
+    dense = m @ m.T + n * np.eye(n)
+    A = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(dense))
+    fact = IcFactory().generate(A)
+    L = np.asarray(fact.get_l_factor().to_dense().values)
+    np.testing.assert_allclose(L @ L.T, dense, rtol=1e-9, atol=1e-9)
+
+
+# -- ParILU / ParIC -----------------------------------------------------------------
+
+
+def test_parilu_converges_to_ilu0(rng):
+    A, dense = spd_sys(rng, n=25)
+    exact = IluFactory().generate(A)
+    par = ParIlu(iterations=30).generate(A)
+    Le = np.asarray(exact.get_l_factor().to_dense().values)
+    Ue = np.asarray(exact.get_u_factor().to_dense().values)
+    Lp = np.asarray(par.get_l_factor().to_dense().values)
+    Up = np.asarray(par.get_u_factor().to_dense().values)
+    np.testing.assert_allclose(Lp, Le, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(Up, Ue, rtol=1e-6, atol=1e-8)
+
+
+def test_paric_factor_quality(rng):
+    A, dense = spd_sys(rng, n=25)
+    par = ParIc(iterations=40).generate(A)
+    L = np.asarray(par.get_l_factor().to_dense().values)
+    mask = np.tril(dense) != 0
+    np.testing.assert_allclose((L @ L.T)[mask], dense[mask], rtol=1e-4, atol=1e-6)
+
+
+# -- preconditioned solves -------------------------------------------------------------
+
+
+def test_ilu_preconditioned_bicgstab(rng):
+    A, dense = spd_sys(rng, n=40)
+    x_true = rng.standard_normal((40, 1))
+    b = dense @ x_true
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-12)]
+    plain = gko.Bicgstab.build(criteria=crit).generate(A)
+    prec = gko.Bicgstab.build(
+        criteria=crit,
+        preconditioner=IluPreconditionerFactory(),
+    ).generate(A)
+    _, info_plain = plain.solve(b)
+    x, info_prec = prec.solve(b)
+    assert bool(np.all(np.asarray(info_prec.converged)))
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
+    assert int(info_prec.iterations) <= int(info_plain.iterations)
+
+
+def test_ic_preconditioned_cg(rng):
+    A, dense = spd_sys(rng, n=40)
+    x_true = rng.standard_normal((40, 1))
+    b = dense @ x_true
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-12)]
+    solver = gko.Cg.build(
+        criteria=crit, preconditioner=IcPreconditionerFactory()
+    ).generate(A)
+    x, info = solver.solve(b)
+    assert bool(np.all(np.asarray(info.converged)))
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
+
+
+# -- ISAI --------------------------------------------------------------------------------
+
+
+def test_lower_isai_inverse_property(rng):
+    n = 20
+    dense = np.tril(rng.standard_normal((n, n)))
+    dense[np.abs(dense) < 0.6] = 0
+    np.fill_diagonal(dense, rng.uniform(2, 3, n))
+    L = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(dense))
+    M = LowerIsai().generate(L)
+    prod = np.asarray(M.to_dense().values) @ dense
+    # (M L)_ij == I_ij on M's (lower) pattern rows restriction
+    pat = np.asarray(M.to_dense().values) != 0
+    err = np.abs(prod - np.eye(n))[pat]
+    assert err.max() < 1e-8
+
+
+def test_general_isai_preconditions_gmres(rng):
+    A, dense = spd_sys(rng, n=30)
+    x_true = rng.standard_normal((30, 1))
+    b = dense @ x_true
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-10)]
+    plain = gko.Gmres.build(criteria=crit, krylov_dim=15).generate(A)
+    prec = gko.Gmres.build(
+        criteria=crit, krylov_dim=15, preconditioner=GeneralIsai()
+    ).generate(A)
+    _, ip = plain.solve(b)
+    x, ii = prec.solve(b)
+    assert bool(np.all(np.asarray(ii.converged)))
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-5, atol=1e-7)
+    assert int(ii.iterations) <= int(ip.iterations)
+
+
+# -- ParILUT / ParICT -------------------------------------------------------------
+
+
+def test_parilut_improves_over_parilu(rng):
+    from ginkgo_tpu.factorization import ParIlut, ParIlu
+
+    A, dense = spd_sys(rng, n=30)
+    ilu = ParIlu(iterations=20).generate(A)
+    ilut = ParIlut(iterations=3, fill_in_limit=3.0, sweeps_per_iteration=10).generate(A)
+    def err(f):
+        L = np.asarray(f.get_l_factor().to_dense().values)
+        U = np.asarray(f.get_u_factor().to_dense().values)
+        return np.linalg.norm(L @ U - dense)
+    assert err(ilut) <= err(ilu) * 1.05  # more fill => at least as good
+
+
+def test_parict_symmetric_factor(rng):
+    from ginkgo_tpu.factorization import ParIct
+
+    A, dense = spd_sys(rng, n=25)
+    f = ParIct(iterations=2, fill_in_limit=2.0, sweeps_per_iteration=10).generate(A)
+    L = np.asarray(f.get_l_factor().to_dense().values)
+    assert np.allclose(np.triu(L, 1), 0)  # lower triangular
+    rel = np.linalg.norm(L @ L.T - dense) / np.linalg.norm(dense)
+    assert rel < 0.5
+
+
+# -- LU / Cholesky / Direct ----------------------------------------------------------
+
+
+def test_lu_factorization_exact(rng):
+    A, dense = spd_sys(rng, n=20)
+    from ginkgo_tpu.factorization import Lu
+
+    f = Lu().generate(A)
+    L = np.asarray(f.get_l_factor().to_dense().values)
+    U = np.asarray(f.get_u_factor().to_dense().values)
+    np.testing.assert_allclose(L @ U, dense, rtol=1e-9, atol=1e-9)
+
+
+def test_cholesky_factorization_exact(rng):
+    A, dense = spd_sys(rng, n=20)
+    from ginkgo_tpu.factorization import Cholesky
+
+    f = Cholesky().generate(A)
+    L = np.asarray(f.get_l_factor().to_dense().values)
+    np.testing.assert_allclose(L @ L.T, dense, rtol=1e-9, atol=1e-9)
+
+
+def test_elimination_forest_and_symbolic(rng):
+    from ginkgo_tpu.factorization import elimination_forest, symbolic_cholesky
+
+    # arrow matrix: etree is a path to the last node
+    n = 6
+    dense = np.eye(n)
+    dense[-1, :] = 1
+    dense[:, -1] = 1
+    pat = sps.csr_matrix(dense)
+    parent = elimination_forest(pat)
+    assert parent[-1] == -1
+    assert all(parent[:-1] == n - 1)
+    Lpat = symbolic_cholesky(pat)
+    # no fill for the arrow (ordered last)
+    assert Lpat.nnz == 2 * n - 1
+
+
+def test_direct_solver(rng):
+    A, dense = spd_sys(rng, n=25)
+    from ginkgo_tpu.solver import Direct
+
+    solver = Direct.build().generate(A)
+    x_true = rng.standard_normal((25, 2))
+    b = dense @ x_true
+    x, info = solver.solve(b)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-8, atol=1e-9)
