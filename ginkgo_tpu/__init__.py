@@ -52,7 +52,9 @@ from . import stop
 from . import solver
 from . import preconditioner
 from . import factorization
-from .solver import Cg, Fcg, Ir, Richardson, Bicgstab, Cgs, Bicg, Gmres, CbGmres, Idr
+from . import multigrid
+from . import reorder
+from .solver import Cg, Fcg, Ir, Richardson, Bicgstab, Cgs, Bicg, Gmres, CbGmres, Idr, Multigrid, Direct
 from .preconditioner import Jacobi, JacobiFactory
 
 __all__ = [
@@ -89,6 +91,8 @@ __all__ = [
     "Gmres",
     "CbGmres",
     "Idr",
+    "Multigrid",
+    "Direct",
     "Diagonal",
     "Identity",
     "IdentityFactory",

@@ -5,6 +5,7 @@ from .bicgstab import Bicgstab, Cgs, Bicg
 from .gmres import Gmres, CbGmres
 from .idr import Idr
 from .direct import Direct, DirectFactory
+from .multigrid import Multigrid, MultigridFactory
 from .triangular import LowerTrs, UpperTrs, LowerTrsFactory, UpperTrsFactory, TriangularSolver
 
 __all__ = [
@@ -26,5 +27,7 @@ __all__ = [
     "UpperTrsFactory",
     "TriangularSolver",
     "Direct",
+    "Multigrid",
+    "MultigridFactory",
     "DirectFactory",
 ]

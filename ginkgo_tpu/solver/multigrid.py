@@ -1,0 +1,228 @@
+"""Algebraic multigrid solver (V/W/F cycles).
+
+Reference: core/solver/multigrid.cpp (790) — hierarchy built in generate()
+(:491) from `MultigridLevel` factories until max_levels/min_coarse_rows,
+cycle recursion in MultigridState::run_cycle (:269-489; the F-cycle calls a
+V-cycle on the second visit :452-455), pre/mid/post smoothers
+(multigrid.hpp:132-180), coarse solver.
+
+TPU design: the hierarchy is a static Python list of levels (shapes shrink
+per level, so each level compiles once); the cycle recursion unrolls at trace
+time into one straight-line XLA program — no host involvement inside a cycle.
+Used standalone (criteria-driven outer lax.while_loop... realized as the
+chunk-free host loop over jitted cycles for simplicity of level closure) or
+as a preconditioner (one cycle per apply), like the
+multigrid-preconditioned-solver example.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
+from ..stop.criterion import combine, Iteration, ResidualNorm
+from ..multigrid.pgm import PgmFactory
+from ..preconditioner.jacobi import JacobiFactory
+from .ir import Ir
+from .solver_base import SolveInfo, extract_max_iters, norm2
+
+
+def default_smoother_factory(A):
+    """Damped Jacobi-Richardson, 1 iteration (the reference's default
+    build_smoother(Jacobi, 1, 0.9), multigrid.hpp)."""
+    return Ir.build(
+        criteria=[Iteration(max_iters=1)],
+        preconditioner=JacobiFactory(max_block_size=1),
+        relaxation_factor=0.9,
+    ).generate(A)
+
+
+def default_coarse_solver_factory(A):
+    from .direct import DirectFactory
+
+    return DirectFactory().generate(A)
+
+
+@linop_dataclass
+class Multigrid(LinOp):
+    levels: tuple  # tuple of MultigridLevel
+    pre_smoothers: tuple
+    post_smoothers: tuple
+    mid_smoothers: tuple
+    coarse_solver: Any
+    criterion: Any
+    cycle: str = static_field(default="v")  # 'v' | 'w' | 'f' (multigrid.hpp:79)
+    axis_name: Any = static_field(default=None)
+
+    @property
+    def shape(self):
+        return self.levels[0].fine_op.shape
+
+    @property
+    def dtype(self):
+        return self.levels[0].fine_op.dtype
+
+    # -- one cycle (trace-time unrolled recursion) ------------------------------
+
+    def _run_cycle(self, lvl: int, b, x, mode: str):
+        level = self.levels[lvl]
+        A = level.fine_op
+        x = self.pre_smoothers[lvl].solve(b, x0=x)[0]
+        r = b - A.apply(x)
+        rc = level.restrict_op.apply(r)
+        if lvl + 1 == len(self.levels):
+            ec = self.coarse_solver.apply(rc)
+        else:
+            ec = self._run_cycle(lvl + 1, rc, jnp.zeros_like(rc), mode)
+        x = x + level.prolong_op.apply(ec)
+        if mode in ("w", "f") and lvl + 1 < len(self.levels):
+            # second visit: W recurses same mode, F drops to V
+            # (multigrid.cpp:452-455)
+            x = self.mid_smoothers[lvl].solve(b, x0=x)[0]
+            r2 = b - A.apply(x)
+            rc2 = level.restrict_op.apply(r2)
+            ec2 = self._run_cycle(
+                lvl + 1, rc2, jnp.zeros_like(rc2), "v" if mode == "f" else mode
+            )
+            x = x + level.prolong_op.apply(ec2)
+        x = self.post_smoothers[lvl].solve(b, x0=x)[0]
+        return x
+
+    def cycle_apply(self, b, x):
+        """One full multigrid cycle from initial guess x."""
+        return self._run_cycle(0, b, x, self.cycle)
+
+    # -- LinOp / solver surface ---------------------------------------------------
+
+    def apply(self, b):
+        """Preconditioner-style apply: one cycle from zero."""
+        arr, was_1d = as_2d(b)
+        out = self.cycle_apply(arr, jnp.zeros_like(arr))
+        return restore_1d(out, was_1d)
+
+    def solve(self, b, x0=None):
+        arr, was_1d = as_2d(b)
+        x = jnp.zeros_like(arr) if x0 is None else as_2d(x0)[0]
+        cap = extract_max_iters(self.criterion)
+        A = self.levels[0].fine_op
+        k = arr.shape[1]
+        bn = norm2(arr, self.axis_name)
+        r0 = arr - A.apply(x)
+        baselines = {
+            "num_cols": k,
+            "rhs_norm": bn,
+            "initial_resnorm": norm2(r0, self.axis_name),
+        }
+
+        def cond(st):
+            return (st[1] < cap) & ~jnp.all(st[2])
+
+        def body(st):
+            x, it, stopped, rn = st
+            x_new = self.cycle_apply(arr, x)
+            x_new = jnp.where(stopped[None, :], x, x_new)
+            r = arr - A.apply(x_new)
+            rn = norm2(r, self.axis_name)
+            ctx = dict(baselines)
+            ctx.update(
+                iteration=it + 1,
+                residual_norm=rn,
+                implicit_sq_residual_norm=rn**2,
+            )
+            stopped = stopped | self.criterion.check_converged(ctx)
+            return (x_new, it + 1, stopped, rn)
+
+        init = (
+            x,
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((k,), bool),
+            baselines["initial_resnorm"],
+        )
+        x, it, stopped, rn = jax.lax.while_loop(cond, body, init)
+        return restore_1d(x, was_1d), SolveInfo(
+            iterations=it, residual_norm=rn, converged=stopped, history=None
+        )
+
+    @staticmethod
+    def build(**kw):
+        return MultigridFactory(**kw)
+
+
+class MultigridFactory:
+    """multigrid.hpp factory: mg_level (level factory), max_levels (:default
+    10), min_coarse_rows (:default 64), cycle, smoother/coarse-solver
+    factories, smoother_iters, smoother_relax."""
+
+    def __init__(
+        self,
+        criteria=None,
+        mg_level=None,
+        max_levels: int = 10,
+        min_coarse_rows: int = 64,
+        cycle: str = "v",
+        pre_smoother=None,  # callable A -> solver
+        post_smoother=None,
+        mid_smoother=None,
+        coarse_solver=None,  # callable A -> solver
+        smoother_iters: int = 1,
+        smoother_relax: float = 0.9,
+    ):
+        self.criteria = criteria
+        self.mg_level = mg_level or PgmFactory()
+        self.max_levels = max_levels
+        self.min_coarse_rows = min_coarse_rows
+        self.cycle = cycle
+        self.smoother_iters = smoother_iters
+        self.smoother_relax = smoother_relax
+        self.pre_smoother = pre_smoother
+        self.post_smoother = post_smoother
+        self.mid_smoother = mid_smoother
+        self.coarse_solver = coarse_solver
+
+    def _make_smoother(self, A):
+        return Ir.build(
+            criteria=[Iteration(max_iters=self.smoother_iters)],
+            preconditioner=JacobiFactory(max_block_size=1),
+            relaxation_factor=self.smoother_relax,
+        ).generate(A)
+
+    def generate(self, A) -> Multigrid:
+        levels = []
+        op = A.to_csr() if hasattr(A, "to_csr") else A
+        while (
+            len(levels) < self.max_levels
+            and op.shape[0] > self.min_coarse_rows
+        ):
+            level = self.mg_level.generate(op)
+            if level.coarse_op.shape[0] >= op.shape[0]:
+                break  # no coarsening progress
+            levels.append(level)
+            op = level.coarse_op
+        if not levels:
+            level = self.mg_level.generate(op)
+            levels.append(level)
+            op = level.coarse_op
+        mk_pre = self.pre_smoother or self._make_smoother
+        mk_post = self.post_smoother or mk_pre
+        mk_mid = self.mid_smoother or mk_post
+        pre = tuple(mk_pre(l.fine_op) for l in levels)
+        post = tuple(mk_post(l.fine_op) for l in levels)
+        mid = tuple(mk_mid(l.fine_op) for l in levels)
+        mk_coarse = self.coarse_solver or default_coarse_solver_factory
+        coarse = mk_coarse(op)
+        crit = combine(self.criteria) if self.criteria is not None else combine(
+            [Iteration(max_iters=100), ResidualNorm(tolerance=1e-8)]
+        )
+        return Multigrid(
+            levels=tuple(levels),
+            pre_smoothers=pre,
+            post_smoothers=post,
+            mid_smoothers=mid,
+            coarse_solver=coarse,
+            criterion=crit,
+            cycle=self.cycle,
+        )

@@ -1,0 +1,178 @@
+"""Multigrid (PGM, FixedCoarsening, V/W/F cycles) and reordering (RCM,
+ScaledReordered) tests (reference model: reference/test/multigrid,
+core/test/reorder)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import ginkgo_tpu as gko
+from ginkgo_tpu import stop
+from ginkgo_tpu.multigrid import Pgm, FixedCoarsening
+from ginkgo_tpu.reorder import Rcm, RcmFactory, rcm_permutation, bandwidth, ScaledReorderedFactory
+from ginkgo_tpu.solver.multigrid import MultigridFactory
+from ginkgo_tpu.utils import generators
+
+
+def test_pgm_aggregation_properties(rng):
+    data = generators.poisson_2d(8)
+    A = gko.Csr.from_matrix_data(data)
+    level = Pgm().generate(A)
+    n = data.shape[0]
+    nc = level.coarse_op.shape[0]
+    assert 0 < nc < n  # coarsened
+    assert nc >= n // 4  # size-2 matching halves at most... allow slack
+    # galerkin property: Ac == R A P
+    agg = np.asarray(level.restrict_op.agg)
+    P = np.zeros((n, nc))
+    P[np.arange(n), agg] = 1
+    expected = P.T @ data.to_dense() @ P
+    np.testing.assert_allclose(
+        np.asarray(level.coarse_op.to_dense().values), expected, rtol=1e-12
+    )
+    # restrict/prolong ops match P
+    x = rng.standard_normal((nc, 2))
+    np.testing.assert_allclose(np.asarray(level.prolong_op.apply(x)), P @ x)
+    y = rng.standard_normal((n, 2))
+    np.testing.assert_allclose(np.asarray(level.restrict_op.apply(y)), P.T @ y)
+
+
+def test_fixed_coarsening(rng):
+    data = generators.poisson_1d(16)
+    A = gko.Csr.from_matrix_data(data)
+    rows = np.arange(0, 16, 2)
+    level = FixedCoarsening(rows).generate(A)
+    assert level.coarse_op.shape == (8, 8)
+    x = rng.standard_normal(8)
+    full = np.asarray(level.prolong_op.apply(x))
+    assert np.allclose(full[rows], x) and np.allclose(np.delete(full, rows), 0)
+
+
+@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+def test_multigrid_solves_poisson(rng, cycle):
+    data = generators.poisson_2d(16)  # 256 dofs, 3+ levels
+    A = gko.Csr.from_matrix_data(data)
+    x_true = rng.standard_normal((data.shape[0], 1))
+    b = data.to_dense() @ x_true
+    solver = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=60), stop.ResidualNorm(tolerance=1e-10)],
+        min_coarse_rows=16,
+        cycle=cycle,
+    ).generate(A)
+    assert len(solver.levels) >= 2
+    x, info = solver.solve(b)
+    assert bool(np.all(np.asarray(info.converged))), cycle
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_multigrid_preconditioned_cg(rng):
+    data = generators.poisson_2d(16)
+    A = gko.Csr.from_matrix_data(data)
+    x_true = rng.standard_normal((data.shape[0], 1))
+    b = data.to_dense() @ x_true
+    crit = [stop.Iteration(max_iters=100), stop.ResidualNorm(tolerance=1e-10)]
+    mg_factory = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=1)], min_coarse_rows=16
+    )
+    plain = gko.Cg.build(criteria=crit).generate(A)
+    precond = gko.Cg.build(criteria=crit, preconditioner=mg_factory).generate(A)
+    _, ip = plain.solve(b)
+    x, im = precond.solve(b)
+    assert bool(np.all(np.asarray(im.converged)))
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-7)
+    assert int(im.iterations) < int(ip.iterations)  # MG accelerates CG
+
+
+def test_multigrid_convergence_rate(rng):
+    # plain-aggregation AMG: expect a bounded per-cycle contraction factor
+    # (PGM is unsmoothed aggregation — factors ~0.5-0.7 are nominal; the
+    # reference uses it mostly as a preconditioner)
+    data = generators.poisson_2d(20)
+    A = gko.Csr.from_matrix_data(data)
+    b = rng.standard_normal((data.shape[0], 1))
+    solver = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=100), stop.ResidualNorm(tolerance=1e-9)],
+        min_coarse_rows=25,
+        smoother_iters=2,
+    ).generate(A)
+    # decent coarsening: each level at most ~0.65 of the previous
+    sizes = [l.fine_op.shape[0] for l in solver.levels] + [
+        solver.levels[-1].coarse_op.shape[0]
+    ]
+    for a, c in zip(sizes, sizes[1:]):
+        assert c <= 0.7 * a, sizes
+    x, info = solver.solve(b)
+    assert bool(np.all(np.asarray(info.converged)))
+
+
+# -- RCM ------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["pseudo_peripheral", "minimum_degree"])
+def test_rcm_reduces_bandwidth(rng, strategy):
+    # random sparse symmetric matrix with scattered entries
+    data = generators.generate_random_matrix(60, 60, 2, 4, rng)
+    sym = gko.MatrixData.from_dense(
+        data.to_dense() + data.to_dense().T + 10 * np.eye(60)
+    )
+    A = gko.Csr.from_matrix_data(sym)
+    perm = RcmFactory(starting_strategy=strategy).generate(A)
+    B = A.symm_permute(perm.to_host())
+    assert bandwidth(B) <= bandwidth(A)
+    # permutation is valid
+    assert sorted(perm.to_host().tolist()) == list(range(60))
+
+
+def test_rcm_disconnected_components():
+    # block-diagonal: two disconnected chains
+    d1 = generators.poisson_1d(5)
+    rows = np.concatenate([d1.rows, d1.rows + 5])
+    cols = np.concatenate([d1.cols, d1.cols + 5])
+    vals = np.concatenate([d1.values, d1.values])
+    data = gko.MatrixData.from_coo((10, 10), rows, cols, vals)
+    A = gko.Csr.from_matrix_data(data)
+    perm = rcm_permutation(A)
+    assert sorted(perm.tolist()) == list(range(10))
+
+
+def test_scaled_reordered_solver(rng):
+    data = generators.make_spd(generators.generate_random_matrix(30, 30, 2, 5, rng))
+    A = gko.Csr.from_matrix_data(data)
+    dense = data.to_dense()
+    x_true = rng.standard_normal((30, 1))
+    b = dense @ x_true
+    inner = gko.Cg.build(
+        criteria=[stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-12)]
+    )
+    solver = ScaledReorderedFactory(
+        solver=inner, reordering=RcmFactory()
+    ).generate(A)
+    x = np.asarray(solver.apply(b))
+    np.testing.assert_allclose(x, x_true, rtol=1e-7, atol=1e-8)
+
+    # with row/col scaling
+    d = gko.Diagonal.create(rng.uniform(0.5, 2.0, 30))
+    solver2 = ScaledReorderedFactory(
+        solver=inner, reordering=RcmFactory(), row_scaling=d, col_scaling=d
+    ).generate(A)
+    x2 = np.asarray(solver2.apply(b))
+    np.testing.assert_allclose(x2, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_rcm_enables_dia(rng):
+    """The RCM -> Dia pipeline: reorder a scattered banded matrix, convert to
+    Dia, verify SpMV matches (the TPU-native fast path for general matrices)."""
+    # a banded matrix with rows randomly permuted
+    base = generators.generate_tridiag_matrix(50)
+    p = np.random.default_rng(5).permutation(50)
+    scattered = gko.Csr.from_matrix_data(base).symm_permute(p)
+    assert bandwidth(scattered) > 10
+    perm = RcmFactory().generate(scattered)
+    B = scattered.symm_permute(perm.to_host())
+    assert bandwidth(B) <= 2
+    D = B.to_dia()
+    assert D.num_diags <= 5
+    x = rng.standard_normal(50)
+    np.testing.assert_allclose(
+        np.asarray(D.apply(x)), np.asarray(B.apply(x)), rtol=1e-12
+    )
