@@ -1,16 +1,16 @@
 """Headline benchmark: stencil SpMV throughput vs HBM roofline on one chip.
 
 Protocol notes:
-- The axon TPU tunnel has ~25 us dispatch overhead, re-uploads closed-over
-  constants per call, and `block_until_ready` does not reliably block, so
-  timing is done with MANY SpMVs inside one jitted `lax.fori_loop` and a
-  scalar readback as the fence; the per-apply cost is the slope between two
-  trip counts (eliminates fixed costs).  Mirrors the reference's repetition
+- The axon TPU tunnel has ~25 ms fixed dispatch/fence overhead per call, so
+  timing chains MANY SpMVs inside one jitted `lax.fori_loop` (data-dependent,
+  so XLA cannot elide or fuse across iterations through the Pallas call) and
+  amortizes: per-apply = total / trips.  Mirrors the reference's repetition
   protocol (benchmark/utils/general.hpp:94-117) adapted to this reality.
 - Matrix: 2048^2 5-point Poisson stencil (4.19M rows, ~21M nnz), the
   poisson-solver / stencil class of the reference examples + benchmarks.
-- Format: Dia (the TPU-native gather-free banded format, matrix/dia.py);
-  CSR gather strategies are reported in `detail` for honesty.
+- Kernel: the Pallas DIA SpMV (ops/pallas_dia.py) — the TPU-native
+  gather-free banded kernel; XLA-Dia and gather-based CSR strategies are
+  reported in `detail` for honesty.
 
 Roofline model: bytes/apply = (nd diag reads + x read + y write) * 4 B.
 Prints ONE JSON line.
@@ -29,7 +29,7 @@ def hbm_bandwidth_gbs():
     kind = getattr(dev, "device_kind", "").lower()
     if "v5 lite" in kind or "v5e" in kind:
         return 819.0
-    if "v5p" in kind:
+    if "v5p" in kind or "v5" in kind:
         return 2765.0
     if "v4" in kind:
         return 1228.0
@@ -38,56 +38,77 @@ def hbm_bandwidth_gbs():
     return 819.0
 
 
-def timed_loop(apply_fn, operands, x0, n, trials=3):
-    """Total seconds for n chained applies inside one jit, scalar-fenced."""
-
+def _total_seconds(apply_fn, x0, trips, trials):
     @jax.jit
-    def run(x, ops):
-        def body(i, v):
-            return apply_fn(v, ops)
+    def run(x):
+        return jax.lax.fori_loop(0, trips, lambda i, v: apply_fn(v), x)
 
-        return jax.lax.fori_loop(0, n, body, x)
-
-    float(jnp.sum(run(x0, operands)))  # warm + fence
+    float(jnp.sum(run(x0)))  # warm + fence
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(jnp.sum(run(x0, operands)))
+        float(jnp.sum(run(x0)))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def per_apply_seconds(apply_fn, operands, x0, n1=50, n2=200, trials=3):
-    t1 = timed_loop(apply_fn, operands, x0, n1, trials)
-    t2 = timed_loop(apply_fn, operands, x0, n2, trials)
-    return (t2 - t1) / (n2 - n1)
+def amortized_seconds(apply_fn, x0, trips=300, trials=3):
+    """Per-apply seconds as the slope between two trip counts — chained
+    applies inside one jit (data-dependent, so XLA cannot elide iterations
+    through the Pallas call), scalar readback as the fence.  The slope
+    cancels the tunnel's fixed dispatch/fence overhead."""
+    t1 = _total_seconds(apply_fn, x0, trips, trials)
+    t2 = _total_seconds(apply_fn, x0, 2 * trips, trials)
+    return max((t2 - t1) / trips, 1e-9)
 
 
 def main():
     from ginkgo_tpu.utils import generators
     from ginkgo_tpu.matrix.csr import Csr
-    from ginkgo_tpu.matrix.dia import Dia
+    from ginkgo_tpu.matrix.dia import Dia, LANES
+    from ginkgo_tpu.ops.pallas_dia import dia_spmv_pallas
 
-    n_side = 2048
+    on_tpu = jax.default_backend() == "tpu"
+    n_side = 2048 if on_tpu else 256
+    trips = 300 if on_tpu else 20
     data = generators.poisson_2d(n_side, dtype=np.float32)
     n, nnz = data.shape[0], data.nnz
 
     # scale so the iterated operator stays bounded (spectral radius <= 1);
     # keeps the timed loop a pure SpMV chain with no extra memory passes
     D = Dia.from_matrix_data(data).scale(0.125)
-    x = jnp.ones((n,), dtype=jnp.float32)
+    R = D.diags.shape[1]
+    x2 = jnp.ones((R, LANES), dtype=jnp.float32)
 
-    t_dia = per_apply_seconds(lambda v, op: op.apply(v), D, x)
+    if on_tpu:
+        t_pallas = amortized_seconds(
+            lambda v: dia_spmv_pallas(D.diags, D.offsets, v), x2, trips
+        )
+    else:
+        t_pallas = amortized_seconds(
+            lambda v: dia_spmv_pallas(D.diags, D.offsets, v, interpret=True),
+            x2,
+            trips,
+        )
+    # XLA permutation-matmul Dia path (the portable fallback), same frame
+    import os
+
+    os.environ["GINKGO_TPU_NO_PALLAS"] = "1"
+    t_xla = amortized_seconds(
+        lambda v: D.apply(v.reshape(-1)).reshape(R, LANES), x2, max(10, trips // 6)
+    )
+    del os.environ["GINKGO_TPU_NO_PALLAS"]
+
     nd = D.num_diags
-    bytes_dia = (nd + 2) * 4 * n  # nd diag reads + x read + y write
-    gbs = bytes_dia / t_dia / 1e9
+    bytes_apply = (nd + 2) * 4 * R * LANES  # nd diag reads + x read + y write
+    gbs = bytes_apply / t_pallas / 1e9
     frac = gbs / hbm_bandwidth_gbs()
 
     # honesty row: CSR classical (gather-based) at smaller size
     data_s = generators.poisson_2d(512, dtype=np.float32)
     A = Csr.from_matrix_data(data_s, index_dtype=np.int32).scale(0.125)
     xs = jnp.ones((data_s.shape[0],), dtype=jnp.float32)
-    t_csr = per_apply_seconds(lambda v, op: op.apply(v), A, xs, n1=3, n2=10)
+    t_csr = amortized_seconds(lambda v: A.apply(v), xs, trips=5, trials=2)
 
     out = {
         "metric": "spmv_roofline_frac",
@@ -98,10 +119,12 @@ def main():
             "matrix": f"poisson2d_{n_side}",
             "n": n,
             "nnz": nnz,
-            "format": "dia",
-            "spmv_seconds": t_dia,
+            "kernel": "pallas_dia",
+            "spmv_seconds": t_pallas,
             "effective_gbs": round(gbs, 1),
-            "gnnz_per_s": round(nnz / t_dia / 1e9, 2),
+            "gnnz_per_s": round(nnz / t_pallas / 1e9, 2),
+            "xla_dia_seconds": t_xla,
+            "xla_dia_gnnz_per_s": round(nnz / t_xla / 1e9, 2),
             "csr_classical_seconds_512": t_csr,
             "csr_classical_gnnz_per_s": round(data_s.nnz / t_csr / 1e9, 4),
             "hbm_gbs": hbm_bandwidth_gbs(),

@@ -22,8 +22,23 @@ class layout_type:
 
 
 def read_raw(source) -> MatrixData:
-    """Parse MatrixMarket text into MatrixData (mtx_io.hpp:61)."""
+    """Parse MatrixMarket text into MatrixData (mtx_io.hpp:61).
+
+    File paths go through the native C++ parser (native/mtx_native.cpp,
+    the analog of the reference's C++ core/base/mtx_io.cpp) when the
+    shared library is available; stream inputs and fallback use the
+    pure-Python parser below."""
     if isinstance(source, (str,)):
+        import os
+
+        if not os.environ.get("GINKGO_TPU_NO_NATIVE"):
+            from . import native
+
+            if native.available():
+                try:
+                    return native.read_raw_native(source).sort_row_major()
+                except ValueError:
+                    pass  # fall through to the Python parser for diagnostics
         with open(source, "r") as f:
             lines = f.read().splitlines()
     elif isinstance(source, io.IOBase) or hasattr(source, "read"):

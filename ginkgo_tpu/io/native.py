@@ -1,0 +1,173 @@
+"""ctypes binding to the native C++ IO runtime (native/mtx_native.cpp).
+
+Reference analog: core/base/mtx_io.cpp (C++ MatrixMarket parser) and the
+binary format of mtx_io.hpp:96 / benchmark/tools/mtx_to_binary.cpp.  The
+shared library is built on demand with the repo Makefile (native/Makefile);
+every entry point degrades gracefully to the pure-Python parser in
+mtx_io.py when the toolchain or library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..base.matrix_data import MatrixData
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libginkgo_tpu_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+class _GkoParseResult(ctypes.Structure):
+    _fields_ = [
+        ("nrows", ctypes.c_int64),
+        ("ncols", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("is_complex", ctypes.c_int32),
+        ("rows", ctypes.POINTER(ctypes.c_int64)),
+        ("cols", ctypes.POINTER(ctypes.c_int64)),
+        ("values", ctypes.POINTER(ctypes.c_double)),
+        ("error", ctypes.c_char * 256),
+    ]
+
+
+def _build() -> bool:
+    if not os.path.isdir(_NATIVE_DIR):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _build():
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.gko_read_mtx.argtypes = [ctypes.c_char_p, ctypes.POINTER(_GkoParseResult)]
+        lib.gko_read_mtx.restype = ctypes.c_int
+        lib.gko_read_binary.argtypes = [ctypes.c_char_p, ctypes.POINTER(_GkoParseResult)]
+        lib.gko_read_binary.restype = ctypes.c_int
+        lib.gko_write_binary.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.gko_write_binary.restype = ctypes.c_int
+        lib.gko_free_result.argtypes = [ctypes.POINTER(_GkoParseResult)]
+        lib.gko_free_result.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _result_to_matrix_data(lib, res: _GkoParseResult) -> MatrixData:
+    try:
+        nnz = res.nnz
+        rows = np.ctypeslib.as_array(res.rows, shape=(nnz,)).copy() if nnz else np.zeros(0, np.int64)
+        cols = np.ctypeslib.as_array(res.cols, shape=(nnz,)).copy() if nnz else np.zeros(0, np.int64)
+        if res.is_complex:
+            raw = (
+                np.ctypeslib.as_array(res.values, shape=(2 * nnz,)).copy()
+                if nnz
+                else np.zeros(0, np.float64)
+            )
+            vals = raw[0::2] + 1j * raw[1::2]
+        else:
+            vals = (
+                np.ctypeslib.as_array(res.values, shape=(nnz,)).copy()
+                if nnz
+                else np.zeros(0, np.float64)
+            )
+        return MatrixData.from_coo(
+            (int(res.nrows), int(res.ncols)), rows, cols, vals
+        )
+    finally:
+        lib.gko_free_result(ctypes.byref(res))
+
+
+def read_raw_native(path: str) -> MatrixData:
+    """Parse a MatrixMarket file with the native parser (pre-sorted
+    row-major by the C++ side)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    res = _GkoParseResult()
+    rc = lib.gko_read_mtx(path.encode(), ctypes.byref(res))
+    if rc != 0:
+        err = res.error.decode(errors="replace")
+        raise ValueError(f"native mtx parse failed: {err}")
+    return _result_to_matrix_data(lib, res)
+
+
+def read_binary_native(path: str) -> MatrixData:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    res = _GkoParseResult()
+    rc = lib.gko_read_binary(path.encode(), ctypes.byref(res))
+    if rc != 0:
+        err = res.error.decode(errors="replace")
+        raise ValueError(f"native binary read failed: {err}")
+    return _result_to_matrix_data(lib, res)
+
+
+def write_binary_native(path: str, data: MatrixData) -> None:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    rows = np.ascontiguousarray(data.rows, dtype=np.int64)
+    cols = np.ascontiguousarray(data.cols, dtype=np.int64)
+    is_cpx = np.issubdtype(data.values.dtype, np.complexfloating)
+    if is_cpx:
+        vals = np.ascontiguousarray(data.values, dtype=np.complex128).view(np.float64)
+    else:
+        vals = np.ascontiguousarray(data.values, dtype=np.float64)
+    rc = lib.gko_write_binary(
+        path.encode(),
+        int(data.shape[0]),
+        int(data.shape[1]),
+        int(data.nnz),
+        1 if is_cpx else 0,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise IOError(f"native binary write failed: {path}")

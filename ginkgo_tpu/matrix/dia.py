@@ -99,6 +99,20 @@ class Dia(LinOp):
     def nnz(self):  # stored elements (padded dense diagonals)
         return self.diags.size
 
+    def _use_pallas(self, dtype) -> bool:
+        """Use the Pallas kernel (ops/pallas_dia.py) on real TPU; the XLA
+        permutation-matmul path remains the portable fallback (and the oracle
+        the Pallas kernel is tested against)."""
+        import os
+
+        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+            return False
+        return (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and self.num_diags > 0
+        )
+
     def _perm_for(self, s: int):
         keys = sorted({int(o) % LANES for o in self.offsets} - {0})
         return self.perms[keys.index(s)]
@@ -139,6 +153,11 @@ class Dia(LinOp):
         if k == 1:
             # fast path: keep the VPU-native (R, 128) layout, no trailing dim
             x2 = xp.reshape(R, LANES)
+            if self._use_pallas(x2.dtype):
+                from ..ops.pallas_dia import dia_spmv_pallas
+
+                y = dia_spmv_pallas(self.diags, self.offsets, x2)
+                return restore_1d(y.reshape(R * LANES, 1)[:n], was_1d)
             y = None
             for j, off in enumerate(self.offsets):
                 term = self.diags[j] * self._flat_shift(x2, off)

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel for DIA (banded) SpMV — the hot-path kernel.
+
+Reference analog: the hand-written per-format CUDA SpMV kernel families
+(cuda/matrix/csr_kernels.cu:121-386, common/cuda_hip/matrix/coo_kernels.hpp.inc).
+On TPU the stencil/banded class is served by the DIA decomposition
+(matrix/dia.py); this kernel is its speed-of-light implementation:
+
+  y[i] = sum_d diags[d, i] * x[i + off_d]
+
+with x in the (rows, 128)-lane-tiled frame.  Design:
+
+- grid over row blocks of ``block_rows`` sublanes; diagonal values and the
+  output ride the automatic Pallas pipeline (BlockSpec index maps).
+- x stays in HBM; each grid step DMAs ONE halo'd slab of x
+  (block_rows + row-span-of-offsets rows) into a VMEM scratch, double
+  buffered so the next slab's DMA overlaps the current block's compute.
+  This reads x once per apply — the XLA fallback in matrix/dia.py reads a
+  shifted copy of x per diagonal (or pays a 128x128 permutation matmul).
+- a diagonal offset ``off`` splits into a sublane shift q = off // 128 and a
+  lane shift s = off % 128; the lane shift is a VPU circular ``pltpu.roll``
+  combined with a lane-id select between sublane rows q and q+1 (exact, no
+  MXU, no gather).
+
+Offsets are static Python ints, so the per-diagonal loop fully unrolls at
+trace time into straight-line VPU code.
+
+Memory traffic per apply: (nd + 2) * 4 bytes per padded row-element — the
+same roofline model as BASELINE.md's SpMV target.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _plan(offsets, block_rows):
+    """Static per-diagonal (q, s) split and halo geometry."""
+    qs = [(off // LANES, off % LANES) for off in offsets]
+    qmin = min((q for q, _ in qs), default=0)
+    qmax = max((q for q, _ in qs), default=0)
+    qmin = min(qmin, 0)
+    qmax = max(qmax, 0)
+    halo = qmax - qmin + 1  # +1 row for the lane-wrap partner row
+    pad_lo = max(0, -qmin)
+    pad_hi = max(0, qmax + 1)
+    return qs, qmin, halo, pad_lo, pad_hi
+
+
+def _dia_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows, halo,
+                pad_lo, nbuf=2):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slab_rows = block_rows + halo
+
+    def slab_dma(slot, blk):
+        start = blk * block_rows + (qmin + pad_lo)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, slab_rows), :],
+            xs.at[slot],
+            sem.at[slot],
+        )
+
+    # warm-up: first grid step starts its own slab (and the pipeline)
+    @pl.when(i == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    # prefetch next block's slab while this block computes
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        slab_dma((i + 1) % nbuf, i + 1).start()
+
+    slab_dma(i % nbuf, i).wait()
+    slab = xs[i % nbuf]  # (slab_rows, LANES)
+
+    acc = jnp.zeros((block_rows, LANES), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+    for j, (q, s) in enumerate(qs):
+        base = q - qmin
+        cur = slab[base:base + block_rows]
+        if s == 0:
+            shifted = cur
+        else:
+            nxt = slab[base + 1:base + 1 + block_rows]
+            rc = pltpu.roll(cur, -s % LANES, 1)
+            rn = pltpu.roll(nxt, -s % LANES, 1)
+            shifted = jnp.where(lane < LANES - s, rc, rn)
+        acc = acc + diags[j].astype(jnp.float32) * shifted.astype(jnp.float32)
+    out[:] = acc.astype(out.dtype)
+
+
+def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):
+    """y2 = A @ x2 for DIA ``diags`` (nd, R, 128) / static ``offsets`` and x2
+    (R, 128) in the row frame.  Returns (R, 128)."""
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    if nd == 0:
+        return jnp.zeros((R, LANES), x2.dtype)
+    block_rows = min(block_rows, max(8, R))
+    # pad the row frame to a whole number of blocks
+    n_blocks = -(-R // block_rows)
+    R_pad = n_blocks * block_rows
+    if R_pad != R:
+        diags = jnp.pad(diags, ((0, 0), (0, R_pad - R), (0, 0)))
+        x2 = jnp.pad(x2, ((0, R_pad - R), (0, 0)))
+    qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, block_rows)
+    xp = jnp.pad(x2, ((pad_lo, pad_hi), (0, 0)))
+
+    kernel = functools.partial(
+        _dia_kernel, qs=qs, qmin=qmin, block_rows=block_rows, halo=halo,
+        pad_lo=pad_lo,
+    )
+    slab_rows = block_rows + halo
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec((nd, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, LANES), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, slab_rows, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * R_pad * LANES,
+            bytes_accessed=(nd + 2) * R_pad * LANES * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, diags)
+    return out[:R]

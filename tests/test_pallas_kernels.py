@@ -1,0 +1,79 @@
+"""Pallas TPU kernels vs the XLA oracle paths (interpret mode on CPU).
+
+Mirrors the reference's backend-vs-reference comparison tier (SURVEY.md §4,
+test/matrix/*_kernels.cpp pattern): random data, run the device kernel and
+the oracle on the same arrays, compare elementwise.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.matrix.dia import Dia, LANES
+from ginkgo_tpu.ops.pallas_dia import dia_spmv_pallas
+from ginkgo_tpu.utils import generators
+
+
+def _banded(n, offs, rng, dtype=np.float32):
+    rows_l, cols_l, vals_l = [], [], []
+    for o in offs:
+        r = np.arange(max(0, -o), min(n, n - o))
+        rows_l.append(r)
+        cols_l.append(r + o)
+        vals_l.append(rng.standard_normal(len(r)).astype(dtype))
+    return MatrixData.from_coo(
+        (n, n),
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(vals_l),
+    ).sort_row_major()
+
+
+def _run(D, x, block_rows):
+    R = D.diags.shape[1]
+    xp = jnp.pad(x, (0, R * LANES - x.shape[0])).reshape(R, LANES)
+    y = dia_spmv_pallas(
+        D.diags, D.offsets, xp, block_rows=block_rows, interpret=True
+    )
+    return y.reshape(-1)[: x.shape[0]]
+
+
+@pytest.mark.parametrize("n_side", [16, 33])
+def test_dia_pallas_matches_xla_on_stencil(n_side, rng):
+    data = generators.poisson_2d(n_side, dtype=np.float32)
+    D = Dia.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(data.shape[0]).astype(np.float32))
+    y_ref = D.apply(x)
+    y = _run(D, x, block_rows=8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_dia_pallas_irregular_offsets(rng):
+    offs = [-300, -128, -127, -1, 0, 1, 127, 128, 129, 256, 511]
+    data = _banded(700, offs, rng)
+    D = Dia.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(700).astype(np.float32))
+    y_ref = D.apply(x)
+    for br in (4, 16):
+        y = _run(D, x, block_rows=br)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+def test_dia_pallas_single_diag_negative(rng):
+    data = _banded(200, [-5], rng)
+    D = Dia.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(200).astype(np.float32))
+    y = _run(D, x, block_rows=8)
+    y_ref = D.apply(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_dia_pallas_block_not_dividing_rows(rng):
+    # R not a multiple of block_rows exercises the pad path
+    data = _banded(130, [0, 1], rng)  # R = 2 rows of frame
+    D = Dia.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(130).astype(np.float32))
+    y = _run(D, x, block_rows=8)
+    y_ref = D.apply(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
