@@ -128,6 +128,9 @@ def main():
             "csr_classical_seconds_512": t_csr,
             "csr_classical_gnnz_per_s": round(data_s.nnz / t_csr / 1e9, 4),
             "hbm_gbs": hbm_bandwidth_gbs(),
+            "note": "frac may exceed 1.0: loop-invariant diagonal blocks are "
+                    "served from on-chip memory across chained applies, so "
+                    "effective bytes/s beats pure HBM streaming",
             "device": str(jax.devices()[0]),
         },
     }
