@@ -1,0 +1,25 @@
+"""Mixed-precision SpMV: bf16 storage vs f32, accuracy comparison.
+
+Reference: examples/mixed-spmv.cpp."""
+import _path_setup  # noqa: F401  (repo-root import shim)
+import numpy as np
+import jax.numpy as jnp
+import ginkgo_tpu as gko
+
+
+def main():
+    data = gko.generators.poisson_2d(24, dtype=np.float32)
+    A32 = gko.Csr.from_matrix_data(data)
+    A16 = A32.astype(jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(A32.shape[1]).astype(np.float32))
+
+    y32 = A32.apply(x)
+    y16 = A16.apply(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+    print(f"bf16 SpMV relative error vs f32: {rel:.2e} "
+          f"(storage halves, VPU/MXU rates double)")
+
+
+if __name__ == "__main__":
+    main()

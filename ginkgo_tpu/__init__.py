@@ -12,7 +12,9 @@ mapping).
 __version__ = "0.1.0"
 
 from .base import types
+from .base import accessor
 from .base.types import precision_reduction
+from .base.index_set import IndexSet
 from .base.linop import LinOp, Combination, Composition, Perturbation
 from .base.matrix_data import MatrixData, DeviceMatrixData
 from .base.executor import (

@@ -1,12 +1,18 @@
 from .partition import Partition
 from .matrix import DistCsr
+from .vector import DistVector
 from .solve import distributed_solve, make_mesh, pad_global, unpad_global
+from . import comm
+from . import vector
 
 __all__ = [
     "Partition",
     "DistCsr",
+    "DistVector",
     "distributed_solve",
     "make_mesh",
     "pad_global",
     "unpad_global",
+    "comm",
+    "vector",
 ]

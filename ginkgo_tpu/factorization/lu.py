@@ -96,8 +96,11 @@ class LuFactory:
         # SuperLU may still row-permute; fold Pr into L to keep L@U == A
         n = a.shape[0]
         Pr = sps.csc_matrix((np.ones(n), (lu.perm_r, np.arange(n))))
-        L = (Pr.T @ lu.L).tocsr()
-        U = lu.U.tocsr()
+        # SuperLU computes in double; restore the operator's value dtype so
+        # downstream triangular solves stay type-stable (precision_dispatch
+        # fidelity: factors carry the system's precision)
+        L = (Pr.T @ lu.L).tocsr().astype(a.dtype)
+        U = lu.U.tocsr().astype(a.dtype)
         return Factorization(
             l_factor=Csr.from_scipy(L),
             u_factor=Csr.from_scipy(U),

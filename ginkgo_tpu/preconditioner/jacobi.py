@@ -118,6 +118,17 @@ class Jacobi(LinOp):
         out = y_blk[self.row_block, self.row_local]  # (n, k)
         return restore_1d(out, was_1d)
 
+    def to_matrix_data(self):
+        """WritableToMatrixData (reference jacobi convert_to_dense kernel +
+        write, jacobi.cpp:61-74): exports the explicit block-inverse
+        operator."""
+        from ..base.matrix_data import MatrixData
+        import numpy as np
+
+        return MatrixData.from_dense(np.asarray(self.to_dense().values))
+
+    write = to_matrix_data
+
     def transpose(self) -> "Jacobi":
         if self.inv_diag is not None:
             return self

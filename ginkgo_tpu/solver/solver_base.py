@@ -245,14 +245,18 @@ class IterativeSolverMixin:
 
     def _check_stop(self, iteration, stopped, r=None, rho=None, baselines=None):
         k = baselines["num_cols"]
+        # fallback fills must carry the solver's real dtype so while_loop
+        # carries stay type-stable (e.g. bf16 inner solvers under x64)
+        real_dt = baselines["rhs_norm"].dtype
         ctx = dict(baselines)
         ctx["iteration"] = iteration
         if r is not None and self.criterion.needs_residual_norm:
             ctx["residual_norm"] = norm2(r, self.axis_name)
         else:
-            ctx["residual_norm"] = jnp.full((k,), jnp.inf)
+            ctx["residual_norm"] = jnp.full((k,), jnp.inf, dtype=real_dt)
         ctx["implicit_sq_residual_norm"] = (
-            jnp.abs(rho) if rho is not None else jnp.full((k,), jnp.inf)
+            jnp.abs(rho) if rho is not None
+            else jnp.full((k,), jnp.inf, dtype=real_dt)
         )
         return stopped | self.criterion.check_converged(ctx), ctx["residual_norm"]
 

@@ -101,7 +101,9 @@ class TriangularSolver(LinOp):
                 contrib, (bi * B, 0), (B, k)
             )
             rb = jax.lax.dynamic_slice(rhs, (bi * B, 0), (B, k))
-            xb = self.inv_diag_blocks[bi] @ (rb - seg)
+            xb = self.inv_diag_blocks[bi].astype(x_acc.dtype) @ (rb - seg).astype(
+                x_acc.dtype
+            )
             x_acc = jax.lax.dynamic_update_slice(x_acc, xb, (bi * B, 0))
             return x_acc, None
 
