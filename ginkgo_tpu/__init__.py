@@ -33,6 +33,7 @@ from .matrix.dia import Dia
 from .matrix.ell import Ell, Sellp
 from .matrix.hybrid import Hybrid
 from .matrix.fbcsr import Fbcsr
+from .matrix.bell import Bell
 from .matrix.sparsity_csr import SparsityCsr
 from .matrix.fft import Fft, Fft2, Fft3
 from .matrix.diagonal import Diagonal, Identity, IdentityFactory, Permutation, RowGatherer
@@ -82,6 +83,7 @@ __all__ = [
     "Sellp",
     "Hybrid",
     "Fbcsr",
+    "Bell",
     "SparsityCsr",
     "Fft",
     "Fft2",

@@ -18,7 +18,7 @@ from . import general
 
 ALL_FORMATS = [
     "dense", "csr", "csr-merge_path", "csr-sparselib", "coo", "ell",
-    "sellp", "hybrid", "fbcsr", "sparsity_csr", "dia",
+    "sellp", "hybrid", "fbcsr", "sparsity_csr", "dia", "bell",
 ]
 DEFAULT_FORMATS = ["csr", "csr-merge_path", "coo", "ell", "sellp", "hybrid", "dia"]
 
@@ -52,6 +52,10 @@ def build_operator(fmt: str, data, index_dtype=np.int32):
         return SparsityCsr.from_matrix_data(data)
     if fmt == "dia":
         return Dia.from_matrix_data(data)
+    if fmt == "bell":
+        from ..matrix.bell import Bell
+
+        return Bell.from_matrix_data(data)
     raise ValueError(f"unknown format {fmt}")
 
 

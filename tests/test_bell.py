@@ -1,0 +1,102 @@
+"""Blocked-ELL format + Pallas kernel vs CSR oracle.
+
+Reference analog: the backend-vs-reference CSR strategy comparison tier
+(test/matrix/csr_kernels2.cpp pattern) applied to the TPU-native
+general-sparse format."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.matrix.bell import Bell, suitable_for_bell, LANES
+from ginkgo_tpu.matrix.csr import Csr
+from ginkgo_tpu.ops.pallas_bell import bell_spmv_pallas
+from ginkgo_tpu.utils import generators
+
+
+@pytest.mark.parametrize("n,m,kpr", [(100, 90, 4), (257, 300, 7), (64, 64, 1)])
+def test_bell_apply_matches_csr(n, m, kpr, rng):
+    data = generators.generate_random_matrix(n, m, 1, kpr, rng, dtype=np.float32)
+    A = Bell.from_matrix_data(data)
+    R = Csr.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(A.apply(x)), np.asarray(R.apply(x)), atol=1e-5
+    )
+    # multivector
+    xm = jnp.asarray(rng.standard_normal((m, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(A.apply(xm)), np.asarray(R.apply(xm)), atol=1e-5
+    )
+
+
+def test_bell_pallas_matches_xla(rng):
+    data = generators.generate_random_matrix(257, 300, 1, 7, rng, dtype=np.float32)
+    A = Bell.from_matrix_data(data, block_rows=16)
+    x = jnp.asarray(rng.standard_normal(300).astype(np.float32))
+    NPC = -(-300 // LANES)
+    xp = jnp.pad(x, (0, NPC * LANES - 300)).reshape(NPC, LANES)
+    y_p = bell_spmv_pallas(A.values, A.panel_ids, A.panel_valid, xp, interpret=True)
+    y_ref = Csr.from_matrix_data(data).apply(x)
+    np.testing.assert_allclose(np.asarray(y_p[:257]), np.asarray(y_ref), atol=1e-5)
+
+
+def test_bell_roundtrip_and_ops(rng):
+    data = generators.generate_random_matrix(64, 64, 1, 5, rng)
+    A = Bell.from_matrix_data(data)
+    d0 = data.sum_duplicates().sort_row_major()
+    back = A.to_matrix_data()
+    np.testing.assert_array_equal(back.rows, d0.rows)
+    np.testing.assert_array_equal(back.cols, d0.cols)
+    np.testing.assert_allclose(back.values, d0.values)
+    assert A.nnz == d0.nnz
+    # transpose round trip
+    T = A.transpose()
+    np.testing.assert_allclose(
+        T.to_matrix_data().to_dense(), d0.to_dense().T
+    )
+    # diagonal
+    np.testing.assert_allclose(
+        np.asarray(A.extract_diagonal().values), np.diag(d0.to_dense())
+    )
+
+
+def test_bell_advanced_apply_and_scale(rng):
+    data = generators.generate_random_matrix(40, 40, 1, 4, rng)
+    A = Bell.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal((40, 2)))
+    c = jnp.asarray(rng.standard_normal((40, 2)))
+    got = A.apply_advanced(2.0, x, -0.5, c)
+    want = 2.0 * np.asarray(data.to_dense()) @ np.asarray(x) - 0.5 * np.asarray(c)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(A.scale(3.0).apply(x)), 3 * np.asarray(A.apply(x)), rtol=1e-12
+    )
+
+
+def test_bell_inflation_and_suitability(rng):
+    # block-structured matrix: few panels, decent fill -> low inflation
+    NRB, BR, K = 16, 8, 3
+    n = NRB * BR
+    rows_l, cols_l = [], []
+    for rb in range(NRB):
+        panels = rng.choice(8, size=K, replace=False)
+        for p in panels:
+            rr, cc = np.nonzero(rng.random((BR, LANES)) < 0.4)
+            rows_l.append(rb * BR + rr)
+            cols_l.append(p * LANES + cc)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    data = MatrixData.from_coo(
+        (n, 8 * LANES), rows, cols, rng.standard_normal(len(rows))
+    ).sort_row_major()
+    A = Bell.from_matrix_data(data, block_rows=BR)
+    assert A.storage_inflation() < 4.0
+    assert suitable_for_bell(data, block_rows=BR)
+    x = jnp.asarray(rng.standard_normal(8 * LANES))
+    np.testing.assert_allclose(
+        np.asarray(A.apply(x)),
+        np.asarray(data.to_dense()) @ np.asarray(x),
+        rtol=1e-9,
+    )
