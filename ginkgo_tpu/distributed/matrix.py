@@ -44,12 +44,19 @@ class DistCsr(LinOp):
     nl_cols: jnp.ndarray  # (P, NNL)
     nl_vals: jnp.ndarray  # (P, NNL)
     # halo: padded-global index (part*L + local) of each needed remote column
+    # (all_gather mode), or window-relative index into [prev; self; next]
+    # (neighbor mode)
     halo_src: jnp.ndarray  # (P, H)
     row_valid: jnp.ndarray  # (P, L) 1.0 for true rows, 0.0 for padding
     shape: tuple = static_field(default=(0, 0))
     local_size: int = static_field(default=0)  # L
     num_parts: int = static_field(default=1)
     axis_name: Any = static_field(default=None)
+    #: "all_gather": halo = all_gather over the mesh axis (O(P*L) ICI
+    #: traffic, any sparsity).  "neighbor": halos touch only parts p+-1, so
+    #: two ppermute ring shifts suffice (O(L) traffic — the scalable path
+    #: for banded/stencil partitions, auto-detected at assembly).
+    halo_mode: str = static_field(default="all_gather")
 
     @property
     def dtype(self):
@@ -59,7 +66,7 @@ class DistCsr(LinOp):
 
     @staticmethod
     def from_matrix_data(
-        data: MatrixData, partition: Partition, axis_name="rows"
+        data: MatrixData, partition: Partition, axis_name="rows", halo="auto"
     ) -> "DistCsr":
         d = data.sum_duplicates()
         n, m = d.shape
@@ -116,6 +123,28 @@ class DistCsr(LinOp):
             halo_src[p, : len(halos[p])] = halos[p]
             row_valid[p, : partition.part_sizes[p]] = 1
 
+        # neighbor-halo detection: every remote column lives on part p-1 or
+        # p+1 -> ring ppermutes replace the all_gather (matrix.cpp's
+        # point-to-point i_all_to_all_v analog; O(L) not O(P*L) on ICI)
+        halo_mode = "all_gather"
+        if halo in ("auto", "neighbor") and P > 1:
+            neighbor_ok = all(
+                np.all(np.isin(halos[p] // L, [p - 1, p + 1]))
+                for p in range(P)
+                if len(halos[p])
+            )
+            if neighbor_ok:
+                halo_mode = "neighbor"
+                for p in range(P):
+                    h = halos[p]
+                    if len(h):
+                        rel = (h // L - p + 1) * L + (h % L)
+                        halo_src[p, : len(h)] = rel
+            elif halo == "neighbor":
+                raise ValueError(
+                    "halo='neighbor' requested but halos reach beyond p+-1"
+                )
+
         return DistCsr(
             l_row_ptrs=jnp.asarray(l_rp),
             l_cols=jnp.asarray(l_cols),
@@ -129,6 +158,7 @@ class DistCsr(LinOp):
             local_size=L,
             num_parts=P,
             axis_name=axis_name,
+            halo_mode=halo_mode,
         )
 
     # -- shard-level ops (call inside shard_map; leading parts axis == 1) -------
@@ -153,9 +183,23 @@ class DistCsr(LinOp):
             L,
         )
         # halo exchange + non-local contribution
-        xg = jax.lax.all_gather(arr, self.axis_name)  # (P, L, k)
-        xg = xg.reshape(-1, arr.shape[1])
-        halo = jnp.take(xg, self._sq(self.halo_src), axis=0)  # (H, k)
+        if self.halo_mode == "neighbor":
+            P = self.num_parts
+            ax = self.axis_name
+            # window [x from p-1; own x; x from p+1]; boundary devices with
+            # no source receive zeros from the partial permutation
+            from_prev = jax.lax.ppermute(
+                arr, ax, [(i, i + 1) for i in range(P - 1)]
+            )
+            from_next = jax.lax.ppermute(
+                arr, ax, [(i + 1, i) for i in range(P - 1)]
+            )
+            window = jnp.concatenate([from_prev, arr, from_next], axis=0)
+            halo = jnp.take(window, self._sq(self.halo_src), axis=0)  # (H, k)
+        else:
+            xg = jax.lax.all_gather(arr, self.axis_name)  # (P, L, k)
+            xg = xg.reshape(-1, arr.shape[1])
+            halo = jnp.take(xg, self._sq(self.halo_src), axis=0)  # (H, k)
         y = y + spmv_ops.csr_spmv_classical(
             self._sq(self.nl_row_ptrs),
             self._sq(self.nl_cols),

@@ -123,3 +123,43 @@ def test_distributed_cg_with_jacobi(rng):
     )
     assert bool(np.all(np.asarray(info.converged)))
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
+
+
+def test_neighbor_halo_mode_matches_all_gather(rng):
+    import jax.numpy as jnp
+    from ginkgo_tpu.distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ginkgo_tpu import Cg, stop, generators
+
+    data = generators.poisson_2d(8, dtype=np.float32)  # bandwidth 8 < L
+    n = data.shape[0]
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A_nb = DistCsr.from_matrix_data(data, part)  # auto -> neighbor
+    assert A_nb.halo_mode == "neighbor"
+    A_ag = DistCsr.from_matrix_data(data, part, halo="all_gather")
+    assert A_ag.halo_mode == "all_gather"
+    mesh = make_mesh(8)
+    b = jnp.ones((n, 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=100), stop.ResidualNorm(tolerance=1e-6)]
+    x1, i1 = distributed_solve(mesh, Cg, A_nb, b, part, criteria=crit)
+    x2, i2 = distributed_solve(mesh, Cg, A_ag, b, part, criteria=crit)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5, atol=1e-6)
+    assert int(i1.iterations) == int(i2.iterations)
+
+
+def test_neighbor_halo_rejects_long_range(rng):
+    from ginkgo_tpu.distributed import Partition, DistCsr
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    # one entry connecting row 0 to the last column: part 0 <-> part 7
+    n = 64
+    data = MatrixData.from_coo(
+        (n, n),
+        np.concatenate([np.arange(n), [0]]),
+        np.concatenate([np.arange(n), [n - 1]]),
+        np.ones(n + 1),
+    ).sort_row_major()
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A = DistCsr.from_matrix_data(data, part)  # auto falls back
+    assert A.halo_mode == "all_gather"
+    with pytest.raises(ValueError):
+        DistCsr.from_matrix_data(data, part, halo="neighbor")
