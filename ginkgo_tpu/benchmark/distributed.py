@@ -1,0 +1,91 @@
+"""Distributed solver benchmark: weak/strong scaling over a device mesh.
+
+Reference: the distributed solver benchmarks driven by test/mpi + the
+weak-scaling target of BASELINE.md (CG + Jacobi >= 75% nnz/s efficiency).
+Runs distributed_solve over 1..N devices on the same (strong) or
+proportionally grown (weak) problem and reports per-device throughput.
+
+    python -m ginkgo_tpu.benchmark.distributed --mode weak --base-side 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import general
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    general.add_common_flags(p)
+    p.add_argument("--mode", choices=["weak", "strong"], default="weak")
+    p.add_argument("--base-side", type=int, default=64,
+                   help="2-D Poisson side per device (weak) or total (strong)")
+    p.add_argument("--max-iters", type=int, default=50)
+    p.add_argument("--devices", default=None,
+                   help="comma list of device counts (default 1,2,4,...)")
+    args = p.parse_args(argv)
+
+    from .. import Cg, stop
+    from ..distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ..utils import generators
+
+    n_avail = len(jax.devices())
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = [c for c in (1, 2, 4, 8, 16) if c <= n_avail]
+
+    rows = []
+    info = general.device_info()
+    base = None
+    for nd in counts:
+        if args.mode == "weak":
+            side = int(args.base_side * np.sqrt(nd))
+        else:
+            side = args.base_side
+        data = generators.poisson_2d(side, dtype=np.float32)
+        n = data.shape[0]
+        part = Partition.build_from_global_size_uniform(n, nd)
+        A = DistCsr.from_matrix_data(data, part)
+        mesh = make_mesh(nd)
+        b = jnp.ones((n, 1), jnp.float32)
+        crit = [stop.Iteration(max_iters=args.max_iters)]
+
+        def run():
+            x, _ = distributed_solve(mesh, Cg, A, b, part, criteria=crit)
+            return x
+
+        jax.block_until_ready(run())
+        best = float("inf")
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            best = min(best, time.perf_counter() - t0)
+        nnz_per_s = data.nnz * args.max_iters / best
+        if base is None:
+            base = nnz_per_s / nd
+        rows.append({
+            "benchmark": "distributed_solver",
+            "mode": args.mode,
+            "devices": nd,
+            "halo_mode": A.halo_mode,
+            "n": n,
+            "nnz": int(data.nnz),
+            "iterations": args.max_iters,
+            "solve_s": best,
+            "gnnz_per_s": nnz_per_s / 1e9,
+            "scaling_efficiency": nnz_per_s / (base * nd),
+            **info,
+        })
+    general.emit(rows, args)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,16 @@ def test_matrix_generator_and_tools(tmp_path, capsys):
         tools.main([mtx, gtb])
         back = native.read_binary_native(gtb)
         assert back.nnz == data.nnz
+
+
+def test_distributed_driver():
+    from ginkgo_tpu.benchmark import distributed
+
+    rows = distributed.main([
+        "--mode", "weak", "--base-side", "10", "--max-iters", "5",
+        "--devices", "1,2", "--trials", "1",
+    ])
+    _no_errors(rows)
+    assert len(rows) == 2
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
+    assert rows[1]["scaling_efficiency"] > 0
