@@ -130,3 +130,37 @@ def test_gmres_spd_matches_cg_solution(rng):
     xg, _ = gko.Gmres.build(criteria=CRIT(1e-12), krylov_dim=30).generate(A).solve(b)
     xc, _ = gko.Cg.build(criteria=CRIT(1e-12)).generate(A).solve(b)
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xc), rtol=1e-7, atol=1e-9)
+
+
+def test_cg_complex_hermitian(rng):
+    # Hermitian positive definite complex system (reference instantiates all
+    # solvers for complex<double>, types.hpp:451-461)
+    n = 24
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (B @ B.conj().T + n * np.eye(n)).astype(np.complex128)
+    A = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(H))
+    x_true = (rng.standard_normal((n, 1)) + 1j * rng.standard_normal((n, 1)))
+    b = jnp.asarray(H @ x_true)
+    solver = gko.Cg.build(
+        criteria=[stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-12)]
+    ).generate(A)
+    x, info = solver.solve(b)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-8, atol=1e-8)
+
+
+def test_gmres_and_bicgstab_complex_general(rng):
+    n = 20
+    M = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))) * 0.3
+    Ad = (M + n * np.eye(n)).astype(np.complex128)  # diagonally dominant
+    A = gko.Csr.from_matrix_data(gko.MatrixData.from_dense(Ad))
+    x_true = rng.standard_normal((n, 1)) + 1j * rng.standard_normal((n, 1))
+    b = jnp.asarray(Ad @ x_true)
+    for cls in (gko.Gmres, gko.Bicgstab):
+        solver = cls.build(
+            criteria=[stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-12)]
+        ).generate(A)
+        x, info = solver.solve(b)
+        np.testing.assert_allclose(
+            np.asarray(x), x_true, rtol=1e-7, atol=1e-7,
+            err_msg=cls.__name__,
+        )
