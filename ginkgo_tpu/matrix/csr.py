@@ -315,6 +315,45 @@ class Csr(LinOp):
 
         return Dia.from_matrix_data(self.to_matrix_data())
 
+    def to_bell(self, block_rows: int = 8):
+        from .bell import Bell
+
+        return Bell.from_matrix_data(self.to_matrix_data(), block_rows)
+
+    # -- entry lookup (csr_lookup.hpp analog) -----------------------------------
+
+    def lookup(self, rows, cols):
+        """Value-array index of entry (row, col), or -1 if absent.
+
+        Reference: the CSR lookup structure (core/matrix/csr_lookup.hpp)
+        used by factorizations to address entries on a fixed pattern.
+        Vectorized lower-bound binary search within each row's segment
+        (no 64-bit keys needed, so it works with x64 off on TPU);
+        jit-safe."""
+        r = jnp.asarray(rows, dtype=jnp.int32).reshape(-1)
+        c = jnp.asarray(cols, dtype=self.col_idxs.dtype).reshape(-1)
+        nnz = self.col_idxs.shape[0]
+        start = jnp.take(self.row_ptrs, r).astype(jnp.int32)
+        end = jnp.take(self.row_ptrs, r + 1).astype(jnp.int32)
+        steps = max(1, int(np.ceil(np.log2(max(nnz, 2)))) + 1)
+        cols_arr = self.col_idxs
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            v = jnp.take(cols_arr, jnp.clip(mid, 0, max(nnz - 1, 0)))
+            active = lo < hi
+            go_right = active & (v < c)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+            return lo, hi
+
+        lo, _ = jax.lax.fori_loop(0, steps, body, (start, end))
+        safe = jnp.clip(lo, 0, max(nnz - 1, 0))
+        hit = (lo < end) & (jnp.take(cols_arr, safe) == c)
+        out = jnp.where(hit, lo, -1)
+        return out.reshape(jnp.asarray(rows).shape)
+
     def to_sparsity_csr(self):
         from .sparsity_csr import SparsityCsr
 

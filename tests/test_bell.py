@@ -100,3 +100,24 @@ def test_bell_inflation_and_suitability(rng):
         np.asarray(data.to_dense()) @ np.asarray(x),
         rtol=1e-9,
     )
+
+
+def test_csr_lookup_and_to_bell(rng):
+    from ginkgo_tpu.matrix.csr import Csr
+
+    data = generators.generate_random_matrix(30, 25, 1, 4, rng)
+    A = Csr.from_matrix_data(data)
+    d = data.sum_duplicates().sort_row_major()
+    # every stored entry found at its slot
+    idx = np.asarray(A.lookup(d.rows, d.cols))
+    np.testing.assert_array_equal(idx, np.arange(d.nnz))
+    # absent entries -> -1
+    dense = d.to_dense()
+    zr, zc = np.nonzero(dense == 0)
+    miss = np.asarray(A.lookup(zr[:10], zc[:10]))
+    np.testing.assert_array_equal(miss, -1)
+    # to_bell round-trips
+    B = A.to_bell()
+    np.testing.assert_allclose(
+        B.to_matrix_data().to_dense(), dense, rtol=1e-12
+    )
