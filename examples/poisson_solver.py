@@ -18,7 +18,7 @@ def main(n=100):
 
     data = gko.generators.poisson_1d(n, dtype=np.float64)  # tridiag(-1,2,-1)
     A = gko.Csr.from_matrix_data(data)
-    rhs = -f * h * h
+    rhs = f * h * h  # A u = h^2 (-u'') + boundary terms
     rhs[0] += u0
     rhs[-1] += u1
     b = jnp.asarray(rhs)[:, None]
@@ -30,6 +30,7 @@ def main(n=100):
 
     u_exact = xs**3
     err = float(np.max(np.abs(np.asarray(x)[:, 0] - u_exact)))
+    assert err < 1e-4, f"discretization error unexpectedly large: {err}"
     print(f"iterations: {int(info.iterations)}, max error vs x^3: {err:.3e}")
 
 

@@ -41,7 +41,8 @@ def main(argv=None):
     ops = {
         "axpy": (lambda v_: scaled(v_ + 0.5 * y), 3 * n * itemsize),
         "scal": (lambda v_: v_ * 0.999, 2 * n * itemsize),
-        "copy": (lambda v_: v_ + 0.0, 2 * n * itemsize),
+        # roll is real data movement XLA cannot fold to identity
+        "copy": (lambda v_: jnp.roll(v_, 1), 2 * n * itemsize),
         "dot": (lambda v_: scaled(v_ + jnp.vdot(v_, y).astype(dtype)), 2 * n * itemsize),
         "norm2": (lambda v_: scaled(v_ + jnp.linalg.norm(v_).astype(dtype)), n * itemsize),
         "gemv": (lambda v_: jnp.tanh(G @ v_), m * m * itemsize),

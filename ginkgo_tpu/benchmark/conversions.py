@@ -29,9 +29,7 @@ def convert(op, to_fmt: str):
     if hasattr(op, target):
         return getattr(op, target)()
     # generic path through matrix_data (ConvertibleTo fallback)
-    from .spmv import build_operator as build
-
-    return build(to_fmt, op.to_matrix_data())
+    return build_operator(to_fmt, op.to_matrix_data())
 
 
 def main(argv=None):

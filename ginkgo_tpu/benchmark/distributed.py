@@ -61,11 +61,11 @@ def main(argv=None):
             x, _ = distributed_solve(mesh, Cg, A, b, part, criteria=crit)
             return x
 
-        jax.block_until_ready(run())
+        general.fence(run())
         best = float("inf")
         for _ in range(args.trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            general.fence(run())
             best = min(best, time.perf_counter() - t0)
         nnz_per_s = data.nnz * args.max_iters / best
         if base is None:

@@ -96,14 +96,27 @@ def chain_seconds(apply_fn, x0, trips, trials=3):
     return max((t2 - t1) / trips, 1e-12)
 
 
+def fence(obj):
+    """Force completion via a scalar device->host readback on every array
+    leaf — `block_until_ready` is unreliable on the tunneled TPU (see
+    CLAUDE.md), a readback is a true fence.  Returns obj."""
+    for leaf in jax.tree_util.tree_leaves(obj):
+        if hasattr(leaf, "ndim") and hasattr(leaf, "dtype") and getattr(
+            leaf, "size", 0
+        ):
+            idx = (0,) * leaf.ndim
+            np.asarray(leaf[idx] if leaf.ndim else leaf)
+    return obj
+
+
 def once_seconds(fn, trials=3, warmup=1):
-    """Wall time of a single (device-fenced) call — for generate phases."""
+    """Wall time of a single (readback-fenced) call — for generate phases."""
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        fence(fn())
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        fence(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -98,20 +98,18 @@ def main(argv=None):
                 try:
                     fac = solver_factory(sname, criteria, precond_factory(pname))
                     t0 = time.perf_counter()
-                    solver = fac.generate(A)
-                    jax.block_until_ready(jax.tree_util.tree_leaves(solver)[0])
+                    solver = general.fence(fac.generate(A))
                     t_generate = time.perf_counter() - t0
 
                     def run():
                         x, info_ = solver.solve(b)
                         return x, info_
 
-                    # warm (compile) once, then time the apply phase
-                    x, sinfo = run()
-                    jax.block_until_ready(x)
+                    # warm (compile) once, then time the apply phase;
+                    # scalar-readback fence (block_until_ready unreliable)
+                    x, sinfo = general.fence(run())
                     t0 = time.perf_counter()
-                    x, sinfo = run()
-                    jax.block_until_ready(x)
+                    x, sinfo = general.fence(run())
                     t_apply = time.perf_counter() - t0
 
                     r = b - jnp.asarray(A.apply(x))

@@ -27,7 +27,15 @@ def all_reduce(x, axis_name, op: str = "sum"):
     if op == "min":
         return jax.lax.pmin(x, axis_name)
     if op == "prod":
-        return jnp.exp(jax.lax.psum(jnp.log(x), axis_name))
+        # signed product: track sign and zeros separately so negative and
+        # zero inputs keep MPI_PROD semantics (log/exp alone would NaN)
+        negs = jax.lax.psum((x < 0).astype(jnp.int32), axis_name)
+        zeros = jax.lax.psum((x == 0).astype(jnp.int32), axis_name)
+        mag = jnp.exp(
+            jax.lax.psum(jnp.log(jnp.abs(jnp.where(x == 0, 1, x))), axis_name)
+        )
+        sign = 1.0 - 2.0 * (negs % 2).astype(mag.dtype)
+        return jnp.where(zeros > 0, jnp.zeros_like(mag), sign * mag)
     raise ValueError(f"unknown reduce op {op}")
 
 

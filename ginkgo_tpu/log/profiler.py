@@ -11,7 +11,8 @@ Usage:
     prof = ProfilerRange()                    # logger: one annotation per
     solver.solve_chunked(b, loggers=[prof])   # started/completed event pair
 
-    trace("/tmp/jax-trace")(lambda: solver.solve(b))  # full profiler dump
+    with trace("/tmp/jax-trace"):             # full profiler dump
+        x, info = solver.solve(b)
 """
 
 from __future__ import annotations
@@ -39,18 +40,15 @@ def profile_region(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+@contextlib.contextmanager
 def trace(log_dir: str):
-    """Decorator/context producing a full jax.profiler trace directory."""
-
-    @contextlib.contextmanager
-    def _ctx():
-        jax.profiler.start_trace(log_dir)
-        try:
-            yield
-        finally:
-            jax.profiler.stop_trace()
-
-    return _ctx()
+    """Context manager producing a full jax.profiler trace directory:
+    ``with trace(dir): ...``."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 class ProfilerRange(Logger):

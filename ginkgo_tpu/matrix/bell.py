@@ -46,6 +46,10 @@ class Bell(LinOp):
     values: jnp.ndarray  # (NRB, K, BR, 128) dense panels
     panel_ids: jnp.ndarray  # (NRB, K) int32 column-panel index, 0-padded
     panel_valid: jnp.ndarray  # (NRB, K) 1.0 for real panels
+    #: flat slot (into values.reshape(-1)) of each TRUE nonzero, row-major
+    #: sorted — preserves the sparsity pattern (incl. explicitly stored
+    #: zeros) across conversions, like every other format's to_matrix_data
+    ent_flat: jnp.ndarray = None
     shape: tuple = static_field(default=(0, 0))
     block_rows: int = static_field(default=8)
     nnz_stored: int = static_field(default=0)  # true nnz
@@ -85,11 +89,21 @@ class Bell(LinOp):
         panel_of_entry = np.repeat(np.arange(len(uniq)), counts)
         k_of_entry = slot_of_panel[panel_of_entry]
         values[rb_s, k_of_entry, rows_s % BR, cols_s % LANES] = vals_s
+        ent_flat = (
+            ((rb_s.astype(np.int64) * K + k_of_entry) * BR + rows_s % BR)
+            * LANES
+            + cols_s % LANES
+        )
+        assert ent_flat.size == 0 or ent_flat.max() < 2**31
+        # re-sort the pattern row-major (entries arrived panel-grouped)
+        order2 = np.lexsort((cols_s, rows_s))
+        ent_flat = ent_flat[order2].astype(np.int32)
 
         return Bell(
             values=jnp.asarray(values),
             panel_ids=jnp.asarray(panel_ids),
             panel_valid=jnp.asarray(panel_valid),
+            ent_flat=jnp.asarray(ent_flat),
             shape=(n, m),
             block_rows=BR,
             nnz_stored=int(d.nnz),
@@ -198,20 +212,18 @@ class Bell(LinOp):
 
     def to_matrix_data(self) -> MatrixData:
         NRB, K, BR, _ = self.values.shape
-        vals = np.asarray(self.values)
+        flat = np.asarray(self.ent_flat).astype(np.int64)
+        vals = np.asarray(self.values).reshape(-1)[flat]
         pids = np.asarray(self.panel_ids)
-        valid = np.asarray(self.panel_valid)
-        rbl, kl, brl, cl = np.nonzero(vals)
-        keep = valid[rbl, kl] > 0
-        rbl, kl, brl, cl = rbl[keep], kl[keep], brl[keep], cl[keep]
+        cl = flat % LANES
+        rest = flat // LANES
+        brl = rest % BR
+        rest //= BR
+        kl = rest % K
+        rbl = rest // K
         rows = rbl * BR + brl
         cols = pids[rbl, kl] * LANES + cl
-        v = vals[rbl, kl, brl, cl]
-        n, m = self.shape
-        ok = (rows < n) & (cols < m)
-        return MatrixData.from_coo(
-            self.shape, rows[ok], cols[ok], v[ok]
-        ).sort_row_major()
+        return MatrixData.from_coo(self.shape, rows, cols, vals).sort_row_major()
 
     write = to_matrix_data
 

@@ -367,9 +367,16 @@ class Csr(LinOp):
     def to_scipy(self):
         import scipy.sparse as sps
 
+        vals = np.array(self.values)
+        if vals.dtype not in (
+            np.float32, np.float64, np.complex64, np.complex128
+        ):
+            # scipy has no bfloat16/half: upcast for host-side setup paths
+            # (factorizations, reordering); factors are cast back by callers
+            vals = vals.astype(np.float32)
         return sps.csr_matrix(
             (
-                np.array(self.values),
+                vals,
                 np.array(self.col_idxs),
                 np.array(self.row_ptrs),
             ),

@@ -245,7 +245,7 @@ class PgmFactory:
             fine_op=csr,
             restrict_op=Restriction(agg=agg_dev, n_coarse=nc),
             prolong_op=Prolongation(agg=agg_dev, n_coarse=nc),
-            coarse_op=Csr.from_scipy(Ac),
+            coarse_op=Csr.from_scipy(Ac).astype(csr.dtype),
         )
 
 
@@ -273,7 +273,7 @@ class FixedCoarseningFactory:
             fine_op=csr,
             restrict_op=RowSelector(idx=sel, n_from=n),
             prolong_op=RowScatter(idx=sel, n_to=n),
-            coarse_op=Csr.from_scipy(Ac),
+            coarse_op=Csr.from_scipy(Ac).astype(csr.dtype),
         )
 
 

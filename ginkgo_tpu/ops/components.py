@@ -62,7 +62,7 @@ def convert_ptrs_to_idxs(ptrs, num_entries: int):
     return row_ids_from_ptrs(ptrs, num_entries)
 
 
-def convert_idxs_to_ptrs(idxs, num_entries: int, num_rows: int, dtype=jnp.int32):
+def convert_idxs_to_ptrs(idxs, num_rows: int, dtype=jnp.int32):
     """row_idxs -> row_ptrs via bincount + exclusive scan."""
     counts = jnp.bincount(
         jnp.asarray(idxs).astype(jnp.int32), length=num_rows

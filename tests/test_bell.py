@@ -121,3 +121,19 @@ def test_csr_lookup_and_to_bell(rng):
     np.testing.assert_allclose(
         B.to_matrix_data().to_dense(), dense, rtol=1e-12
     )
+
+
+def test_bell_preserves_explicit_zeros(rng):
+    # explicit zero entries survive the round trip (fixed-pattern contract)
+    data = MatrixData.from_coo(
+        (10, 10),
+        np.array([0, 0, 3, 7]),
+        np.array([1, 5, 3, 2]),
+        np.array([1.0, 0.0, 0.0, 2.0]),
+    ).sort_row_major()
+    A = Bell.from_matrix_data(data)
+    back = A.to_matrix_data()
+    assert back.nnz == 4
+    np.testing.assert_array_equal(back.rows, data.rows)
+    np.testing.assert_array_equal(back.cols, data.cols)
+    np.testing.assert_allclose(back.values, data.values)

@@ -133,3 +133,17 @@ def test_profiler_logger_and_version():
         pass
     vi = version_info()
     assert str(vi.core_version).startswith("0.")
+
+
+def test_all_reduce_prod_signed_and_zero(mesh):
+    # MPI_PROD semantics with negatives and zeros (review regression)
+    neg = jnp.asarray([1.0, -2.0, 3.0, -1.0, 1.0, 1.0, 1.0, 1.0]).reshape(8, 1)
+    wz = jnp.asarray([1.0, -2.0, 0.0, 4.0, 1.0, 1.0, 1.0, 1.0]).reshape(8, 1)
+
+    def f(v):
+        return comm.all_reduce(v[0], "rows", "prod")[None]
+
+    out = np.asarray(_smap(mesh, f, neg))
+    np.testing.assert_allclose(out[0, 0], 6.0, rtol=1e-6)
+    out = np.asarray(_smap(mesh, f, wz))
+    np.testing.assert_allclose(out[0, 0], 0.0, atol=1e-12)

@@ -25,7 +25,7 @@ def test_ptr_idx_roundtrip():
     ptrs = jnp.asarray([0, 2, 2, 5], jnp.int32)
     idxs = C.convert_ptrs_to_idxs(ptrs, 5)
     np.testing.assert_array_equal(np.asarray(idxs), [0, 0, 2, 2, 2])
-    back = C.convert_idxs_to_ptrs(idxs, 5, 3)
+    back = C.convert_idxs_to_ptrs(idxs, 3)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(ptrs))
 
 
