@@ -34,6 +34,7 @@ from .matrix.ell import Ell, Sellp
 from .matrix.hybrid import Hybrid
 from .matrix.fbcsr import Fbcsr
 from .matrix.bell import Bell
+from .matrix.auto import choose_format
 from .matrix.sparsity_csr import SparsityCsr
 from .matrix.fft import Fft, Fft2, Fft3
 from .matrix.diagonal import Diagonal, Identity, IdentityFactory, Permutation, RowGatherer
@@ -84,6 +85,7 @@ __all__ = [
     "Hybrid",
     "Fbcsr",
     "Bell",
+    "choose_format",
     "SparsityCsr",
     "Fft",
     "Fft2",

@@ -1,0 +1,32 @@
+"""Automatic format selection.
+
+Reference analog: Csr's `automatical` SpMV strategy (csr.hpp:526) picks a
+kernel from matrix statistics.  On TPU the decision that matters is the
+*format* (it determines whether SpMV gathers): banded/stencil operators go
+to DIA (gather-free diagonal streaming), column-local operators go to BELL
+(panel streaming), and everything else stays CSR (with a documented
+gather penalty) — the same "pick the fast path from sparsity statistics"
+contract, one level up.
+"""
+
+from __future__ import annotations
+
+from ..base.matrix_data import MatrixData
+from .dia import Dia, suitable_for_dia
+from .bell import Bell, suitable_for_bell
+from .csr import Csr
+
+
+def choose_format(
+    data: MatrixData,
+    max_diags: int = 64,
+    max_inflation: float = 40.0,
+    block_rows: int = 8,
+):
+    """Build the fastest suitable operator for `data` (automatical
+    strategy analog).  Preference: Dia > Bell > Csr."""
+    if suitable_for_dia(data, max_diags=max_diags):
+        return Dia.from_matrix_data(data)
+    if suitable_for_bell(data, block_rows=block_rows, max_inflation=max_inflation):
+        return Bell.from_matrix_data(data, block_rows=block_rows)
+    return Csr.from_matrix_data(data)

@@ -150,6 +150,25 @@ class SolverFactory:
         )
 
 
+@jax.jit
+def _jitted_solve(solver, barr, xarr):
+    return solver._solve_impl(barr, xarr)
+
+
+def _jittable(solver) -> bool:
+    """True when every pytree leaf of the solver is an array/scalar, so the
+    whole solve can be traced with the solver as a jit argument."""
+    import numpy as _np
+
+    for leaf in jax.tree_util.tree_leaves(solver):
+        if leaf is None or isinstance(
+            leaf, (jax.Array, _np.ndarray, float, int, complex, bool, _np.generic)
+        ):
+            continue
+        return False
+    return True
+
+
 class IterativeSolverMixin:
     """Shared apply/solve plumbing for Krylov solvers."""
 
@@ -176,13 +195,25 @@ class IterativeSolverMixin:
         return x
 
     def solve(self, b, x0=None):
-        """Returns (x, SolveInfo).  Fully jittable."""
+        """Returns (x, SolveInfo).
+
+        Runs under jit: the solver is a pytree, so the whole solve — setup,
+        the fused while_loop, and the criterion — compiles to ONE XLA
+        computation.  Eager execution would dispatch every setup op
+        separately (ruinous through a remote-device tunnel); inside an
+        enclosing jit trace this wrapper is a no-op cache hit."""
         barr, was_1d = as_2d(b)
         if x0 is None:
             xarr = jnp.zeros_like(barr)
         else:
             xarr, _ = as_2d(x0)
-        x, info = self._solve_impl(barr, xarr)
+        if _jittable(self):
+            x, info = _jitted_solve(self, barr, xarr)
+        else:
+            # a field (e.g. a user's plain-object preconditioner) is not a
+            # pytree of arrays: run unjitted — still one XLA computation
+            # for the while_loop, just eager setup ops
+            x, info = self._solve_impl(barr, xarr)
         return restore_1d(x, was_1d), info
 
     def solve_chunked(self, b, x0=None, chunk: int = 50, loggers=()):
@@ -203,7 +234,10 @@ class IterativeSolverMixin:
             n_now = min(chunk, max_iters - done_iters)
             if chunk_solver is None or n_now != chunk:
                 chunk_solver = self._with_max_iters(n_now)
-            x, info = chunk_solver._solve_impl(barr, x)
+            if _jittable(chunk_solver):
+                x, info = _jitted_solve(chunk_solver, barr, x)
+            else:
+                x, info = chunk_solver._solve_impl(barr, x)
             done_iters += int(info.iterations)
             for lg in loggers:
                 lg.on(

@@ -141,14 +141,13 @@ class Combined(Criterion):
         return mask
 
 
+@linop_dataclass
 class Time(Criterion):
     """Wall-clock limit (time.hpp:52).  Host-checked between solve chunks —
     see solver_base.solve_chunked; inert inside the fused loop."""
 
+    time_limit_sec: float = static_field(default=float("inf"))
     is_convergence = False
-
-    def __init__(self, time_limit_sec: float):
-        self.time_limit_sec = float(time_limit_sec)
 
     def check(self, ctx):
         k = ctx["num_cols"]

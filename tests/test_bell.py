@@ -137,3 +137,28 @@ def test_bell_preserves_explicit_zeros(rng):
     np.testing.assert_array_equal(back.rows, data.rows)
     np.testing.assert_array_equal(back.cols, data.cols)
     np.testing.assert_allclose(back.values, data.values)
+
+
+def test_choose_format(rng):
+    import ginkgo_tpu as gko
+    from ginkgo_tpu.matrix.dia import Dia
+    from ginkgo_tpu.matrix.csr import Csr
+
+    # stencil -> Dia
+    assert isinstance(gko.choose_format(generators.poisson_2d(8)), Dia)
+    # fully random scatter -> Csr
+    d = generators.generate_random_matrix(64, 2048, 1, 2, rng)
+    assert isinstance(gko.choose_format(d), Csr)
+    # block-structured -> Bell
+    NRB, BR = 16, 8
+    rows_l, cols_l = [], []
+    for rb in range(NRB):
+        for p in rng.choice(4, size=2, replace=False):
+            rr, cc = np.nonzero(rng.random((BR, LANES)) < 0.5)
+            rows_l.append(rb * BR + rr)
+            cols_l.append(p * LANES + cc)
+    rows = np.concatenate(rows_l); cols = np.concatenate(cols_l)
+    d2 = MatrixData.from_coo(
+        (NRB * BR, 4 * LANES), rows, cols, rng.standard_normal(len(rows))
+    ).sort_row_major()
+    assert isinstance(gko.choose_format(d2), Bell)
