@@ -178,6 +178,25 @@ class Dia(LinOp):
     def apply_advanced(self, alpha, b, beta, x):
         arr, was_1d = as_2d(b)
         xa, _ = as_2d(x)
+        if arr.shape[1] == 1 and self._use_pallas(arr.dtype):
+            from ..ops.pallas_dia import dia_advanced_spmv_pallas
+
+            n = self.shape[0]
+            R = self.diags.shape[1]
+            pad = R * LANES - arr.shape[0]
+            b2 = jnp.pad(arr, ((0, max(pad, 0)), (0, 0)))[: R * LANES]
+            y2 = jnp.pad(xa, ((0, max(R * LANES - xa.shape[0], 0)), (0, 0)))[
+                : R * LANES
+            ]
+            out = dia_advanced_spmv_pallas(
+                self.diags,
+                self.offsets,
+                b2.reshape(R, LANES),
+                alpha,
+                beta,
+                y2.reshape(R, LANES),
+            )
+            return restore_1d(out.reshape(R * LANES, 1)[:n], was_1d)
         out = jnp.asarray(alpha).reshape(()) * as_2d(self.apply(arr))[0] + jnp.asarray(
             beta
         ).reshape(()) * xa

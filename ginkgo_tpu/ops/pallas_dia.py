@@ -53,6 +53,51 @@ def _plan(offsets, block_rows):
     return qs, qmin, halo, pad_lo, pad_hi
 
 
+def _dia_advanced_kernel(scal, x_hbm, diags, y, out, xs, sem, *, qs, qmin,
+                         block_rows, halo, pad_lo, nbuf=2):
+    """Fused out = alpha * (A @ x) + beta * y — same streaming structure as
+    _dia_kernel with the y block riding the automatic pipeline; removes the
+    separate axpy pass of apply_advanced (one fewer read+write of y-sized
+    data per call).  scal is an SMEM (2,) [alpha, beta]."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slab_rows = block_rows + halo
+
+    def slab_dma(slot, blk):
+        start = blk * block_rows + (qmin + pad_lo)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, slab_rows), :], xs.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        slab_dma((i + 1) % nbuf, i + 1).start()
+
+    slab_dma(i % nbuf, i).wait()
+    slab = xs[i % nbuf]
+
+    acc = jnp.zeros((block_rows, LANES), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+    for j, (q, s) in enumerate(qs):
+        base = q - qmin
+        cur = slab[base:base + block_rows]
+        if s == 0:
+            shifted = cur
+        else:
+            nxt = slab[base + 1:base + 1 + block_rows]
+            rc = pltpu.roll(cur, -s % LANES, 1)
+            rn = pltpu.roll(nxt, -s % LANES, 1)
+            shifted = jnp.where(lane < LANES - s, rc, rn)
+        acc = acc + diags[j].astype(jnp.float32) * shifted.astype(jnp.float32)
+    out[:] = (scal[0] * acc + scal[1] * y[:].astype(jnp.float32)).astype(
+        out.dtype
+    )
+
+
 def _dia_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows, halo,
                 pad_lo, nbuf=2):
     i = pl.program_id(0)
@@ -94,6 +139,63 @@ def _dia_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows, halo,
             shifted = jnp.where(lane < LANES - s, rc, rn)
         acc = acc + diags[j].astype(jnp.float32) * shifted.astype(jnp.float32)
     out[:] = acc.astype(out.dtype)
+
+
+def dia_advanced_spmv_pallas(diags, offsets, x2, alpha, beta, y2, *,
+                             block_rows=512, interpret=False):
+    """y = alpha * A @ x2 + beta * y2 fused (see _dia_advanced_kernel)."""
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    if nd == 0:
+        return jnp.asarray(beta) * y2
+    block_rows = min(block_rows, max(8, R))
+    n_blocks = -(-R // block_rows)
+    R_pad = n_blocks * block_rows
+    if R_pad != R:
+        diags = jnp.pad(diags, ((0, 0), (0, R_pad - R), (0, 0)))
+        x2 = jnp.pad(x2, ((0, R_pad - R), (0, 0)))
+        y2 = jnp.pad(y2, ((0, R_pad - R), (0, 0)))
+    qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, block_rows)
+    xp = jnp.pad(x2, ((pad_lo, pad_hi), (0, 0)))
+    scal = jnp.stack(
+        [jnp.asarray(alpha, jnp.float32).reshape(()),
+         jnp.asarray(beta, jnp.float32).reshape(())]
+    )
+
+    kernel = functools.partial(
+        _dia_advanced_kernel, qs=qs, qmin=qmin, block_rows=block_rows,
+        halo=halo, pad_lo=pad_lo,
+    )
+    slab_rows = block_rows + halo
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [alpha, beta]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec((nd, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, LANES), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, slab_rows, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nd + 1) * R_pad * LANES,
+            bytes_accessed=(nd + 3) * R_pad * LANES * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, xp, diags, y2)
+    return out[:R]
 
 
 def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):

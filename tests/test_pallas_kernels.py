@@ -77,3 +77,24 @@ def test_dia_pallas_block_not_dividing_rows(rng):
     y = _run(D, x, block_rows=8)
     y_ref = D.apply(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_dia_advanced_pallas_matches_oracle(rng):
+    from ginkgo_tpu.ops.pallas_dia import dia_advanced_spmv_pallas
+
+    data = generators.poisson_2d(16, dtype=np.float32)
+    D = Dia.from_matrix_data(data)
+    n = data.shape[0]
+    R = D.diags.shape[1]
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+    alpha, beta = np.float32(1.7), np.float32(-0.4)
+    want = alpha * (np.asarray(data.to_dense()) @ x) + beta * y
+    xp = jnp.pad(jnp.asarray(x), (0, R * LANES - n)).reshape(R, LANES)
+    yp = jnp.pad(jnp.asarray(y), (0, R * LANES - n)).reshape(R, LANES)
+    got = dia_advanced_spmv_pallas(
+        D.diags, D.offsets, xp, alpha, beta, yp, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1)[:n], want, rtol=1e-5, atol=1e-5
+    )
