@@ -104,6 +104,28 @@ class Csr(LinOp):
 
     num_stored_elements = nnz
 
+    def _maybe_hint_gather(self):
+        """PerformanceHint analog (log/performance_hint.hpp:58-75): CSR SpMV
+        on TPU is element-gather-bound (~7 ns/nnz); point users at the
+        streaming formats once per process."""
+        import os
+        import warnings
+
+        if (
+            self.nnz > 100_000
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("GINKGO_TPU_NO_HINTS")
+            and not getattr(Csr, "_gather_hinted", False)
+        ):
+            Csr._gather_hinted = True
+            warnings.warn(
+                "[PerformanceHint] gather-based CSR SpMV on TPU runs far "
+                "below streaming rate; consider Dia (banded), Bell "
+                "(general), or gko.choose_format. Silence with "
+                "GINKGO_TPU_NO_HINTS=1.",
+                stacklevel=3,
+            )
+
     def with_strategy(self, strategy: str) -> "Csr":
         assert strategy in STRATEGIES, strategy
         return self.replace(strategy=strategy)
@@ -116,6 +138,7 @@ class Csr(LinOp):
     def apply(self, b):
         if isinstance(b, Csr):  # apply doubles as SpGEMM (csr.cpp:188-191)
             return self.spgemm(b)
+        self._maybe_hint_gather()
         arr, was_1d = as_2d(b)
         strat = self._resolve_strategy()
         if strat == "classical":

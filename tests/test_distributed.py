@@ -163,3 +163,50 @@ def test_neighbor_halo_rejects_long_range(rng):
     assert A.halo_mode == "all_gather"
     with pytest.raises(ValueError):
         DistCsr.from_matrix_data(data, part, halo="neighbor")
+
+
+def test_non_uniform_partition_solve(rng):
+    """Ragged parts via build_from_mapping (partition.hpp:254 analog):
+    distributed solve must match the replicated solve."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ginkgo_tpu import Cg, stop, generators
+
+    data = generators.poisson_2d(10, dtype=np.float32)  # n = 100
+    n = data.shape[0]
+    # ragged contiguous parts: sizes 5,20,7,18,10,15,13,12
+    sizes = [5, 20, 7, 18, 10, 15, 13, 12]
+    assert sum(sizes) == n
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    part = Partition.build_from_contiguous(bounds)
+    A = DistCsr.from_matrix_data(data, part)
+    mesh = make_mesh(8)
+    b = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-6)]
+    x, info = distributed_solve(mesh, Cg, A, b, part, criteria=crit)
+    x_ref, _ = gko.Cg.build(criteria=crit).generate(
+        gko.Csr.from_matrix_data(data)
+    ).solve(b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_partition_mapping_scattered(rng):
+    """Non-contiguous ownership via build_from_mapping."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ginkgo_tpu import Cg, stop, generators
+
+    data = generators.poisson_1d(64, dtype=np.float32)
+    n = data.shape[0]
+    mapping = rng.integers(0, 8, size=n)  # scattered rows
+    part = Partition.build_from_mapping(mapping, 8)
+    A = DistCsr.from_matrix_data(data, part)
+    assert A.halo_mode == "all_gather"  # scattered halos reach far parts
+    mesh = make_mesh(8)
+    b = jnp.ones((n, 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-7)]
+    x, info = distributed_solve(mesh, Cg, A, b, part, criteria=crit)
+    x_ref, _ = gko.Cg.build(criteria=crit).generate(
+        gko.Csr.from_matrix_data(data)
+    ).solve(b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
