@@ -155,6 +155,15 @@ class Bell(LinOp):
                 x_panels[..., 0],
             )
             return restore_1d(y.reshape(NRB * BR, 1)[:n], was_1d)
+        if (
+            1 < k <= 128
+            and self._use_pallas(arr.dtype)
+            and max(k, 8) * NPC * LANES * 4 <= 6 * (1 << 20)
+        ):
+            from ..ops.pallas_bell import bell_spmm_pallas
+
+            y = bell_spmm_pallas(self.values, self.panel_ids, xp.T)
+            return restore_1d(y[:n], was_1d)
         # XLA path: coarse panel take (512B granules, not element gather)
         xg = jnp.take(x_panels, self.panel_ids.reshape(-1), axis=0)
         xg = xg.reshape(NRB, K, LANES, k) * self.panel_valid[..., None, None].astype(arr.dtype)

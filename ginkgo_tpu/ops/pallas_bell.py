@@ -55,6 +55,77 @@ def _bell_vmem_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
         out_ref[g * BR:(g + 1) * BR] = acc
 
 
+def _bell_spmm_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
+    """Multi-RHS variant: each (BR, 128) panel contracts a (k, 128) slab of
+    the resident x on the MXU — BELL SpMM is a stream of small matmuls.
+    x is carried transposed (k, m_pad) so its VMEM footprint is
+    ~max(k,8) * m * 4 B instead of lane-padding every column to 128."""
+    i = pl.program_id(0)
+    kcols = out_ref.shape[1]
+    for g in range(G):
+        acc = jnp.zeros((BR, kcols), jnp.float32)
+        for k in range(K):
+            pid = pids_ref[(i * G + g) * K + k]
+            xp = x_ref[:, pl.ds(pid * LANES, LANES)]  # (k, LANES)
+            acc += jax.lax.dot_general(
+                vals_ref[g, k], xp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[g * BR:(g + 1) * BR] = acc.astype(out_ref.dtype)
+
+
+def bell_spmm_pallas(values, panel_ids, x_t, *, interpret=False):
+    """Y = A @ X for BELL storage with multiple RHS.
+
+    values: (NRB, K, BR, 128) zero-padded panels; panel_ids: (NRB, K);
+    x_t: X TRANSPOSED, (k, m_pad) with m_pad = NPC * 128.
+    Returns (NRB * BR, k)."""
+    NRB, K, BR, lanes = values.shape
+    assert lanes == LANES
+    kcols, m_pad = x_t.shape
+    flat_ids = panel_ids.reshape(-1).astype(jnp.int32)
+    G = max(1, min(NRB, (1 << 22) // max(1, K * BR * LANES * 4)))
+    n_steps = -(-NRB // G)
+    NRB_pad = n_steps * G
+    if NRB_pad != NRB:
+        values = jnp.pad(values, ((0, NRB_pad - NRB), (0, 0), (0, 0), (0, 0)))
+        flat_ids = jnp.pad(flat_ids, (0, (NRB_pad - NRB) * K))
+
+    kernel = functools.partial(_bell_spmm_kernel, G=G, K=K, BR=BR)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (G, K, BR, LANES), lambda i, pids: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x^T resident
+        ],
+        out_specs=pl.BlockSpec(
+            (G * BR, kcols), lambda i, pids: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NRB_pad * BR, kcols), values.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NRB_pad * K * BR * LANES * kcols,
+            bytes_accessed=(values.size + kcols * m_pad + NRB_pad * BR * kcols)
+            * values.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(flat_ids, values, x_t)
+    return out[: NRB * BR]
+
+
 def bell_spmv_pallas(values, panel_ids, panel_valid, x_panels, *, interpret=False):
     """y = A @ x for BELL storage.
 

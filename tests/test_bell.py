@@ -162,3 +162,20 @@ def test_choose_format(rng):
         (NRB * BR, 4 * LANES), rows, cols, rng.standard_normal(len(rows))
     ).sort_row_major()
     assert isinstance(gko.choose_format(d2), Bell)
+
+
+def test_bell_spmm_pallas_matches_oracle(rng):
+    from ginkgo_tpu.ops.pallas_bell import bell_spmm_pallas
+
+    data = generators.generate_random_matrix(200, 260, 1, 6, rng, dtype=np.float32)
+    A = Bell.from_matrix_data(data, block_rows=16)
+    k = 5
+    X = rng.standard_normal((260, k)).astype(np.float32)
+    want = np.asarray(data.to_dense()) @ X
+    NPC = -(-260 // LANES)
+    Xp = np.zeros((NPC * LANES, k), np.float32)
+    Xp[:260] = X
+    got = bell_spmm_pallas(
+        A.values, A.panel_ids, jnp.asarray(Xp.T), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got)[:200], want, atol=1e-4)
