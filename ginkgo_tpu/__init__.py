@@ -13,6 +13,7 @@ __version__ = "0.1.0"
 
 from .base import types
 from .base import accessor
+from .base import exceptions
 from .base.types import precision_reduction
 from .base.index_set import IndexSet
 from .base.linop import LinOp, Combination, Composition, Perturbation

@@ -242,7 +242,10 @@ class PgmFactory:
         Ac.sort_indices()
         agg_dev = jnp.asarray(agg, jnp.int32)
         return MultigridLevel(
-            fine_op=csr,
+            # keep the caller's operator (e.g. Dia/Bell fast formats) as the
+            # fine op so smoother/residual SpMVs stay on the streaming path;
+            # csr was only the aggregation input
+            fine_op=A,
             restrict_op=Restriction(agg=agg_dev, n_coarse=nc),
             prolong_op=Prolongation(agg=agg_dev, n_coarse=nc),
             coarse_op=Csr.from_scipy(Ac).astype(csr.dtype),
@@ -270,7 +273,7 @@ class FixedCoarseningFactory:
         Ac = (P.T @ sp @ P).tocsr()
         sel = jnp.asarray(rows, jnp.int32)
         return MultigridLevel(
-            fine_op=csr,
+            fine_op=A,
             restrict_op=RowSelector(idx=sel, n_from=n),
             prolong_op=RowScatter(idx=sel, n_to=n),
             coarse_op=Csr.from_scipy(Ac).astype(csr.dtype),

@@ -192,7 +192,9 @@ class MultigridFactory:
 
     def generate(self, A) -> Multigrid:
         levels = []
-        op = A.to_csr() if hasattr(A, "to_csr") else A
+        # keep the caller's operator (fast TPU formats included) at the
+        # finest level; coarse levels come out of the triple product as CSR
+        op = A
         while (
             len(levels) < self.max_levels
             and op.shape[0] > self.min_coarse_rows

@@ -202,7 +202,10 @@ class IterativeSolverMixin:
         computation.  Eager execution would dispatch every setup op
         separately (ruinous through a remote-device tunnel); inside an
         enclosing jit trace this wrapper is a no-op cache hit."""
+        from ..base.exceptions import assert_conformant
+
         barr, was_1d = as_2d(b)
+        assert_conformant(self.A, barr)  # lin_op.hpp:158 validation analog
         if x0 is None:
             xarr = jnp.zeros_like(barr)
         else:

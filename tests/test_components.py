@@ -53,3 +53,21 @@ def test_bootstrap_helpers(monkeypatch):
     assert bootstrap.map_rank_to_device_id(4) == 0
     assert bootstrap.process_count() >= 1
     assert bootstrap.global_mesh().devices.shape[0] >= 1
+
+
+def test_exception_taxonomy():
+    import jax.numpy as jnp
+    import ginkgo_tpu as gko
+    from ginkgo_tpu.base import exceptions as exc
+
+    A = gko.Csr.from_matrix_data(
+        __import__("ginkgo_tpu").generators.poisson_1d(8, dtype=np.float64)
+    )
+    s = gko.Cg.build().generate(A)
+    with __import__("pytest").raises(exc.DimensionMismatch):
+        s.solve(jnp.ones((5, 1)))
+    exc.assert_square(A)
+    with __import__("pytest").raises(exc.BadDimension):
+        class R:  # rectangular stub
+            shape = (3, 5)
+        exc.assert_square(R())

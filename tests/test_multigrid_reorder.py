@@ -176,3 +176,23 @@ def test_rcm_enables_dia(rng):
     np.testing.assert_allclose(
         np.asarray(D.apply(x)), np.asarray(B.apply(x)), rtol=1e-12
     )
+
+
+def test_multigrid_on_dia_fast_format(rng):
+    """MG keeps the caller's fast-format operator as the fine op (TPU
+    streaming path), and still solves correctly."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.matrix.dia import Dia
+
+    data = generators.poisson_2d(16, dtype=np.float64)
+    A = Dia.from_matrix_data(data)
+    solver = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=60), stop.ResidualNorm(tolerance=1e-10)],
+        min_coarse_rows=16,
+    ).generate(A)
+    assert isinstance(solver.levels[0].fine_op, Dia)
+    b = jnp.ones((data.shape[0], 1))
+    x, info = solver.solve(b)
+    r = b - A.apply(x)
+    assert float(jnp.linalg.norm(r)) < 1e-8 * float(jnp.linalg.norm(b)) * 1e4
+    assert bool(np.all(np.asarray(info.converged)))
