@@ -29,10 +29,16 @@ def main(argv=None):
     p.add_argument("--max-iters", type=int, default=50)
     p.add_argument("--devices", default=None,
                    help="comma list of device counts (default 1,2,4,...)")
+    p.add_argument("--operator", choices=["csr", "dia"], default="csr",
+                   help="distributed operator: DistCsr (general) or "
+                        "DistDia (banded ppermute-window fast path)")
     args = p.parse_args(argv)
 
     from .. import Cg, stop
-    from ..distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ..distributed import (
+        Partition, DistCsr, DistDia, build_banded_partition,
+        distributed_solve, make_mesh,
+    )
     from ..utils import generators
 
     n_avail = len(jax.devices())
@@ -51,8 +57,12 @@ def main(argv=None):
             side = args.base_side
         data = generators.poisson_2d(side, dtype=np.float32)
         n = data.shape[0]
-        part = Partition.build_from_global_size_uniform(n, nd)
-        A = DistCsr.from_matrix_data(data, part)
+        if args.operator == "dia":
+            part = build_banded_partition(n, nd)
+            A = DistDia.from_matrix_data(data, part)
+        else:
+            part = Partition.build_from_global_size_uniform(n, nd)
+            A = DistCsr.from_matrix_data(data, part)
         mesh = make_mesh(nd)
         b = jnp.ones((n, 1), jnp.float32)
         crit = [stop.Iteration(max_iters=args.max_iters)]
@@ -74,7 +84,8 @@ def main(argv=None):
             "benchmark": "distributed_solver",
             "mode": args.mode,
             "devices": nd,
-            "halo_mode": A.halo_mode,
+            "operator": args.operator,
+            "halo_mode": getattr(A, "halo_mode", "ppermute_window"),
             "n": n,
             "nnz": int(data.nnz),
             "iterations": args.max_iters,

@@ -1,5 +1,6 @@
 from .partition import Partition
 from .matrix import DistCsr
+from .dia import DistDia, build_banded_partition
 from .vector import DistVector
 from .solve import distributed_solve, make_mesh, pad_global, unpad_global
 from . import comm
@@ -8,6 +9,8 @@ from . import vector
 __all__ = [
     "Partition",
     "DistCsr",
+    "DistDia",
+    "build_banded_partition",
     "DistVector",
     "distributed_solve",
     "make_mesh",
