@@ -112,6 +112,15 @@ def main():
     xs = jnp.ones((data_s.shape[0],), dtype=jnp.float32)
     t_csr = amortized_seconds(lambda v: A.apply(v), xs, trips=5, trials=2)
 
+    # reduced-storage row: bf16 diagonals, f32 accumulate (accessor mode)
+    if on_tpu:
+        D16 = D.reduce_storage()
+        t_bf16 = amortized_seconds(
+            lambda v: dia_spmv_pallas(D16.diags, D16.offsets, v), x2, trips
+        )
+    else:
+        t_bf16 = float("nan")
+
     # general-sparse row: Blocked-ELL on a block-structured matrix
     from ginkgo_tpu.base.matrix_data import MatrixData
     from ginkgo_tpu.matrix.bell import Bell
@@ -151,6 +160,10 @@ def main():
             "xla_dia_gnnz_per_s": None if t_xla != t_xla else round(nnz / t_xla / 1e9, 2),
             "csr_classical_seconds_512": t_csr,
             "csr_classical_gnnz_per_s": round(data_s.nnz / t_csr / 1e9, 4),
+            "bf16_storage_seconds": None if t_bf16 != t_bf16 else t_bf16,
+            "bf16_storage_gnnz_per_s": (
+                None if t_bf16 != t_bf16 else round(nnz / t_bf16 / 1e9, 2)
+            ),
             "bell_blockstructured_seconds": t_bell,
             "bell_gnnz_per_s": round(data_b.nnz / t_bell / 1e9, 2),
             "bell_inflation": round(Ab.storage_inflation(), 2),

@@ -102,7 +102,8 @@ class Dia(LinOp):
     def _use_pallas(self, dtype) -> bool:
         """Use the Pallas kernel (ops/pallas_dia.py) on real TPU; the XLA
         permutation-matmul path remains the portable fallback (and the oracle
-        the Pallas kernel is tested against)."""
+        the Pallas kernel is tested against).  Diagonal STORAGE may be bf16
+        (reduce_storage) — the kernel accumulates in f32 regardless."""
         import os
 
         if os.environ.get("GINKGO_TPU_NO_PALLAS"):
@@ -110,8 +111,15 @@ class Dia(LinOp):
         return (
             jax.default_backend() == "tpu"
             and dtype == jnp.float32
+            and self.diags.dtype in (jnp.float32, jnp.bfloat16)
             and self.num_diags > 0
         )
+
+    def reduce_storage(self, dtype=jnp.bfloat16) -> "Dia":
+        """Accessor-style storage reduction (SURVEY §2.12): diagonal values
+        stored reduced, arithmetic stays f32 in the Pallas kernel — halves
+        matrix traffic for bandwidth-bound SpMV."""
+        return self.replace(diags=self.diags.astype(dtype))
 
     def _perm_for(self, s: int):
         keys = sorted({int(o) % LANES for o in self.offsets} - {0})

@@ -98,3 +98,19 @@ def test_dia_advanced_pallas_matches_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(got).reshape(-1)[:n], want, rtol=1e-5, atol=1e-5
     )
+
+
+def test_dia_pallas_bf16_storage(rng):
+    data = generators.poisson_2d(16, dtype=np.float32)
+    D = Dia.from_matrix_data(data).reduce_storage()
+    assert D.diags.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.standard_normal(data.shape[0]).astype(np.float32))
+    R = D.diags.shape[1]
+    xp = jnp.pad(x, (0, R * LANES - data.shape[0])).reshape(R, LANES)
+    y = dia_spmv_pallas(D.diags, D.offsets, xp, block_rows=16, interpret=True)
+    want = np.asarray(data.to_dense()) @ np.asarray(x)
+    # bf16 storage: ~3 significant digits on the values
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(-1)[: data.shape[0]], want, rtol=2e-2, atol=2e-2
+    )
+    assert y.dtype == jnp.float32
