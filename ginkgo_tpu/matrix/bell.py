@@ -164,20 +164,31 @@ class Bell(LinOp):
 
             y = bell_spmm_pallas(self.values, self.panel_ids, xp.T)
             return restore_1d(y[:n], was_1d)
-        # XLA path: coarse panel take (512B granules, not element gather)
+        # XLA path: coarse panel take (512B granules, not element gather);
+        # arithmetic in the promoted dtype so bf16 STORAGE keeps f32 math
+        work = jnp.promote_types(self.values.dtype, arr.dtype)
         xg = jnp.take(x_panels, self.panel_ids.reshape(-1), axis=0)
-        xg = xg.reshape(NRB, K, LANES, k) * self.panel_valid[..., None, None].astype(arr.dtype)
+        xg = xg.reshape(NRB, K, LANES, k) * self.panel_valid[..., None, None].astype(work)
         y = jnp.einsum(
-            "rkbc,rkcj->rbj", self.values, xg.astype(self.values.dtype)
+            "rkbc,rkcj->rbj", self.values.astype(work), xg.astype(work)
         )
-        return restore_1d(y.reshape(NRB * BR, k)[:n], was_1d)
+        return restore_1d(y.reshape(NRB * BR, k)[:n].astype(work), was_1d)
 
     def _use_pallas(self, dtype) -> bool:
         import os
 
         if os.environ.get("GINKGO_TPU_NO_PALLAS"):
             return False
-        return jax.default_backend() == "tpu" and dtype == jnp.float32
+        return (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and self.values.dtype in (jnp.float32, jnp.bfloat16)
+        )
+
+    def reduce_storage(self, dtype=jnp.bfloat16) -> "Bell":
+        """bf16 panel storage, f32 accumulation in the kernels (accessor
+        mode, SURVEY §2.12) — halves panel traffic."""
+        return self.replace(values=self.values.astype(dtype))
 
     def apply_advanced(self, alpha, b, beta, x):
         arr, was_1d = as_2d(b)

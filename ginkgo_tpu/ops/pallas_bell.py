@@ -34,11 +34,11 @@ def _bell_kernel(pids_ref, vals_ref, x_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    panel = vals_ref[0, 0]  # (BR, LANES)
-    xp = x_ref[0, 0]  # (1, LANES) block -> (LANES,)
+    panel = vals_ref[0, 0].astype(jnp.float32)  # (BR, LANES)
+    xp = x_ref[0, 0].astype(jnp.float32)  # (1, LANES) block -> (LANES,)
     # (BR, LANES) * (LANES,) summed over lanes: a VPU reduce —
     # MXU matvec with k=1 would waste the systolic array
-    out_ref[:, 0] += jnp.sum(panel * xp, axis=1)
+    out_ref[:, 0] += jnp.sum(panel * xp, axis=1).astype(out_ref.dtype)
 
 
 def _bell_vmem_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
@@ -47,12 +47,13 @@ def _bell_vmem_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
     Panel selection is a dynamic sublane slice of the resident x, no DMA."""
     i = pl.program_id(0)
     for g in range(G):
-        acc = jnp.zeros((BR, 1), vals_ref.dtype)
+        acc = jnp.zeros((BR, 1), jnp.float32)
         for k in range(K):
             pid = pids_ref[(i * G + g) * K + k]
             xp = x_ref[pl.ds(pid, 1), :]  # (1, LANES) dynamic VMEM slice
-            acc += jnp.sum(vals_ref[g, k] * xp, axis=1, keepdims=True)
-        out_ref[g * BR:(g + 1) * BR] = acc
+            prod = vals_ref[g, k].astype(jnp.float32) * xp.astype(jnp.float32)
+            acc += jnp.sum(prod, axis=1, keepdims=True)
+        out_ref[g * BR:(g + 1) * BR] = acc.astype(out_ref.dtype)
 
 
 def _bell_spmm_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
@@ -111,7 +112,7 @@ def bell_spmm_pallas(values, panel_ids, x_t, *, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NRB_pad * BR, kcols), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((NRB_pad * BR, kcols), x_t.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * NRB_pad * K * BR * LANES * kcols,
             bytes_accessed=(values.size + kcols * m_pad + NRB_pad * BR * kcols)
@@ -169,7 +170,7 @@ def bell_spmv_pallas(values, panel_ids, panel_valid, x_panels, *, interpret=Fals
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NRB_pad * BR, 1), values.dtype),
+            out_shape=jax.ShapeDtypeStruct((NRB_pad * BR, 1), x_panels.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * NRB_pad * K * BR * LANES,
                 bytes_accessed=(vals.size + NPC * LANES + NRB_pad * BR)
@@ -207,7 +208,7 @@ def bell_spmv_pallas(values, panel_ids, panel_valid, x_panels, *, interpret=Fals
     out = pl.pallas_call(
         _bell_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NRB * BR, 1), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((NRB * BR, 1), x_panels.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * NRB * K * BR * LANES,
             bytes_accessed=(values.size + NRB * K * LANES + NRB * BR)

@@ -172,7 +172,7 @@ def dia_advanced_spmv_pallas(diags, offsets, x2, alpha, beta, y2, *,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [alpha, beta]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((nd, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
@@ -224,7 +224,7 @@ def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((nd, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -147,3 +147,31 @@ def generate_tridiag_matrix(n, diag=2.0, offdiag=-1.0, dtype=np.float64) -> Matr
         [np.full(n, diag), np.full(n - 1, offdiag), np.full(n - 1, offdiag)]
     ).astype(dtype)
     return MatrixData.from_coo((n, n), rows, cols, vals).sort_row_major()
+
+
+def poisson_3d(nx: int, ny: int | None = None, nz: int | None = None,
+               dtype=np.float64) -> MatrixData:
+    """7-point 3-D Poisson stencil (row-major z-fastest ordering); offsets
+    {0, ±1, ±nz, ±ny*nz} — the 3-D analog of poisson_2d for the DIA/
+    distributed-banded paths."""
+    ny = ny or nx
+    nz = nz or nx
+    n = nx * ny * nz
+    idx = np.arange(n)
+    iz = idx % nz
+    iy = (idx // nz) % ny
+    ix = idx // (ny * nz)
+    rows_l = [idx]
+    cols_l = [idx]
+    vals_l = [np.full(n, 6.0, dtype)]
+    for coord, stride, size in ((iz, 1, nz), (iy, nz, ny), (ix, ny * nz, nx)):
+        ok = coord + 1 < size
+        rows_l += [idx[ok], idx[ok] + stride]
+        cols_l += [idx[ok] + stride, idx[ok]]
+        vals_l += [np.full(ok.sum(), -1.0, dtype)] * 2
+    return MatrixData.from_coo(
+        (n, n),
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(vals_l),
+    ).sort_row_major()

@@ -179,3 +179,28 @@ def test_bell_spmm_pallas_matches_oracle(rng):
         A.values, A.panel_ids, jnp.asarray(Xp.T), interpret=True
     )
     np.testing.assert_allclose(np.asarray(got)[:200], want, atol=1e-4)
+
+
+def test_bell_reduced_storage(rng):
+    data = generators.generate_random_matrix(100, 100, 1, 5, rng, dtype=np.float32)
+    A = Bell.from_matrix_data(data).reduce_storage()
+    assert A.values.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.standard_normal(100).astype(np.float32))
+    want = np.asarray(data.to_dense()) @ np.asarray(x)
+    got = np.asarray(A.apply(x))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_poisson_3d_generator():
+    d = generators.poisson_3d(4, dtype=np.float64)
+    assert d.shape == (64, 64)
+    dense = d.to_dense()
+    np.testing.assert_array_equal(np.diag(dense), np.full(64, 6.0))
+    assert (dense == dense.T).all()
+    # row sums: interior rows 0, boundary rows positive
+    rs = dense.sum(1)
+    assert rs.min() == 0 and rs.max() > 0
+    # dia-suitable
+    from ginkgo_tpu.matrix.dia import suitable_for_dia
+    assert suitable_for_dia(d)
