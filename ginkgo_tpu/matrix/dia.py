@@ -173,6 +173,13 @@ class Dia(LinOp):
             if y is None:
                 y = jnp.zeros((R, LANES), arr.dtype)
             return restore_1d(y.reshape(R * LANES, 1)[:n], was_1d)
+        if self._use_pallas(arr.dtype) and k <= 512:
+            from ..ops.pallas_dia import dia_spmm_pallas
+
+            xk = xp.T.reshape(k, R, LANES)
+            yk = dia_spmm_pallas(self.diags, self.offsets, xk)
+            out = yk.reshape(k, R * LANES).T[:n]
+            return restore_1d(out, was_1d)
         x2 = xp.reshape(R, LANES, k)
         y = None
         for j, off in enumerate(self.offsets):

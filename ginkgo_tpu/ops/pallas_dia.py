@@ -198,6 +198,106 @@ def dia_advanced_spmv_pallas(diags, offsets, x2, alpha, beta, y2, *,
     return out[:R]
 
 
+def _dia_spmm_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows,
+                     halo, pad_lo, kcols, nbuf=2):
+    """Multi-RHS variant: grid (row_blocks, k).  The diagonal block's index
+    map ignores j, so Pallas keeps it resident across the k inner steps —
+    diagonals are read once per row block, x once per column: the optimal
+    (nd + 2k)·n traffic."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_blocks = pl.num_programs(0)
+    slab_rows = block_rows + halo
+
+    def slab_dma(slot, blk, col):
+        start = blk * block_rows + (qmin + pad_lo)
+        return pltpu.make_async_copy(
+            x_hbm.at[col, pl.ds(start, slab_rows), :], xs.at[slot],
+            sem.at[slot],
+        )
+
+    t = i * kcols + j  # linear step index
+
+    @pl.when(t == 0)
+    def _():
+        slab_dma(0, 0, 0).start()
+
+    @pl.when(t + 1 < n_blocks * kcols)
+    def _():
+        nxt = t + 1
+        slab_dma((nxt) % nbuf, nxt // kcols, nxt % kcols).start()
+
+    slab_dma(t % nbuf, i, j).wait()
+    slab = xs[t % nbuf]
+
+    acc = jnp.zeros((block_rows, LANES), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+    for jj, (q, s) in enumerate(qs):
+        base = q - qmin
+        cur = slab[base:base + block_rows]
+        if s == 0:
+            shifted = cur
+        else:
+            nxt_rows = slab[base + 1:base + 1 + block_rows]
+            rc = pltpu.roll(cur, -s % LANES, 1)
+            rn = pltpu.roll(nxt_rows, -s % LANES, 1)
+            shifted = jnp.where(lane < LANES - s, rc, rn)
+        acc = acc + diags[jj].astype(jnp.float32) * shifted.astype(jnp.float32)
+    out[0] = acc.astype(out.dtype)
+
+
+def dia_spmm_pallas(diags, offsets, xk, *, block_rows=512, interpret=False):
+    """Y = A @ X for k RHS columns.  xk: (k, R, 128) — column-major stack of
+    row frames.  Returns (k, R, 128)."""
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    kcols = xk.shape[0]
+    if nd == 0:
+        return jnp.zeros_like(xk)
+    block_rows = min(block_rows, max(8, R))
+    n_blocks = -(-R // block_rows)
+    R_pad = n_blocks * block_rows
+    if R_pad != R:
+        diags = jnp.pad(diags, ((0, 0), (0, R_pad - R), (0, 0)))
+        xk = jnp.pad(xk, ((0, 0), (0, R_pad - R), (0, 0)))
+    qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, block_rows)
+    xp = jnp.pad(xk, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+
+    kernel = functools.partial(
+        _dia_spmm_kernel, qs=qs, qmin=qmin, block_rows=block_rows, halo=halo,
+        pad_lo=pad_lo, kcols=kcols,
+    )
+    slab_rows = block_rows + halo
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, kcols),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            # index map ignores j -> block stays resident across columns
+            pl.BlockSpec((nd, block_rows, LANES), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, LANES), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kcols, R_pad, LANES), xk.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, slab_rows, LANES), xk.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * R_pad * LANES * kcols,
+            bytes_accessed=(nd + 2 * kcols) * R_pad * LANES
+            * xk.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, diags)
+    return out[:, :R]
+
+
 def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):
     """y2 = A @ x2 for DIA ``diags`` (nd, R, 128) / static ``offsets`` and x2
     (R, 128) in the row frame.  Returns (R, 128)."""

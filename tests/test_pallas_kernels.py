@@ -114,3 +114,21 @@ def test_dia_pallas_bf16_storage(rng):
         np.asarray(y).reshape(-1)[: data.shape[0]], want, rtol=2e-2, atol=2e-2
     )
     assert y.dtype == jnp.float32
+
+
+def test_dia_spmm_pallas_matches_oracle(rng):
+    from ginkgo_tpu.ops.pallas_dia import dia_spmm_pallas
+
+    data = generators.poisson_2d(12, dtype=np.float32)
+    D = Dia.from_matrix_data(data)
+    n = data.shape[0]
+    R = D.diags.shape[1]
+    k = 3
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    want = np.asarray(data.to_dense()) @ X
+    Xp = np.zeros((R * LANES, k), np.float32)
+    Xp[:n] = X
+    xk = jnp.asarray(Xp.T.reshape(k, R, LANES))
+    got = dia_spmm_pallas(D.diags, D.offsets, xk, block_rows=8, interpret=True)
+    got_flat = np.asarray(got).reshape(k, R * LANES)[:, :n].T
+    np.testing.assert_allclose(got_flat, want, atol=1e-4)
