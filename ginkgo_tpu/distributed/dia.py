@@ -16,7 +16,8 @@ every nonzero of part p's rows lies within the window
 
 This is the distributed counterpart of matrix/dia.py and the operator the
 weak-scaling target (BASELINE.md) is designed around.  Requires a
-partition from `Partition.build_banded` (equal 128-aligned blocks) and
+partition of equal contiguous blocks of ceil(n/P) rows — build it with
+`build_banded_partition(n, num_parts)` (this module) — and operator
 bandwidth <= block size.
 """
 
@@ -60,9 +61,12 @@ class DistDia(LinOp):
     def from_matrix_data(
         data: MatrixData, partition: Partition, axis_name="rows"
     ) -> "DistDia":
+        from ..base.exceptions import BadDimension
+
         d = data.sum_duplicates()
         n, m = d.shape
-        assert n == m, "distributed operator must be square"
+        if n != m:
+            raise BadDimension(f"distributed operator must be square, got {d.shape}")
         P = partition.num_parts
         L = partition.padded_local_size
         # equal contiguous blocks: row r -> (r // L, r % L) must match

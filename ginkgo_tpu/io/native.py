@@ -125,9 +125,11 @@ def _result_to_matrix_data(lib, res: _GkoParseResult) -> MatrixData:
 def read_raw_native(path: str) -> MatrixData:
     """Parse a MatrixMarket file with the native parser (pre-sorted
     row-major by the C++ side)."""
+    from ..base.exceptions import NotCompiled
+
     lib = load()
     if lib is None:
-        raise RuntimeError("native IO library unavailable")
+        raise NotCompiled("native IO library unavailable")
     res = _GkoParseResult()
     rc = lib.gko_read_mtx(path.encode(), ctypes.byref(res))
     if rc != 0:
@@ -137,9 +139,11 @@ def read_raw_native(path: str) -> MatrixData:
 
 
 def read_binary_native(path: str) -> MatrixData:
+    from ..base.exceptions import NotCompiled
+
     lib = load()
     if lib is None:
-        raise RuntimeError("native IO library unavailable")
+        raise NotCompiled("native IO library unavailable")
     res = _GkoParseResult()
     rc = lib.gko_read_binary(path.encode(), ctypes.byref(res))
     if rc != 0:
@@ -149,9 +153,11 @@ def read_binary_native(path: str) -> MatrixData:
 
 
 def write_binary_native(path: str, data: MatrixData) -> None:
+    from ..base.exceptions import NotCompiled
+
     lib = load()
     if lib is None:
-        raise RuntimeError("native IO library unavailable")
+        raise NotCompiled("native IO library unavailable")
     rows = np.ascontiguousarray(data.rows, dtype=np.int64)
     cols = np.ascontiguousarray(data.cols, dtype=np.int64)
     is_cpx = np.issubdtype(data.values.dtype, np.complexfloating)

@@ -11,9 +11,11 @@ contract, one level up.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..base.matrix_data import MatrixData
-from .dia import Dia, suitable_for_dia
-from .bell import Bell, suitable_for_bell
+from .dia import Dia
+from .bell import Bell, suitable_for_bell, LANES
 from .csr import Csr
 
 
@@ -24,9 +26,14 @@ def choose_format(
     block_rows: int = 8,
 ):
     """Build the fastest suitable operator for `data` (automatical
-    strategy analog).  Preference: Dia > Bell > Csr."""
-    if suitable_for_dia(data, max_diags=max_diags):
-        return Dia.from_matrix_data(data)
+    strategy analog).  Preference: Dia > Bell > Csr.  The diagonal
+    statistics are computed once here (suitable_for_dia's check inlined)
+    to avoid a second O(nnz log nnz) pass inside the constructor."""
+    if data.nnz:
+        offs = np.unique(data.cols - data.rows)
+        fill = data.nnz / (len(offs) * data.shape[0])
+        if len(offs) <= max_diags and fill > 0.2:
+            return Dia.from_matrix_data(data)
     if suitable_for_bell(data, block_rows=block_rows, max_inflation=max_inflation):
         return Bell.from_matrix_data(data, block_rows=block_rows)
     return Csr.from_matrix_data(data)

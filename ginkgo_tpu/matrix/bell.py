@@ -210,13 +210,27 @@ class Bell(LinOp):
         return self.replace(values=self.values.astype(dtype))
 
     def extract_diagonal(self):
+        """Diagonal straight from the stored slots — no densification
+        (required: multigrid smoothers call this on full-size operators)."""
         from .diagonal import Diagonal
 
-        return Diagonal(
-            values=jnp.asarray(
-                np.diag(self.to_matrix_data().to_dense())[: min(self.shape)]
-            )
-        )
+        NRB, K, BR, _ = self.values.shape
+        flat = np.asarray(self.ent_flat).astype(np.int64)
+        vals = np.asarray(self.values).reshape(-1)[flat]
+        pids = np.asarray(self.panel_ids)
+        cl = flat % LANES
+        rest = flat // LANES
+        brl = rest % BR
+        rest //= BR
+        kl = rest % K
+        rbl = rest // K
+        rows = rbl * BR + brl
+        cols = pids[rbl, kl] * LANES + cl
+        nmin = min(self.shape)
+        diag = np.zeros(nmin, vals.dtype)
+        on = rows == cols
+        diag[rows[on & (rows < nmin)]] = vals[on & (rows < nmin)]
+        return Diagonal(values=jnp.asarray(diag))
 
     def transpose(self) -> "Bell":
         return Bell.from_matrix_data(

@@ -67,6 +67,8 @@ def _bell_spmm_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
         acc = jnp.zeros((BR, kcols), jnp.float32)
         for k in range(K):
             pid = pids_ref[(i * G + g) * K + k]
+            # dynamic lane-dim slice of resident x^T — validated on v5e
+            # hardware (exact vs dense oracle at k=8, see PERF.md)
             xp = x_ref[:, pl.ds(pid * LANES, LANES)]  # (k, LANES)
             acc += jax.lax.dot_general(
                 vals_ref[g, k], xp,
@@ -87,7 +89,14 @@ def bell_spmm_pallas(values, panel_ids, x_t, *, interpret=False):
     assert lanes == LANES
     kcols, m_pad = x_t.shape
     flat_ids = panel_ids.reshape(-1).astype(jnp.int32)
-    G = max(1, min(NRB, (1 << 22) // max(1, K * BR * LANES * 4)))
+    # VMEM budget: values block <= 4MB AND output block <= 2MB.  The out
+    # block (G*BR, kcols) is lane-padded to 128 in VMEM, so its footprint
+    # is G*BR*512 bytes regardless of kcols <= 128.
+    G = max(1, min(
+        NRB,
+        (1 << 22) // max(1, K * BR * LANES * 4),
+        (1 << 21) // max(1, BR * LANES * 4),
+    ))
     n_steps = -(-NRB // G)
     NRB_pad = n_steps * G
     if NRB_pad != NRB:

@@ -204,3 +204,18 @@ def test_poisson_3d_generator():
     # dia-suitable
     from ginkgo_tpu.matrix.dia import suitable_for_dia
     assert suitable_for_dia(d)
+
+
+def test_bell_extract_diagonal_no_densify(rng):
+    # scalability contract: extract_diagonal must read only stored slots
+    data = generators.generate_random_matrix(300, 300, 1, 3, rng)
+    # force some diagonal entries incl. explicit zero
+    d2 = MatrixData.from_coo(
+        (300, 300),
+        np.concatenate([data.rows, [5, 7]]),
+        np.concatenate([data.cols, [5, 7]]),
+        np.concatenate([data.values, [2.5, 0.0]]),
+    ).sum_duplicates().sort_row_major()
+    A = Bell.from_matrix_data(d2)
+    want = np.diag(d2.to_dense())
+    np.testing.assert_allclose(np.asarray(A.extract_diagonal().values), want)
