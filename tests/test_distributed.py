@@ -261,3 +261,26 @@ def test_dist_dia_rejects_bad_partition(rng):
     bad = Partition.build_from_contiguous([0, 5, 25, 32, 50, 55, 60, 62, 64])
     with pytest.raises(ValueError):
         DistDia.from_matrix_data(data, bad)
+
+
+@pytest.mark.parametrize("solver_name", ["Bicgstab", "Gmres", "Fcg", "Cgs"])
+def test_distribution_transparent_solvers(rng, solver_name):
+    """Every Krylov solver runs unchanged on the distributed operator
+    (test/mpi/solver/solver.cpp analog)."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.distributed import Partition, DistCsr, distributed_solve, make_mesh
+    from ginkgo_tpu import stop, generators
+
+    solver_cls = getattr(gko, solver_name)
+    data = generators.poisson_2d(8, dtype=np.float32)
+    n = data.shape[0]
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A = DistCsr.from_matrix_data(data, part)
+    mesh = make_mesh(8)
+    b = jnp.ones((n, 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=150), stop.ResidualNorm(tolerance=1e-5)]
+    kw = {"krylov_dim": 20} if solver_name == "Gmres" else {}
+    x, info = distributed_solve(mesh, solver_cls, A, b, part, criteria=crit, **kw)
+    A_rep = gko.Csr.from_matrix_data(data)
+    rel = float(jnp.linalg.norm(b - A_rep.apply(x)) / jnp.linalg.norm(b))
+    assert rel < 1e-4, (solver_name, rel)
