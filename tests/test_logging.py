@@ -1,0 +1,97 @@
+"""Logger protocol unit tests (reference: core/test/log/*.cpp)."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+
+import ginkgo_tpu as gko
+from ginkgo_tpu import stop
+from ginkgo_tpu.log.logger import (
+    ALL_EVENTS,
+    Convergence,
+    Counters,
+    Event,
+    Loggable,
+    Logger,
+    PerformanceHint,
+    Record,
+    Stream,
+)
+
+
+class _Probe(Loggable):
+    pass
+
+
+def test_loggable_fanout_and_masking():
+    probe = _Probe()
+    seen = []
+
+    class L(Logger):
+        def on(self, event, **data):
+            seen.append((event, data))
+
+    only_apply = L(events={Event.linop_apply_started})
+    everything = L()
+    probe.add_logger(only_apply)
+    probe.add_logger(everything)
+    probe.log(Event.linop_apply_started, name="spmv")
+    probe.log(Event.criterion_check_completed, converged=True)
+    assert len(seen) == 3  # masked logger got 1, unmasked got 2
+    probe.remove_logger(only_apply)
+    probe.log(Event.linop_apply_started)
+    assert len(seen) == 4
+    probe.clear_loggers()
+    probe.log(Event.linop_apply_started)
+    assert len(seen) == 4
+
+
+def test_stream_and_record():
+    buf = io.StringIO()
+    s = Stream(out=buf)
+    r = Record()
+    for lg in (s, r):
+        lg.on(Event.iteration_complete, iteration=3, residual_norm=[0.5])
+    assert "iteration_complete" in buf.getvalue()
+    assert r.history[0][0] == Event.iteration_complete
+    assert r.history[0][1]["iteration"] == 3
+    # bounded storage
+    r2 = Record(max_storage=2)
+    for i in range(5):
+        r2.on(Event.allocation_started, i=i)
+    assert len(r2.history) == 2 and r2.history[-1][1]["i"] == 4
+
+
+def test_convergence_logger_through_solver():
+    data = gko.generators.poisson_1d(40, dtype=np.float64)
+    A = gko.Csr.from_matrix_data(data)
+    b = jnp.ones((40, 1))
+    solver = gko.Cg.build(
+        criteria=[stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-10)]
+    ).generate(A)
+    conv = Convergence()
+    x, info = solver.solve_chunked(b, chunk=20, loggers=[conv])
+    assert conv.has_converged
+    assert conv.num_iterations == int(info.iterations)
+    assert float(np.max(np.asarray(conv.residual_norm))) < 1e-8
+
+
+def test_counters_aggregation():
+    c = Counters()
+    c.on(Event.operation_launched, name="spmv")
+    c.on(Event.operation_completed, name="spmv")
+    c.on(Event.operation_launched, name="dot")
+    c.on(Event.operation_completed, name="dot")
+    c.on(Event.allocation_started)
+    assert c.counts["operation_launched"] == 2
+    assert c.counts["allocation_started"] == 1
+    assert c.op_seconds["spmv"] >= 0 and "dot" in c.op_seconds
+
+
+def test_performance_hint_detects_churn():
+    buf = io.StringIO()
+    ph = PerformanceHint(out=buf, copy_threshold=3, alloc_threshold=100)
+    for _ in range(5):
+        ph.on(Event.copy_started)
+    assert "cop" in buf.getvalue().lower() or buf.getvalue()  # advice emitted
