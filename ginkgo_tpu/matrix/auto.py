@@ -15,7 +15,7 @@ import numpy as np
 
 from ..base.matrix_data import MatrixData
 from .dia import Dia
-from .bell import Bell, suitable_for_bell, LANES
+from .bell import Bell, LANES
 from .csr import Csr
 
 
@@ -34,6 +34,18 @@ def choose_format(
         fill = data.nnz / (len(offs) * data.shape[0])
         if len(offs) <= max_diags and fill > 0.2:
             return Dia.from_matrix_data(data)
-    if suitable_for_bell(data, block_rows=block_rows, max_inflation=max_inflation):
-        return Bell.from_matrix_data(data, block_rows=block_rows)
+        # BELL block-rows auto-tune: pick the candidate with the lowest
+        # storage inflation (bigger blocks amortize panels only when rows
+        # share columns) — stats-only, no construction
+        NPC = max(1, -(-data.shape[1] // LANES))
+        pc = data.cols // LANES
+        best = None
+        for br in (block_rows, 2 * block_rows, 4 * block_rows):
+            rb = data.rows // br
+            n_panels = len(np.unique(rb * NPC + pc))
+            inflation = n_panels * br * LANES / data.nnz
+            if best is None or inflation < best[1]:
+                best = (br, inflation)
+        if best[1] <= max_inflation:
+            return Bell.from_matrix_data(data, block_rows=best[0])
     return Csr.from_matrix_data(data)

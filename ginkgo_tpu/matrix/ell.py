@@ -112,6 +112,9 @@ class Ell(LinOp):
 
         return Csr.from_matrix_data(self.to_matrix_data(), strategy=strategy)
 
+    def astype(self, dtype):
+        return self.replace(values=self.values.astype(dtype))
+
     def to_dense(self):
         from .dense import Dense
 
@@ -252,6 +255,9 @@ class Sellp(LinOp):
         from .csr import Csr
 
         return Csr.from_matrix_data(self.to_matrix_data(), strategy=strategy)
+
+    def astype(self, dtype):
+        return self.replace(values=self.values.astype(dtype))
 
     def to_dense(self):
         return self.to_csr().to_dense()

@@ -137,6 +137,9 @@ class Fbcsr(LinOp):
 
     write = to_matrix_data
 
+    def astype(self, dtype):
+        return self.replace(blocks=self.blocks.astype(dtype))
+
     def to_csr(self, strategy="auto"):
         from .csr import Csr
 

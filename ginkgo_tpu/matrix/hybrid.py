@@ -135,6 +135,9 @@ class Hybrid(LinOp):
 
     write = to_matrix_data
 
+    def astype(self, dtype):
+        return self.replace(ell=self.ell.astype(dtype), coo=self.coo.astype(dtype))
+
     def to_csr(self, strategy="auto"):
         from .csr import Csr
 

@@ -82,6 +82,9 @@ class SparsityCsr(LinOp):
         )
         return SparsityCsr.from_matrix_data(data, value=np.asarray(self.value))
 
+    def astype(self, dtype):
+        return self.replace(value=self.value.astype(dtype))
+
     def to_matrix_data(self) -> MatrixData:
         rp = np.asarray(self.row_ptrs)
         rows = np.repeat(np.arange(self.shape[0]), rp[1:] - rp[:-1])
