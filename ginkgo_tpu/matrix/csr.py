@@ -343,6 +343,24 @@ class Csr(LinOp):
 
         return Bell.from_matrix_data(self.to_matrix_data(), block_rows)
 
+    def create_submatrix(self, row_set, col_set) -> "Csr":
+        """Submatrix extraction by IndexSet or slice (reference
+        csr.hpp create_submatrix with index_set/span overloads).  Host-side
+        structural op (setup path)."""
+        from ..base.index_set import IndexSet
+
+        def to_indices(s, size):
+            if isinstance(s, IndexSet):
+                return s.to_global_indices()
+            if isinstance(s, slice):
+                return np.arange(*s.indices(size))
+            return np.asarray(s, dtype=np.int64)
+
+        rows = to_indices(row_set, self.shape[0])
+        cols = to_indices(col_set, self.shape[1])
+        sp = self.to_scipy().tocsr()[rows][:, cols]
+        return Csr.from_scipy(sp.tocsr())
+
     # -- entry lookup (csr_lookup.hpp analog) -----------------------------------
 
     def lookup(self, rows, cols):

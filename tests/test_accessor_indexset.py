@@ -81,3 +81,22 @@ def test_index_set_empty_and_bounds():
     assert not s.contains(3)
     with pytest.raises(ValueError):
         IndexSet(5, [7])
+
+
+def test_csr_create_submatrix(rng):
+    import ginkgo_tpu as gko
+    from ginkgo_tpu.utils import generators
+
+    data = generators.generate_random_matrix(12, 10, 1, 4, rng)
+    A = gko.Csr.from_matrix_data(data)
+    dense = data.to_dense()
+    rs = IndexSet(12, [0, 1, 5, 9])
+    cs = IndexSet(10, [2, 3, 4, 8])
+    S = A.create_submatrix(rs, cs)
+    np.testing.assert_allclose(
+        np.asarray(S.to_dense().values), dense[np.ix_([0, 1, 5, 9], [2, 3, 4, 8])]
+    )
+    S2 = A.create_submatrix(slice(2, 7), slice(0, 5))
+    np.testing.assert_allclose(
+        np.asarray(S2.to_dense().values), dense[2:7, 0:5]
+    )
