@@ -158,7 +158,13 @@ class Idr(IterativeSolverMixin, LinOp):
             om_new = jnp.where(stopped, om, om_new)
             beta_om = jnp.where(stopped, 0, om_new)
             x = x + beta_om * v
-            r = r - beta_om * t
+            # residual replacement: the IDR(s) recurrence for r drifts from
+            # b - A x within a few outer iterations in f32 (the squared-ish
+            # update polynomials), which made the solver REPORT convergence
+            # at 1e-6 while the true residual sat at 1e-3.  Recomputing r
+            # once per outer iteration (1 extra SpMV per s+1) keeps the
+            # criterion honest and stabilizes the recurrence.
+            r = b - A.apply(x)
             it = it + 1
             rn = self._pnorm(r)
             stopped = stopped | crit_check(it, rn)

@@ -164,3 +164,19 @@ def test_gmres_and_bicgstab_complex_general(rng):
             np.asarray(x), x_true, rtol=1e-7, atol=1e-7,
             err_msg=cls.__name__,
         )
+
+
+def test_idr_f32_reports_honest_convergence(rng):
+    """Regression: the IDR(s) recurrence drifts in f32; with residual
+    replacement the solver must not CLAIM 1e-6 convergence while the true
+    residual sits orders of magnitude higher."""
+    data = generators.poisson_2d(24, dtype=np.float32)
+    A = gko.Csr.from_matrix_data(data)
+    b = jnp.ones((data.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-6)]
+    x, info = gko.Idr.build(criteria=crit, subspace_dim=4).generate(A).solve(b)
+    rel = float(jnp.linalg.norm(b - A.apply(x)) / jnp.linalg.norm(b))
+    if bool(np.all(np.asarray(info.converged))):
+        assert rel < 5e-5  # claimed convergence must be (roughly) true
+    else:
+        assert rel < 5e-4  # and even unconverged runs should make progress
