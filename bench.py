@@ -112,6 +112,33 @@ def main():
     xs = jnp.ones((data_s.shape[0],), dtype=jnp.float32)
     t_csr = amortized_seconds(lambda v: A.apply(v), xs, trips=5, trials=2)
 
+    # solver row: CG per-iteration cost on the same operator (the
+    # cg.cpp:148-156 memory-model metric)
+    if on_tpu:
+        from ginkgo_tpu import Cg, stop
+
+        b = jnp.ones((n, 1), jnp.float32)
+
+        def cg_total(iters):
+            s = Cg.build(criteria=[stop.Iteration(max_iters=iters)]).generate(D)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            float(jnp.sum(run(b)))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jnp.sum(run(b)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_cg_iter = max((cg_total(100) - cg_total(50)) / 50, 1e-9)
+    else:
+        t_cg_iter = float("nan")
+
     # reduced-storage row: bf16 diagonals, f32 accumulate (accessor mode)
     if on_tpu:
         D16 = D.reduce_storage()
@@ -160,6 +187,9 @@ def main():
             "xla_dia_gnnz_per_s": None if t_xla != t_xla else round(nnz / t_xla / 1e9, 2),
             "csr_classical_seconds_512": t_csr,
             "csr_classical_gnnz_per_s": round(data_s.nnz / t_csr / 1e9, 4),
+            "cg_seconds_per_iteration": (
+                None if t_cg_iter != t_cg_iter else t_cg_iter
+            ),
             "bf16_storage_seconds": None if t_bf16 != t_bf16 else t_bf16,
             "bf16_storage_gnnz_per_s": (
                 None if t_bf16 != t_bf16 else round(nnz / t_bf16 / 1e9, 2)
