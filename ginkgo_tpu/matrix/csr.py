@@ -212,6 +212,23 @@ class Csr(LinOp):
         t = self.transpose()
         return t.replace(values=jnp.conj(t.values))
 
+    def is_sorted_by_column_index(self) -> bool:
+        """csr.hpp:789 — construction always sorts, so this verifies the
+        invariant (host-side check)."""
+        rp = np.asarray(self.row_ptrs)
+        ci = np.asarray(self.col_idxs)
+        starts = np.zeros(len(ci), bool)
+        starts[rp[:-1][rp[:-1] < len(ci)]] = True
+        return bool(np.all(starts[1:] | (np.diff(ci) > 0)))
+
+    def sort_by_column_index(self) -> "Csr":
+        """csr.hpp sort_by_column_index — a no-op here since from_matrix_data
+        produces sorted storage; re-sorts defensively for data built by
+        hand."""
+        if self.is_sorted_by_column_index():
+            return self
+        return Csr.from_matrix_data(self.to_matrix_data(), strategy=self.strategy)
+
     def scale(self, alpha) -> "Csr":
         return self.replace(values=self.values * jnp.asarray(alpha).reshape(()))
 

@@ -381,3 +381,16 @@ def test_dia_roundtrip_and_diag(rng):
     C = D.to_csr()
     x = generators.generate_random_dense(200, 1, rng)
     np.testing.assert_allclose(np.asarray(D.apply(x)), np.asarray(C.apply(x)), rtol=1e-12)
+
+
+def test_csr_sorted_invariant(rng):
+    data = generators.generate_random_matrix(20, 20, 1, 5, rng)
+    A = gko.Csr.from_matrix_data(data)
+    assert A.is_sorted_by_column_index()
+    assert A.sort_by_column_index() is A
+    # hand-built unsorted storage gets repaired
+    B = A.replace(col_idxs=A.col_idxs[::-1], values=A.values[::-1])
+    # (reversal globally may accidentally sort tiny cases; use a row with 2+)
+    if not B.is_sorted_by_column_index():
+        C = B.sort_by_column_index()
+        assert C.is_sorted_by_column_index()
