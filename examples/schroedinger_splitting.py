@@ -4,11 +4,32 @@ Reference: examples/schroedinger-splitting.cpp (free propagation in
 Fourier space, potential in real space)."""
 import _path_setup  # noqa: F401  (repo-root import shim)
 import numpy as np
+import jax
 import jax.numpy as jnp
 import ginkgo_tpu as gko
 
 
+def _complex_device():
+    """Some TPU runtimes lack complex dtypes; fall back to CPU for the FFT
+    pipeline (the rest of the library is real-valued on TPU)."""
+    try:
+        np.asarray(jnp.asarray(1 + 1j, jnp.complex64) * 2)  # forced readback
+        return None
+    except Exception:
+        return jax.local_devices(backend="cpu")[0]
+
+
 def main(n=256, steps=50, dt=1e-3):
+    dev = _complex_device()
+    if dev is not None:
+        print(f"complex dtypes unavailable on {jax.default_backend()}; "
+              f"running on {dev.platform}")
+        with jax.default_device(dev):
+            return _run(n, steps, dt)
+    return _run(n, steps, dt)
+
+
+def _run(n, steps, dt):
     F = gko.Fft.create(n)
     Finv = gko.Fft.create(n, inverse=True)
 
