@@ -15,6 +15,9 @@ from ..base.linop import LinOp, linop_dataclass, static_field, Composition
 class Factorization(LinOp):
     l_factor: Any
     u_factor: Any
+    #: optional row permutation indices p with (P A) = L U, i.e.
+    #: (A x = b)  <=>  (L U x = b[p]).  None for pivot-free factorizations.
+    row_perm: Any = None
     shape: tuple = static_field(default=(0, 0))
 
     @property

@@ -31,9 +31,16 @@ def ilu0_host(sp):
             k = indices[kk]
             if k >= i:
                 break
-            # diag of row k
+            # diag of row k (must be stored: ILU(0) factors on the
+            # original pattern require structural diagonals, like the
+            # reference's csrilu0)
             ks, ke = indptr[k], indptr[k + 1]
             dpos = ks + np.searchsorted(indices[ks:ke], k)
+            if dpos >= ke or indices[dpos] != k:
+                raise ValueError(
+                    f"ILU(0) requires a stored diagonal entry in every row; "
+                    f"row {k} has none"
+                )
             dkk = data[dpos]
             if dkk == 0:
                 dkk = 1e-30
@@ -106,7 +113,8 @@ class IcFactory:
                     if k >= j:
                         break
                     if k in row_i:
-                        acc -= data[row_i[k]] * data[tt]
+                        # l_ij needs l_ik * conj(l_jk) (Hermitian IC)
+                        acc -= data[row_i[k]] * np.conj(data[tt])
                 if j < i:
                     djj = data[dense_rows[j][j]]
                     data[t] = acc / (djj if djj != 0 else 1e-30)

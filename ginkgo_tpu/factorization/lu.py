@@ -93,17 +93,27 @@ class LuFactory:
             diag_pivot_thresh=0.0,
             options=dict(SymmetricMode=True),
         )
-        # SuperLU may still row-permute; fold Pr into L to keep L@U == A
+        # SuperLU may row-permute: Pr A = L U.  Folding Pr into L would
+        # produce a NON-triangular "L" that triangular solvers silently
+        # mis-solve, so keep L triangular and carry the permutation:
+        # A x = b  <=>  L U x = (Pr b) = b[row_perm].
         n = a.shape[0]
-        Pr = sps.csc_matrix((np.ones(n), (lu.perm_r, np.arange(n))))
+        import jax.numpy as jnp
+
+        row_perm = np.argsort(lu.perm_r)  # (Pr b)[i] = b[row_perm[i]]
         # SuperLU computes in double; restore the operator's value dtype so
         # downstream triangular solves stay type-stable (precision_dispatch
         # fidelity: factors carry the system's precision)
-        L = (Pr.T @ lu.L).tocsr().astype(a.dtype)
+        L = lu.L.tocsr().astype(a.dtype)
         U = lu.U.tocsr().astype(a.dtype)
         return Factorization(
             l_factor=Csr.from_scipy(L),
             u_factor=Csr.from_scipy(U),
+            row_perm=(
+                None
+                if np.array_equal(lu.perm_r, np.arange(n))
+                else jnp.asarray(row_perm, jnp.int32)
+            ),
             shape=tuple(a.shape),
         )
 

@@ -27,8 +27,12 @@ from .factorization import Factorization
 from .par_ilu import split_lu_pattern, parilu_sweeps
 
 
-def _threshold_filter(m, max_nnz: int, keep_diag=True):
-    """Keep the max_nnz largest-|.| entries (always keeping the diagonal)."""
+def _threshold_filter(m, max_nnz: int, keep_diag=True, approximate=False):
+    """Keep the max_nnz largest-|.| entries (always keeping the diagonal).
+
+    approximate=True mirrors the reference's sampleselect approximation
+    (par_ilut_select kernels): the threshold comes from an 8192-entry
+    sample instead of an exact partition of all values."""
     m = m.tocoo()
     absval = np.abs(m.data)
     is_diag = m.row == m.col
@@ -42,7 +46,13 @@ def _threshold_filter(m, max_nnz: int, keep_diag=True):
             keep = is_diag
         else:
             noff = min(noff, len(off_abs))
-            thresh = np.partition(off_abs, -noff)[-noff]
+            if approximate and len(off_abs) > 8192:
+                rng = np.random.default_rng(0)
+                sample = rng.choice(off_abs, size=8192, replace=False)
+                q = 1.0 - noff / len(off_abs)
+                thresh = np.quantile(sample, q)
+            else:
+                thresh = np.partition(off_abs, -noff)[-noff]
             keep = is_diag | (absval >= thresh)
     return sps.csr_matrix(
         (m.data[keep], (m.row[keep], m.col[keep])), shape=m.shape
@@ -92,6 +102,7 @@ class ParIlutFactory:
         self.iterations = int(iterations)
         self.fill_in_limit = float(fill_in_limit)
         self.sweeps = int(sweeps_per_iteration)
+        self.approximate_select = bool(approximate_select)
 
     def generate(self, A) -> Factorization:
         csr = A.to_csr() if hasattr(A, "to_csr") else A
@@ -111,8 +122,14 @@ class ParIlutFactory:
             cand = (_pattern_mask((a + eye).tocsr()) + _pattern_mask(LU)).tocsr()
             L2, U2 = _sweeps_on_pattern(a, cand, self.sweeps)
             # threshold select + filter on each factor
-            Lf = _threshold_filter(sps.tril(L2, 0).tocsr(), max_l)
-            Uf = _threshold_filter(sps.triu(U2, 0).tocsr(), max_u)
+            Lf = _threshold_filter(
+                sps.tril(L2, 0).tocsr(), max_l,
+                approximate=self.approximate_select,
+            )
+            Uf = _threshold_filter(
+                sps.triu(U2, 0).tocsr(), max_u,
+                approximate=self.approximate_select,
+            )
             pattern = (
                 _pattern_mask(Lf) + _pattern_mask(Uf) + _pattern_mask(eye)
             ).tocsr()
@@ -130,10 +147,12 @@ class ParIctFactory:
         iterations: int = 5,
         fill_in_limit: float = 2.0,
         sweeps_per_iteration: int = 3,
+        approximate_select: bool = False,
     ):
         self.iterations = int(iterations)
         self.fill_in_limit = float(fill_in_limit)
         self.sweeps = int(sweeps_per_iteration)
+        self.approximate_select = bool(approximate_select)
 
     def generate(self, A) -> Factorization:
         csr = A.to_csr() if hasattr(A, "to_csr") else A

@@ -202,7 +202,21 @@ class Bicg(IterativeSolverMixin, LinOp):
 
     @classmethod
     def create(cls, A, preconditioner, criterion, **params):
-        At = A.conj_transpose() if hasattr(A, "conj_transpose") else A
+        if hasattr(A, "conj_transpose"):
+            At = A.conj_transpose()
+        else:
+            # BiCG needs A^H for the shadow recurrence; falling back to A is
+            # only valid for (conjugate-)symmetric operators — warn loudly
+            # rather than silently running the wrong algorithm
+            import warnings
+
+            warnings.warn(
+                "Bicg: operator has no conj_transpose(); using A itself for "
+                "the shadow recurrence, which is only correct for Hermitian "
+                "operators. Provide conj_transpose() for nonsymmetric A.",
+                stacklevel=2,
+            )
+            At = A
         M = preconditioner
         Mt = M.conj_transpose() if hasattr(M, "conj_transpose") else M
         return cls(

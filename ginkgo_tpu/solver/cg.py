@@ -39,11 +39,24 @@ class Cg(IterativeSolverMixin, LinOp):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
     def _solve_impl(self, b, x0):
+        x, info, _ = self._solve_with_state(b, x0, None)
+        return x, info
+
+    def _solve_with_state(self, b, x0, resume):
+        """Body shared by solve() and the chunked driver: `resume` carries
+        (r, p, rho_prev, first_flag) across chunk boundaries so chunking
+        does NOT restart the Krylov recurrence (solve_chunked)."""
         A, M = self.A, self.preconditioner
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]
 
-        r0 = b - A.apply(x0)  # cg.cpp:142
+        if resume is None:
+            r0 = b - A.apply(x0)  # cg.cpp:142
+            p_init = jnp.zeros_like(b)
+            rho_init = jnp.ones((k,), dtype=b.dtype)
+            fresh = jnp.asarray(True)
+        else:
+            r0, p_init, rho_init, fresh = resume
         baselines = self._baselines(b, r0)
         hist0 = (
             jnp.zeros((cap, k), dtype=jnp.result_type(b.real.dtype))
@@ -61,7 +74,7 @@ class Cg(IterativeSolverMixin, LinOp):
             rho = vdot(r, z, self.axis_name)  # cg.cpp:161
             # step_1: p = z + beta p with beta = rho/rho_prev (cg.cpp:177)
             beta = safe_div(rho, rho_prev)
-            first = it == 0
+            first = (it == 0) & fresh
             p_new = jnp.where(first, z, z + beta[None, :] * p)
             p_new = masked_cols(p_new, p, stopped)
             q = A.apply(p_new)  # cg.cpp:181
@@ -82,8 +95,8 @@ class Cg(IterativeSolverMixin, LinOp):
         init = (
             x0,
             r0,
-            jnp.zeros_like(b),
-            jnp.ones((k,), dtype=b.dtype),
+            p_init,
+            rho_init,
             jnp.asarray(0, jnp.int32),
             jnp.zeros((k,), dtype=bool),
             baselines["initial_resnorm"],
@@ -92,9 +105,10 @@ class Cg(IterativeSolverMixin, LinOp):
         x, r, p, rho, it, stopped, resnorm, hist = jax.lax.while_loop(
             cond, body, init
         )
-        return x, SolveInfo(
+        info = SolveInfo(
             iterations=it, residual_norm=resnorm, converged=stopped, history=hist
         )
+        return x, info, (r, p, rho, jnp.asarray(False))
 
 
 @linop_dataclass

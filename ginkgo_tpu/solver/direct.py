@@ -16,6 +16,9 @@ from .triangular import LowerTrsFactory, UpperTrsFactory
 class Direct(LinOp):
     l_solver: Any
     u_solver: Any
+    #: optional pivot permutation from the factorization (P A = L U):
+    #: apply solves L U x = b[row_perm]
+    row_perm: Any = None
 
     @property
     def shape(self):
@@ -26,6 +29,10 @@ class Direct(LinOp):
         return self.l_solver.dtype
 
     def apply(self, b):
+        if self.row_perm is not None:
+            import jax.numpy as jnp
+
+            b = jnp.take(jnp.asarray(b), self.row_perm, axis=0)
         return self.u_solver.apply(self.l_solver.apply(b))
 
     def solve(self, b, x0=None):
@@ -57,4 +64,5 @@ class DirectFactory:
         return Direct(
             l_solver=self.lf.generate(fact.get_l_factor()),
             u_solver=self.uf.generate(fact.get_u_factor()),
+            row_perm=getattr(fact, "row_perm", None),
         )

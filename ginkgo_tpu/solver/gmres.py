@@ -221,7 +221,13 @@ class Gmres(IterativeSolverMixin, LinOp):
             x, it, stopped = cycle(x, it, stopped)
             r_true = b - A.apply(x)
             rn = pnorm(r_true)
-            stopped = stopped | crit_check(it, rn, rn**2)
+            # honest convergence: the in-cycle estimate |g[j+1]| is the
+            # PRECONDITIONED residual norm and may under-report (badly
+            # scaled M, reduced-precision basis drift in CB-GMRES); the
+            # outer check re-evaluates the criterion on the TRUE residual
+            # and can retract a premature in-cycle stop (triggering another
+            # restart) instead of latching it.
+            stopped = crit_check(it, rn, rn**2)
             return (x, it, stopped, rn)
 
         init = (

@@ -50,12 +50,15 @@ class Idr(IterativeSolverMixin, LinOp):
         n = A.shape[0]
         s = int(subspace_dim)
         rng = np.random.default_rng(seed)
-        P = rng.standard_normal((s, n))
+        if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+            # complex shadow space for complex problems (the reference's
+            # complex_subspace behavior, idr.hpp)
+            P = rng.standard_normal((s, n)) + 1j * rng.standard_normal((s, n))
+        else:
+            P = rng.standard_normal((s, n))
         # orthonormalize rows (host QR at generate time)
         q, _ = np.linalg.qr(P.T)
-        P = jnp.asarray(q.T[:s], dtype=np.dtype(A.dtype) if not np.issubdtype(
-            np.dtype(A.dtype), np.complexfloating
-        ) else np.dtype(A.dtype))
+        P = jnp.asarray(q.T[:s], dtype=np.dtype(A.dtype))
         return cls(
             A=A,
             preconditioner=preconditioner,

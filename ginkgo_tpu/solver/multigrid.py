@@ -105,8 +105,17 @@ class Multigrid(LinOp):
         return restore_1d(out, was_1d)
 
     def solve(self, b, x0=None):
+        from .solver_base import _jittable, _jitted_solve
+
         arr, was_1d = as_2d(b)
         x = jnp.zeros_like(arr) if x0 is None else as_2d(x0)[0]
+        if _jittable(self):
+            xr, info = _jitted_solve(self, arr, x)
+            return restore_1d(xr, was_1d), info
+        xr, info = self._solve_impl(arr, x)
+        return restore_1d(xr, was_1d), info
+
+    def _solve_impl(self, arr, x):
         cap = extract_max_iters(self.criterion)
         A = self.levels[0].fine_op
         k = arr.shape[1]
@@ -143,7 +152,7 @@ class Multigrid(LinOp):
             baselines["initial_resnorm"],
         )
         x, it, stopped, rn = jax.lax.while_loop(cond, body, init)
-        return restore_1d(x, was_1d), SolveInfo(
+        return x, SolveInfo(
             iterations=it, residual_norm=rn, converged=stopped, history=None
         )
 

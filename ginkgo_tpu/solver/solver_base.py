@@ -155,6 +155,11 @@ def _jitted_solve(solver, barr, xarr):
     return solver._solve_impl(barr, xarr)
 
 
+@jax.jit
+def _jitted_solve_state(solver, barr, xarr, state):
+    return solver._solve_with_state(barr, xarr, state)
+
+
 def _jittable(solver) -> bool:
     """True when every pytree leaf of the solver is an array/scalar, so the
     whole solve can be traced with the solver as a jit argument."""
@@ -222,22 +227,45 @@ class IterativeSolverMixin:
     def solve_chunked(self, b, x0=None, chunk: int = 50, loggers=()):
         """Host-orchestrated driver honoring Time criteria and streaming
         iteration_complete events to loggers between fixed-size in-graph
-        chunks (the TPU answer to the reference's per-iteration host check)."""
+        chunks (the TPU answer to the reference's per-iteration host check).
+
+        Krylov state restarts at chunk boundaries (the documented trade);
+        residual baselines do NOT: `initial_resnorm`-based criteria are
+        frozen against the ORIGINAL initial residual before chunking, so
+        each chunk is not re-baselined to its own start."""
         from ..log.logger import Event
+        from ..stop.criterion import freeze_initial_baseline
 
         limit = extract_time_limit(self.criterion)
         max_iters = extract_max_iters(self.criterion)
         barr, was_1d = as_2d(b)
         x = jnp.zeros_like(barr) if x0 is None else as_2d(x0)[0]
+        frozen_crit = freeze_initial_baseline(
+            self.criterion, norm2(barr - self.A.apply(x), self.axis_name)
+        )
+        if frozen_crit is not self.criterion:
+            self = self.replace(criterion=frozen_crit)
         start = _time.perf_counter()
         done_iters = 0
         info = None
         chunk_solver = None
+        resumable = hasattr(self, "_solve_with_state")
+        state = None
         while done_iters < max_iters:
             n_now = min(chunk, max_iters - done_iters)
             if chunk_solver is None or n_now != chunk:
                 chunk_solver = self._with_max_iters(n_now)
-            if _jittable(chunk_solver):
+            if resumable:
+                # carry the Krylov recurrence across the chunk boundary
+                if _jittable(chunk_solver):
+                    x, info, state = _jitted_solve_state(
+                        chunk_solver, barr, x, state
+                    )
+                else:
+                    x, info, state = chunk_solver._solve_with_state(
+                        barr, x, state
+                    )
+            elif _jittable(chunk_solver):
                 x, info = _jitted_solve(chunk_solver, barr, x)
             else:
                 x, info = chunk_solver._solve_impl(barr, x)

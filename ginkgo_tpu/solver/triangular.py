@@ -48,6 +48,12 @@ class TriangularSolver(LinOp):
     inv_diag_blocks: Any  # (nb, B, B) inverted diagonal blocks
     off_csr: Any  # strictly block-off-diagonal part as Csr (padded shape)
     diag: Any  # (n,) diagonal (sweeps algorithm)
+    #: block_scan per-block panels: entries of block row bi, padded to the
+    #: max per-block count W — step bi touches ONLY its own entries
+    #: (O(nnz) total instead of one full SpMV per block)
+    off_cols: Any = None  # (nb, W) int32 column of each entry
+    off_vals: Any = None  # (nb, W) values (0 padding)
+    off_lrow: Any = None  # (nb, W) local row within the block
     n: int = static_field(default=0)
     block: int = static_field(default=64)
     lower: bool = static_field(default=True)
@@ -91,15 +97,16 @@ class TriangularSolver(LinOp):
         rhs = jnp.concatenate(
             [arr, jnp.zeros((npad - self.n, k), arr.dtype)], axis=0
         ) if npad > self.n else arr
-        # running solution vector, updated block by block
-        T = self.off_csr
-
+        # running solution vector, updated block by block; each step
+        # gathers only block bi's off-diagonal entries (per-block panels)
         def step(x_acc, bi):
-            # contribution of already-solved unknowns to block bi
-            contrib = T.apply(x_acc)  # (npad, k); only block bi rows used
-            seg = jax.lax.dynamic_slice(
-                contrib, (bi * B, 0), (B, k)
-            )
+            cols = self.off_cols[bi]  # (W,)
+            vals = self.off_vals[bi].astype(x_acc.dtype)  # (W,)
+            lrow = self.off_lrow[bi]  # (W,)
+            xg = jnp.take(x_acc, cols, axis=0)  # (W, k)
+            seg = jax.ops.segment_sum(
+                vals[:, None] * xg, lrow, num_segments=B
+            )  # (B, k)
             rb = jax.lax.dynamic_slice(rhs, (bi * B, 0), (B, k))
             xb = self.inv_diag_blocks[bi].astype(x_acc.dtype) @ (rb - seg).astype(
                 x_acc.dtype
@@ -168,16 +175,27 @@ def _build(csr_mat, lower: bool, unit_diag: bool, algorithm: str, block: int, sw
             if g >= n or blocks[bi, l, l] == 0:
                 blocks[bi, l, l] = 1.0
     inv_blocks = jnp.asarray(np.linalg.inv(blocks))
-    # off-block part (padded shape)
-    from ..base.matrix_data import MatrixData
-
-    off = MatrixData.from_coo(
-        (npad, npad), rows[~in_blk], cols[~in_blk], vals[~in_blk]
-    )
-    T = Csr.from_matrix_data(off)
+    # off-block part as per-block padded panels
+    orows, ocols, ovals = rows[~in_blk], cols[~in_blk], vals[~in_blk]
+    blk_of = orows // B
+    counts = np.bincount(blk_of, minlength=nb)
+    W = max(int(counts.max()) if len(counts) else 0, 1)
+    off_cols = np.zeros((nb, W), np.int32)
+    off_vals = np.zeros((nb, W), vals.dtype)
+    off_lrow = np.zeros((nb, W), np.int32)
+    order = np.argsort(blk_of, kind="stable")
+    slot = (np.arange(len(orows)) - np.concatenate([[0], np.cumsum(counts)])[
+        blk_of[order]
+    ])
+    off_cols[blk_of[order], slot] = ocols[order]
+    off_vals[blk_of[order], slot] = ovals[order]
+    off_lrow[blk_of[order], slot] = (orows[order] % B)
     return TriangularSolver(
         inv_diag_blocks=inv_blocks,
-        off_csr=T,
+        off_csr=None,
+        off_cols=jnp.asarray(off_cols),
+        off_vals=jnp.asarray(off_vals),
+        off_lrow=jnp.asarray(off_lrow),
         diag=jnp.asarray(dense_diag),
         n=n,
         block=B,

@@ -154,6 +154,49 @@ class Time(Criterion):
         return jnp.zeros((k,), dtype=bool)
 
 
+@linop_dataclass
+class FrozenBaselineResidualNorm(Criterion):
+    """ResidualNorm against a pre-captured per-column baseline — used by
+    chunked drivers so `initial_resnorm` refers to the ORIGINAL initial
+    residual, not each chunk's restart residual."""
+
+    tolerance: float = 1e-8
+    baseline_vals: jnp.ndarray = None  # (k,)
+
+    needs_residual_norm = True
+
+    def check(self, ctx):
+        return ctx["residual_norm"] <= self.tolerance * self.baseline_vals
+
+
+def freeze_initial_baseline(criterion, initial_resnorm):
+    """Replace any ResidualNorm/ImplicitResidualNorm with
+    baseline='initial_resnorm' by a frozen-baseline equivalent."""
+
+    def walk(c):
+        if isinstance(c, (ResidualNorm, ImplicitResidualNorm)) and (
+            c.baseline == "initial_resnorm"
+        ):
+            return FrozenBaselineResidualNorm(
+                tolerance=c.tolerance, baseline_vals=initial_resnorm
+            )
+        if isinstance(c, Combined):
+            return Combined(criteria=tuple(walk(ch) for ch in c.criteria))
+        return c
+
+    new = walk(criterion)
+    # preserve identity when nothing changed (cheap no-op detection)
+    return new if _tree_differs(new, criterion) else criterion
+
+
+def _tree_differs(a, b) -> bool:
+    if a is b:
+        return False
+    if isinstance(a, Combined) and isinstance(b, Combined):
+        return any(_tree_differs(x, y) for x, y in zip(a.criteria, b.criteria))
+    return type(a) is not type(b)
+
+
 def combine(criteria) -> Criterion:
     """Normalize a criterion / list of criteria to a single Criterion."""
     if criteria is None:
