@@ -11,11 +11,9 @@ contract, one level up.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..base.matrix_data import MatrixData
-from .dia import Dia
-from .bell import Bell, LANES
+from .dia import Dia, suitable_for_dia
+from .bell import Bell, bell_inflation_estimate
 from .csr import Csr
 
 
@@ -26,24 +24,15 @@ def choose_format(
     block_rows: int = 8,
 ):
     """Build the fastest suitable operator for `data` (automatical
-    strategy analog).  Preference: Dia > Bell > Csr.  The diagonal
-    statistics are computed once here (suitable_for_dia's check inlined)
-    to avoid a second O(nnz log nnz) pass inside the constructor."""
+    strategy analog).  Preference: Dia > Bell > Csr.  The Bell candidate
+    block-rows are tuned by the TRUE allocated-slot inflation (including
+    ELL padding to the per-block max panel count)."""
+    if suitable_for_dia(data, max_diags=max_diags):
+        return Dia.from_matrix_data(data)
     if data.nnz:
-        offs = np.unique(data.cols - data.rows)
-        fill = data.nnz / (len(offs) * data.shape[0])
-        if len(offs) <= max_diags and fill > 0.2:
-            return Dia.from_matrix_data(data)
-        # BELL block-rows auto-tune: pick the candidate with the lowest
-        # storage inflation (bigger blocks amortize panels only when rows
-        # share columns) — stats-only, no construction
-        NPC = max(1, -(-data.shape[1] // LANES))
-        pc = data.cols // LANES
         best = None
         for br in (block_rows, 2 * block_rows, 4 * block_rows):
-            rb = data.rows // br
-            n_panels = len(np.unique(rb * NPC + pc))
-            inflation = n_panels * br * LANES / data.nnz
+            inflation = bell_inflation_estimate(data, block_rows=br)
             if best is None or inflation < best[1]:
                 best = (br, inflation)
         if best[1] <= max_inflation:

@@ -94,7 +94,11 @@ class Bell(LinOp):
             * LANES
             + cols_s % LANES
         )
-        assert ent_flat.size == 0 or ent_flat.max() < 2**31
+        if ent_flat.size and ent_flat.max() >= 2**31:
+            raise ValueError(
+                "Bell slot space exceeds int32 range; use larger block_rows "
+                "or a different format"
+            )
         # re-sort the pattern row-major (entries arrived panel-grouped)
         order2 = np.lexsort((cols_s, rows_s))
         ent_flat = ent_flat[order2].astype(np.int32)
@@ -128,11 +132,12 @@ class Bell(LinOp):
         return int(self.values.shape[0] * self.values.shape[1])
 
     def storage_inflation(self) -> float:
-        """stored dense slots / true nnz (the padding cost of the format)."""
-        real = float(np.asarray(self.panel_valid).sum())
+        """ALLOCATED dense slots / true nnz — includes the ELL padding to
+        the per-block max panel count (what actually occupies memory and
+        streams through the kernel)."""
         if self.nnz_stored == 0:
             return 1.0
-        return real * self.block_rows * LANES / self.nnz_stored
+        return self.values.size / self.nnz_stored
 
     # -- SpMV --------------------------------------------------------------------
 
@@ -214,22 +219,11 @@ class Bell(LinOp):
         (required: multigrid smoothers call this on full-size operators)."""
         from .diagonal import Diagonal
 
-        NRB, K, BR, _ = self.values.shape
-        flat = np.asarray(self.ent_flat).astype(np.int64)
-        vals = np.asarray(self.values).reshape(-1)[flat]
-        pids = np.asarray(self.panel_ids)
-        cl = flat % LANES
-        rest = flat // LANES
-        brl = rest % BR
-        rest //= BR
-        kl = rest % K
-        rbl = rest // K
-        rows = rbl * BR + brl
-        cols = pids[rbl, kl] * LANES + cl
+        rows, cols, vals = self._decode_entries()
         nmin = min(self.shape)
         diag = np.zeros(nmin, vals.dtype)
-        on = rows == cols
-        diag[rows[on & (rows < nmin)]] = vals[on & (rows < nmin)]
+        on = (rows == cols) & (rows < nmin)
+        diag[rows[on]] = vals[on]
         return Diagonal(values=jnp.asarray(diag))
 
     def transpose(self) -> "Bell":
@@ -244,7 +238,9 @@ class Bell(LinOp):
 
     # -- conversions ----------------------------------------------------------------
 
-    def to_matrix_data(self) -> MatrixData:
+    def _decode_entries(self):
+        """(rows, cols, vals) of the true stored entries (inverse of the
+        slot encoding in from_matrix_data)."""
         NRB, K, BR, _ = self.values.shape
         flat = np.asarray(self.ent_flat).astype(np.int64)
         vals = np.asarray(self.values).reshape(-1)[flat]
@@ -257,6 +253,10 @@ class Bell(LinOp):
         rbl = rest // K
         rows = rbl * BR + brl
         cols = pids[rbl, kl] * LANES + cl
+        return rows, cols, vals
+
+    def to_matrix_data(self) -> MatrixData:
+        rows, cols, vals = self._decode_entries()
         return MatrixData.from_coo(self.shape, rows, cols, vals).sort_row_major()
 
     write = to_matrix_data
@@ -272,15 +272,25 @@ class Bell(LinOp):
         return Dense(values=jnp.asarray(self.to_matrix_data().to_dense()))
 
 
-def suitable_for_bell(data: MatrixData, block_rows: int = 8,
-                      max_inflation: float = 40.0) -> bool:
-    """BELL pays off when panels are reasonably full: storage inflation below
-    `max_inflation` keeps the dense-panel stream faster than element gather
-    (which is ~100-500x off streaming rate on TPU)."""
+def bell_inflation_estimate(data: MatrixData, block_rows: int = 8) -> float:
+    """TRUE allocated-slot inflation of Bell.from_matrix_data: the ELL
+    padding to the per-block MAX panel count is what gets allocated and
+    streamed, so one row block touching many panels inflates every block."""
     if data.nnz == 0:
-        return False
+        return 1.0
+    NRB = max(1, -(-data.shape[0] // block_rows))
+    NPC = max(1, -(-data.shape[1] // LANES))
     rb = data.rows // block_rows
     pc = data.cols // LANES
-    n_panels = len(np.unique(rb * (max(1, -(-data.shape[1] // LANES))) + pc))
-    inflation = n_panels * block_rows * LANES / data.nnz
-    return inflation <= max_inflation
+    keys = np.unique(rb * NPC + pc)
+    per_block = np.bincount(keys // NPC, minlength=NRB)
+    K = max(int(per_block.max()) if len(per_block) else 1, 1)
+    return NRB * K * block_rows * LANES / data.nnz
+
+
+def suitable_for_bell(data: MatrixData, block_rows: int = 8,
+                      max_inflation: float = 40.0) -> bool:
+    """BELL pays off when panels are reasonably full: ALLOCATED storage
+    inflation below `max_inflation` keeps the dense-panel stream faster
+    than element gather (~100-500x off streaming rate on TPU)."""
+    return bell_inflation_estimate(data, block_rows) <= max_inflation

@@ -219,7 +219,7 @@ class Csr(LinOp):
         ci = np.asarray(self.col_idxs)
         starts = np.zeros(len(ci), bool)
         starts[rp[:-1][rp[:-1] < len(ci)]] = True
-        return bool(np.all(starts[1:] | (np.diff(ci) > 0)))
+        return bool(np.all(starts[1:] | (np.diff(ci) >= 0)))
 
     def sort_by_column_index(self) -> "Csr":
         """csr.hpp sort_by_column_index — a no-op here since from_matrix_data
@@ -376,7 +376,8 @@ class Csr(LinOp):
         rows = to_indices(row_set, self.shape[0])
         cols = to_indices(col_set, self.shape[1])
         sp = self.to_scipy().tocsr()[rows][:, cols]
-        return Csr.from_scipy(sp.tocsr())
+        # to_scipy may upcast storage dtypes scipy lacks (bf16) — restore
+        return Csr.from_scipy(sp.tocsr()).astype(self.dtype)
 
     # -- entry lookup (csr_lookup.hpp analog) -----------------------------------
 
@@ -391,6 +392,8 @@ class Csr(LinOp):
         r = jnp.asarray(rows, dtype=jnp.int32).reshape(-1)
         c = jnp.asarray(cols, dtype=self.col_idxs.dtype).reshape(-1)
         nnz = self.col_idxs.shape[0]
+        if nnz == 0:
+            return jnp.full(jnp.asarray(rows).shape, -1, jnp.int32)
         start = jnp.take(self.row_ptrs, r).astype(jnp.int32)
         end = jnp.take(self.row_ptrs, r + 1).astype(jnp.int32)
         steps = max(1, int(np.ceil(np.log2(max(nnz, 2)))) + 1)

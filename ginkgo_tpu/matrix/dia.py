@@ -61,7 +61,9 @@ class Dia(LinOp):
         d = data.sum_duplicates()
         n, m = d.shape
         offs = np.unique(d.cols - d.rows)
-        R = -(-n // LANES)
+        # the x frame must cover column index n-1+max_offset (<= m-1): use
+        # max(n, m) so wide rectangular operators are never truncated
+        R = -(-max(n, m) // LANES)
         nd = len(offs)
         diags = np.zeros((nd, R * LANES), dtype=d.values.dtype)
         off_idx = np.searchsorted(offs, d.cols - d.rows)

@@ -120,12 +120,35 @@ class Jacobi(LinOp):
 
     def to_matrix_data(self):
         """WritableToMatrixData (reference jacobi convert_to_dense kernel +
-        write, jacobi.cpp:61-74): exports the explicit block-inverse
-        operator."""
+        write, jacobi.cpp:61-74): exports the explicit (block-)diagonal
+        inverse WITHOUT densifying the n x n operator."""
         from ..base.matrix_data import MatrixData
         import numpy as np
 
-        return MatrixData.from_dense(np.asarray(self.to_dense().values))
+        if self.inv_diag is not None:  # scalar path: n diagonal entries
+            d = np.asarray(self.inv_diag)
+            idx = np.arange(self.n)
+            return MatrixData.from_coo((self.n, self.n), idx, idx, d)
+        # block path: emit only the O(n * bs) block entries
+        bs = self.max_block_size
+        work = np.promote_types(np.asarray(self.inv_blocks).dtype, np.float32)
+        inv = np.asarray(self.inv_blocks).astype(work) * np.asarray(
+            self.block_scales
+        )[:, None, None].astype(work)
+        starts = np.asarray(self.block_starts)
+        ends = np.concatenate([starts[1:], [self.n]])
+        sizes = ends - starts
+        nb = len(starts)
+        bi, li, lj = np.meshgrid(
+            np.arange(nb), np.arange(bs), np.arange(bs), indexing="ij"
+        )
+        ok = (li < sizes[bi]) & (lj < sizes[bi])
+        rows = (starts[bi] + li)[ok]
+        cols = (starts[bi] + lj)[ok]
+        vals = inv[bi, li, lj][ok]
+        return MatrixData.from_coo(
+            (self.n, self.n), rows, cols, vals
+        ).sort_row_major()
 
     write = to_matrix_data
 
@@ -176,6 +199,9 @@ class JacobiFactory:
         self.storage_optimization = storage_optimization
 
     def generate(self, A) -> Jacobi:
+        if not hasattr(A, "extract_diagonal"):
+            # duck-typed operators that only provide to_csr (mg fine ops)
+            A = A.to_csr()
         n = A.shape[0]
         if self.max_block_size == 1:
             diag = A.extract_diagonal().values

@@ -119,3 +119,89 @@ def test_parilut_approximate_select_runs(rng):
     f1 = ParIlutFactory(approximate_select=True).generate(A)
     f2 = ParIlutFactory(approximate_select=False).generate(A)
     assert f1.l_factor.nnz > 0 and f2.l_factor.nnz > 0
+
+
+def test_bell_inflation_counts_ell_padding(rng):
+    """One row touching many panels inflates EVERY block (K padding); the
+    estimate must reflect allocated slots, not occupied panels."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.matrix.bell import Bell, bell_inflation_estimate
+
+    n = 512
+    rows = np.concatenate([np.arange(n), np.zeros(n // 128 * 4, np.int64)])
+    cols = np.concatenate(
+        [np.arange(n), (np.arange(n // 128 * 4) * 128 + 1) % n]
+    )
+    data = MatrixData.from_coo(
+        (n, n), rows, cols, np.ones(len(rows))
+    ).sum_duplicates().sort_row_major()
+    est = bell_inflation_estimate(data, block_rows=8)
+    A = Bell.from_matrix_data(data, block_rows=8)
+    assert abs(est - A.storage_inflation()) / A.storage_inflation() < 0.2
+    assert A.storage_inflation() > 100  # the arrow row inflates everything
+
+
+def test_jacobi_export_no_densify(rng):
+    """write() of a (block-)Jacobi must not materialize n^2 memory; check
+    correctness on a moderate size (would already be 1.25 GB dense)."""
+    data = gko.generators.poisson_1d(200, dtype=np.float64)
+    A = gko.Csr.from_matrix_data(data)
+    from ginkgo_tpu.preconditioner import JacobiFactory
+
+    for bs in (1, 4):
+        J = JacobiFactory(max_block_size=bs).generate(A)
+        md = J.to_matrix_data()
+        dense = md.to_dense()
+        want = np.asarray(J.to_dense().values)
+        np.testing.assert_allclose(dense, want, rtol=1e-10, atol=1e-12)
+
+
+def test_multigrid_with_tocsr_only_operator(rng):
+    """Duck-typed fine ops providing only to_csr still get smoothers."""
+    from ginkgo_tpu.solver.multigrid import MultigridFactory
+
+    data = gko.generators.poisson_2d(12, dtype=np.float64)
+
+    class CsrOnly:
+        shape = data.shape
+        dtype = jnp.float64
+
+        def apply(self, b):
+            return gko.Csr.from_matrix_data(data).apply(b)
+
+        def to_csr(self):
+            return gko.Csr.from_matrix_data(data)
+
+    mg = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=40), stop.ResidualNorm(tolerance=1e-8)],
+        min_coarse_rows=36,
+    ).generate(CsrOnly())
+    b = jnp.ones((data.shape[0], 1))
+    x, info = mg.solve(b)
+    rel = float(jnp.linalg.norm(b - CsrOnly().apply(x)) / jnp.linalg.norm(b))
+    assert rel < 1e-6
+
+
+def test_csr_lookup_empty_matrix():
+    A = gko.Csr.create((2, 2), [0, 0, 0], [], [])
+    out = np.asarray(A.lookup(np.array([0]), np.array([1])))
+    assert out[0] == -1
+
+
+def test_dia_wide_rectangular_not_truncated(rng):
+    """Wide Dia (m > row-frame) must use the full x, not truncate it."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.matrix.dia import Dia
+
+    n, m = 100, 400
+    r = np.arange(n)
+    data = MatrixData.from_coo(
+        (n, m),
+        np.concatenate([r, r]),
+        np.concatenate([r, r + 256]),
+        np.concatenate([np.ones(n), 2 * np.ones(n)]),
+    ).sort_row_major()
+    D = Dia.from_matrix_data(data)
+    x = jnp.asarray(rng.standard_normal(m))
+    want = np.asarray(data.to_dense()) @ np.asarray(x)
+    np.testing.assert_allclose(np.asarray(D.apply(x)), want, rtol=1e-10)
