@@ -29,15 +29,22 @@ def main():
     A = DistCsr.from_matrix_data(data, part)  # read_distributed analog
     b = jnp.ones((n, 1), jnp.float32)
 
-    x, info = distributed_solve(
-        mesh, gko.Cg, A, b, part,
-        criteria=[stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-6)],
-    )
+    crit = [stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-6)]
+    x, info = distributed_solve(mesh, gko.Cg, A, b, part, criteria=crit)
     # verify against the replicated operator
     A_rep = gko.Csr.from_matrix_data(data)
     r = b - A_rep.apply(x)
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
-    print(f"{n_dev} devices: iters {int(info.iterations)}, rel|r| {rel:.2e}")
+    print(f"DistCsr  {n_dev} devices: iters {int(info.iterations)}, rel|r| {rel:.2e}")
+
+    # banded fast path: DistDia (two-ppermute window halos, zero gather)
+    from ginkgo_tpu.distributed import DistDia, build_banded_partition
+
+    part2 = build_banded_partition(n, n_dev)
+    A2 = DistDia.from_matrix_data(data, part2)
+    x2, info2 = distributed_solve(mesh, gko.Cg, A2, b, part2, criteria=crit)
+    rel2 = float(jnp.linalg.norm(b - A_rep.apply(x2)) / jnp.linalg.norm(b))
+    print(f"DistDia  {n_dev} devices: iters {int(info2.iterations)}, rel|r| {rel2:.2e}")
 
 
 if __name__ == "__main__":
