@@ -1,0 +1,285 @@
+"""Whole-solve fused CG: the entire Krylov loop inside ONE Pallas kernel.
+
+Reference analog: Ginkgo fuses CG's BLAS-1 updates into step_1/step_2
+kernels (common/unified/solver/cg_kernels.cpp) but still launches
+SpMV + 2 dots + 2 fused-axpy kernels per iteration with a host-synced
+stop check (core/solver/cg.cpp:148-190, 18n/iter traffic model).  The
+TPU-native end point of that fusion arc is a single kernel for the whole
+solve: for DIA operators whose diagonals AND vectors fit in VMEM, every
+iteration runs entirely on-chip — per-iteration HBM traffic is ZERO
+(one-time DMA of vectors in, one DMA of x/r out), and each iteration is
+pure VPU work with in-register reductions.  With bf16 `reduce_storage`
+diagonals, multi-million-row solves stay fully VMEM-resident.
+
+Preconditioning: Identity or any diagonal (scalar-Jacobi) preconditioner
+— the inverse diagonal rides along in VMEM.
+
+Layout: the (R, 128) lane frame of matrix/dia.py.  SpMV uses the same
+(q = off//128 sublane, s = off%128 lane) shift decomposition as
+ops/pallas_dia.py — `pltpu.roll` + lane select, no gather.  The search
+direction p is carried in a halo-padded scratch so diagonal windows are
+(dynamic) slices.
+
+Memory discipline (what made this fit): vectors arrive via `pl.ANY`
+(HBM) and are DMA'd once into VMEM scratch — VMEM input/output windows
+would double-count the state.  All per-iteration work runs in row CHUNKS
+inside `fori_loop`s so Mosaic temporaries stay register-sized instead of
+spilling whole frames.  The while_loop carries only scalars.
+
+Stopping: classic CG recurrences with the exact r.r tracked every
+iteration (free — r is VMEM-resident); the loop is a `lax.while_loop`
+INSIDE the kernel, so convergence exits early with no host round-trip
+(the reference syncs to host every iteration, cg.cpp:166-171).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dia import _plan
+
+LANES = 128
+
+
+def _chunk_rows(R: int) -> int:
+    """Row-chunk size for the in-kernel loops: big enough to amortize loop
+    overhead, small enough that per-chunk temporaries live in registers.
+    GINKGO_TPU_CG_CHUNK forces a size (tests use it to cover the
+    multi-chunk path at small R)."""
+    forced = os.environ.get("GINKGO_TPU_CG_CHUNK")
+    if forced:
+        c = int(forced)
+        if R % c == 0:
+            return c
+    for c in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if R % c == 0:
+            return c
+    return R
+
+
+def _spmv_chunk(diags, p_s, c0, C, *, qs, pad_lo):
+    """(C, 128) block of A @ p starting at frame row c0.
+
+    p_s: halo-padded (Rp, 128) VMEM ref; diags: (nd, R, 128) VMEM ref.
+    Unrolls over the static diagonal list; each diagonal contributes a
+    sublane-shifted, lane-rolled window of p — exact, gather-free."""
+    acc = jnp.zeros((C, LANES), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
+    for j, (q, s) in enumerate(qs):
+        base = pad_lo + q + c0
+        cur = p_s[pl.ds(base, C), :]
+        if s == 0:
+            shifted = cur
+        else:
+            nxt = p_s[pl.ds(base + 1, C), :]
+            rc = pltpu.roll(cur, -s % LANES, 1)
+            rn = pltpu.roll(nxt, -s % LANES, 1)
+            shifted = jnp.where(lane < LANES - s, rc, rn)
+        acc = acc + diags[j, pl.ds(c0, C), :].astype(jnp.float32) * shifted
+    return acc
+
+
+def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
+               x_s, r_s, q_s, p_s, sems, *, qs, pad_lo, pad_hi, R,
+               use_minv, use_implicit):
+    """scal: SMEM (2,) [tol_sq_eff, max_iters(as f32)].  stats out: SMEM (3,)
+    [iterations, monitored_sq, converged]."""
+    tol_sq = scal[0]
+    max_iters = scal[1].astype(jnp.int32)
+    Rp = R + pad_lo + pad_hi
+    C = _chunk_rows(R)
+    n_chunks = R // C
+
+    # ---- one-time DMA: initial state HBM -> VMEM scratch -------------------
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    def mchunk(c0, C):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    if pad_lo:
+        p_s[0:pad_lo] = jnp.zeros((pad_lo, LANES), jnp.float32)
+    if pad_hi:
+        p_s[Rp - pad_hi:Rp] = jnp.zeros((pad_hi, LANES), jnp.float32)
+
+    def init_chunk(c, carry):
+        rho, rr = carry
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        z_c = mchunk(c0, C) * r_c if use_minv else r_c
+        p_s[pl.ds(pad_lo + c0, C), :] = z_c
+        return (rho + jnp.sum(r_c * z_c), rr + jnp.sum(r_c * r_c))
+
+    rho0, rr0 = jax.lax.fori_loop(
+        0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
+    )
+
+    def monitored(rho, rr):
+        # the quantity the stop test watches (implicit = rho, like
+        # ImplicitResidualNorm; exact = r.r)
+        return jnp.abs(rho) if use_implicit else rr
+
+    def cond(st):
+        it, rho, rr = st
+        return (it < max_iters) & (monitored(rho, rr) > tol_sq)
+
+    def body(st):
+        it, rho, rr = st
+
+        # pass 1: q = A p (chunked), accumulate pq
+        def spmv_chunk(c, pq):
+            c0 = c * C
+            q_c = _spmv_chunk(diags, p_s, c0, C, qs=qs, pad_lo=pad_lo)
+            q_s[pl.ds(c0, C), :] = q_c
+            p_c = p_s[pl.ds(pad_lo + c0, C), :]
+            return pq + jnp.sum(p_c * q_c)
+
+        pq = jax.lax.fori_loop(0, n_chunks, spmv_chunk, jnp.float32(0))
+        alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
+
+        # pass 2: x += alpha p, r -= alpha q, accumulate rho_new / rr_new
+        def update_chunk(c, carry):
+            rho_n, rr_n = carry
+            c0 = c * C
+            p_c = p_s[pl.ds(pad_lo + c0, C), :]
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
+            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            z_c = mchunk(c0, C) * r_c if use_minv else r_c
+            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c))
+
+        rho_new, rr_new = jax.lax.fori_loop(
+            0, n_chunks, update_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0), 0.0)
+
+        # pass 3: p = z + beta p (z recomputed from r — a multiply, cheaper
+        # than a third state frame)
+        def pdir_chunk(c, _):
+            c0 = c * C
+            r_c = r_s[pl.ds(c0, C), :]
+            z_c = mchunk(c0, C) * r_c if use_minv else r_c
+            p_s[pl.ds(pad_lo + c0, C), :] = (
+                z_c + beta * p_s[pl.ds(pad_lo + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pdir_chunk, 0)
+        return (it + 1, rho_new, rr_new)
+
+    it, rho, rr = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), rho0, rr0)
+    )
+
+    # ---- one-time DMA: final state VMEM -> HBM outputs ---------------------
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = monitored(rho, rr)
+    stats[2] = (monitored(rho, rr) <= tol_sq).astype(jnp.float32)
+
+
+def cg_vmem_budget_bytes() -> int:
+    """VMEM working-set budget for the whole-solve kernel.  v5e has 128 MiB
+    of VMEM; leave headroom for the compiler's temporaries.  Override with
+    GINKGO_TPU_VMEM_MB."""
+    mb = int(os.environ.get("GINKGO_TPU_VMEM_MB", "116"))
+    return mb * 1024 * 1024
+
+
+def cg_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
+                 use_minv: bool = False) -> bool:
+    """Working set: the diags VMEM window (nd frames at storage precision)
+    + x/r/q scratch + the halo-padded p scratch (+ minv window when
+    present) + chunk-sized temporaries.  bf16 `reduce_storage` diagonals
+    halve the dominant term, which is what lets multi-million-row solves
+    stay fully VMEM-resident."""
+    frame = R * LANES * 4
+    vec_frames = 4.25 + (1 if use_minv else 0)
+    return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
+        cg_vmem_budget_bytes()
+    )
+
+
+def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
+                  max_iters, use_implicit=False, interpret=False):
+    """Run CG to convergence in one Pallas kernel.
+
+    diags: (nd, R, 128) f32/bf16; r0_2/x0_2: (R, 128) f32 initial residual
+    and guess; minv2: optional (R, 128) inverse-diagonal (scalar Jacobi).
+    tol_sq_eff: scalar — squared ABSOLUTE stop threshold on r.r (or |rho|
+    when use_implicit); pass a negative value to run to max_iters.
+    Returns (x2, iterations, monitored_sq, converged).
+    """
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, R)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _cg_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
+        use_minv=use_minv, use_implicit=use_implicit,
+    )
+    scal = jnp.stack([
+        jnp.asarray(tol_sq_eff, jnp.float32).reshape(()),
+        jnp.asarray(max_iters, jnp.float32).reshape(()),
+    ])
+    args = [scal, diags, r0_2, x0_2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # r0 stays in HBM; DMA'd in
+        pl.BlockSpec(memory_space=pl.ANY),  # x0 stays in HBM; DMA'd in
+    ]
+    if use_minv:
+        args.append(minv2)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    else:
+        args.append(jnp.zeros((8, LANES), jnp.float32))  # placeholder
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    Rp = R + pad_lo + pad_hi
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.float32),   # x
+            pltpu.VMEM((R, LANES), jnp.float32),   # r
+            pltpu.VMEM((R, LANES), jnp.float32),   # q
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # p (halo-padded)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nd + 6) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + 4) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

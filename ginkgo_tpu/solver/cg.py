@@ -39,7 +39,111 @@ class Cg(IterativeSolverMixin, LinOp):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         x, info, _ = self._solve_with_state(b, x0, None)
+        return x, info
+
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM fast path (ops/pallas_cg.py): the entire CG
+        loop runs inside ONE Pallas kernel when A is a Dia whose diagonals
+        and the Krylov vectors fit in VMEM, the preconditioner is diagonal
+        (Identity / Diagonal / scalar Jacobi), there is a single RHS, and
+        the criterion is a plain Iteration/ResidualNorm combination.  The
+        reference's fusion end-point (cg.cpp:148-156 traffic model) taken to
+        zero per-iteration HBM traffic.  Returns (x, SolveInfo) or None."""
+        import os
+
+        from ..matrix.dia import Dia, LANES
+        from ..matrix.diagonal import Identity, Diagonal
+        from ..preconditioner.jacobi import Jacobi
+        from ..stop.criterion import analyze_simple_residual
+
+        if self.axis_name is not None or self.track_history:
+            return None
+        if b.shape[1] != 1 or b.dtype != jnp.float32:
+            return None
+        A = self.A
+        if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
+            return None
+        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+            return None
+        force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+        on_tpu = jax.default_backend() == "tpu"
+        if not (on_tpu or force):
+            return None
+        nd, R, _ = A.diags.shape
+        if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve
+
+        M = self.preconditioner
+        if isinstance(M, Identity):
+            minv_flat = None
+        elif isinstance(M, Diagonal):
+            minv_flat = M.values
+        elif isinstance(M, Jacobi) and M.inv_diag is not None:
+            minv_flat = M.inv_diag
+        else:
+            return None
+        if not cg_vmem_fits(
+            nd, R, A.diags.dtype.itemsize, use_minv=minv_flat is not None
+        ):
+            return None
+        simple = analyze_simple_residual(self.criterion)
+        if simple is None:
+            return None
+        tol, baseline, implicit, has_res = simple
+        from .solver_base import extract_max_iters, norm2
+
+        cap = extract_max_iters(self.criterion)
+        n = A.shape[0]
+        F = R * LANES
+
+        def frame(v):
+            pad = F - v.shape[0]
+            vp = jnp.pad(v, ((0, pad), (0, 0))) if pad > 0 else v[:F]
+            return vp.reshape(R, LANES)
+
+        r0 = b - A.apply(x0)
+        if has_res:
+            if baseline == "absolute":
+                base = jnp.asarray(1.0, jnp.float32)
+            elif baseline == "initial_resnorm":
+                base = norm2(r0)[0].astype(jnp.float32)
+            else:
+                base = norm2(b)[0].astype(jnp.float32)
+            tol_sq = (jnp.float32(tol) * base) ** 2
+        else:
+            tol_sq = jnp.asarray(-1.0, jnp.float32)
+        minv2 = (
+            frame(minv_flat[:, None].astype(jnp.float32))
+            if minv_flat is not None
+            else None
+        )
+        x2, it, mon, conv = cg_vmem_solve(
+            A.diags,
+            A.offsets,
+            frame(r0),
+            frame(x0),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=cap,
+            use_implicit=implicit,
+            interpret=not on_tpu,
+        )
+        x = x2.reshape(F, 1)[:n]
+        if has_res and not implicit:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            # parity with the generic loop's residual_norm fill when no
+            # exact-residual criterion is tracked (solver_base._check_stop)
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & has_res)[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
         return x, info
 
     def _solve_with_state(self, b, x0, resume):

@@ -197,6 +197,39 @@ def _tree_differs(a, b) -> bool:
     return type(a) is not type(b)
 
 
+def analyze_simple_residual(criterion):
+    """Decompose a criterion tree into (tolerance, baseline, implicit,
+    has_residual_criterion) when it is a plain Iteration/Time/residual-norm
+    combination — the shape fused whole-solve kernels (ops/pallas_cg.py) can
+    evaluate in-kernel.  Returns None for custom criteria or when more than
+    one residual criterion is present (those need the generic loop)."""
+    found = []
+    ok = [True]
+
+    def walk(c):
+        if isinstance(c, Combined):
+            for ch in c.criteria:
+                walk(ch)
+        elif isinstance(c, (Iteration, Time)):
+            pass  # Iteration via max_iters; Time is inert in-graph anyway
+        elif isinstance(c, ResidualNorm) and not isinstance(
+            c, FrozenBaselineResidualNorm
+        ):
+            found.append((c.tolerance, c.baseline, False))
+        elif isinstance(c, ImplicitResidualNorm):
+            found.append((c.tolerance, c.baseline, True))
+        else:
+            ok[0] = False
+
+    walk(criterion)
+    if not ok[0] or len(found) > 1:
+        return None
+    if not found:
+        return (0.0, "absolute", False, False)
+    tol, baseline, implicit = found[0]
+    return (tol, baseline, implicit, True)
+
+
 def combine(criteria) -> Criterion:
     """Normalize a criterion / list of criteria to a single Criterion."""
     if criteria is None:

@@ -1,0 +1,115 @@
+"""Whole-solve-in-VMEM fused CG (ops/pallas_cg.py, solver/cg.py fast path).
+
+Oracle tier (SURVEY §4 tier 2/3 analog): the fused kernel runs in
+interpreter mode on CPU and must match the generic `lax.while_loop` CG
+bit-for-bit — same update order, same f32 arithmetic."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ginkgo_tpu.utils import generators
+from ginkgo_tpu.matrix.dia import Dia
+from ginkgo_tpu.solver.cg import Cg
+from ginkgo_tpu.preconditioner.jacobi import Jacobi
+from ginkgo_tpu import stop
+
+
+@pytest.fixture
+def poisson_dia():
+    data = generators.poisson_2d(16, dtype=np.float32)
+    return Dia.from_matrix_data(data), jnp.ones((data.shape[0], 1), jnp.float32)
+
+
+def _solve_both(A, b, crit, monkeypatch, precond=None):
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    fac = Cg.build(criteria=crit, preconditioner=precond)
+    x_fast, info_fast = fac.generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    x_gen, info_gen = Cg.build(criteria=crit, preconditioner=precond).generate(
+        A
+    ).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    return (x_fast, info_fast), (x_gen, info_gen)
+
+
+def test_vmem_cg_matches_generic_resnorm(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    np.testing.assert_array_equal(np.asarray(xf), np.asarray(xg))
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    np.testing.assert_allclose(
+        float(inf_f.residual_norm[0]), float(inf_g.residual_norm[0]), rtol=1e-6
+    )
+
+
+def test_vmem_cg_matches_generic_implicit(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=500), stop.ImplicitResidualNorm(tolerance=1e-6)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-5, atol=1e-7
+    )
+    assert bool(inf_f.converged[0])
+    assert not np.isfinite(float(inf_f.residual_norm[0]))  # generic parity
+
+
+def test_vmem_cg_iteration_only(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=30)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert int(inf_f.iterations) == 30 == int(inf_g.iterations)
+    np.testing.assert_array_equal(np.asarray(xf), np.asarray(xg))
+    assert not bool(inf_f.converged[0])
+
+
+def test_vmem_cg_scalar_jacobi(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(
+        A, b, crit, monkeypatch, precond=Jacobi.build(max_block_size=1)
+    )
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_vmem_cg_initial_guess(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    x0 = jnp.full_like(b, 0.5)
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Cg.build(criteria=crit).generate(A).solve(b, x0)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    Ad = np.asarray(A.to_dense().values)
+    res = np.linalg.norm(np.asarray(b)[:, 0] - Ad @ np.asarray(xf)[:, 0])
+    assert res <= 1e-5 * np.linalg.norm(np.asarray(b))
+    assert bool(inf_f.converged[0])
+
+
+def test_vmem_cg_declines_unsupported(poisson_dia, monkeypatch):
+    """Multi-RHS, custom criteria, non-Dia operators must fall back."""
+    A, b = poisson_dia
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    solver = Cg.build(
+        criteria=[stop.Iteration(max_iters=50), stop.ResidualNorm(tolerance=1e-6)]
+    ).generate(A)
+    assert solver._try_vmem_fused(jnp.ones((A.shape[0], 2), jnp.float32),
+                                  jnp.zeros((A.shape[0], 2), jnp.float32)) is None
+
+    class Weird(stop.Criterion):
+        def check(self, ctx):
+            return jnp.zeros((ctx["num_cols"],), dtype=bool)
+
+    weird = Cg.build(criteria=[stop.Iteration(max_iters=5), Weird()]).generate(A)
+    assert weird._try_vmem_fused(b, jnp.zeros_like(b)) is None
+
+    csr_solver = Cg.build(
+        criteria=[stop.Iteration(max_iters=5)]
+    ).generate(A.to_csr())
+    assert csr_solver._try_vmem_fused(b, jnp.zeros_like(b)) is None
