@@ -136,8 +136,35 @@ def main():
             return best
 
         t_cg_iter = max((cg_total(100) - cg_total(50)) / 50, 1e-9)
+
+        # fused whole-solve CG (ops/pallas_cg.py): bf16 reduce_storage
+        # diagonals keep the 4.19M-row state fully VMEM-resident
+        D16cg = D.reduce_storage()
+
+        def cg_fused_total(iters):
+            s = Cg.build(
+                criteria=[stop.Iteration(max_iters=iters)]
+            ).generate(D16cg)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            float(jnp.sum(run(b)))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jnp.sum(run(b)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_cg_fused = max(
+            (cg_fused_total(3200) - cg_fused_total(200)) / 3000, 1e-9
+        )
     else:
         t_cg_iter = float("nan")
+        t_cg_fused = float("nan")
 
     # reduced-storage row: bf16 diagonals, f32 accumulate (accessor mode)
     if on_tpu:
@@ -189,6 +216,9 @@ def main():
             "csr_classical_gnnz_per_s": round(data_s.nnz / t_csr / 1e9, 4),
             "cg_seconds_per_iteration": (
                 None if t_cg_iter != t_cg_iter else t_cg_iter
+            ),
+            "cg_fused_vmem_seconds_per_iteration": (
+                None if t_cg_fused != t_cg_fused else t_cg_fused
             ),
             "bf16_storage_seconds": None if t_bf16 != t_bf16 else t_bf16,
             "bf16_storage_gnnz_per_s": (

@@ -57,7 +57,7 @@ def _chunk_rows(R: int) -> int:
         c = int(forced)
         if R % c == 0:
             return c
-    for c in (1024, 512, 256, 128, 64, 32, 16, 8):
+    for c in (512, 1024, 256, 128, 64, 32, 16, 8):
         if R % c == 0:
             return c
     return R
