@@ -137,8 +137,10 @@ def main():
 
         t_cg_iter = max((cg_total(100) - cg_total(50)) / 50, 1e-9)
 
-        # fused whole-solve CG (ops/pallas_cg.py): bf16 reduce_storage
-        # diagonals keep the 4.19M-row state fully VMEM-resident
+        # bf16 reduce_storage diagonals keep the 4.19M-row CG state fully
+        # VMEM-resident across while_loop iterations (f32 state does not
+        # fit, so the f32 row above streams from HBM) — the storage
+        # reduction, not loop fusion, is the lever (PERF.md)
         D16cg = D.reduce_storage()
 
         def cg_fused_total(iters):
@@ -217,7 +219,7 @@ def main():
             "cg_seconds_per_iteration": (
                 None if t_cg_iter != t_cg_iter else t_cg_iter
             ),
-            "cg_fused_vmem_seconds_per_iteration": (
+            "cg_bf16_vmem_resident_seconds_per_iteration": (
                 None if t_cg_fused != t_cg_fused else t_cg_fused
             ),
             "bf16_storage_seconds": None if t_bf16 != t_bf16 else t_bf16,

@@ -87,7 +87,7 @@ def _spmv_chunk(diags, p_s, c0, C, *, qs, pad_lo):
 
 def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
                x_s, r_s, q_s, p_s, sems, *, qs, pad_lo, pad_hi, R,
-               use_minv, use_implicit):
+               use_minv, use_implicit, store_q):
     """scal: SMEM (2,) [tol_sq_eff, max_iters(as f32)].  stats out: SMEM (3,)
     [iterations, monitored_sq, converged]."""
     tol_sq = scal[0]
@@ -136,11 +136,14 @@ def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
     def body(st):
         it, rho, rr = st
 
-        # pass 1: q = A p (chunked), accumulate pq
+        # pass 1: q = A p (chunked), accumulate pq.  When q does not fit
+        # (store_q=False) only the reduction is kept and pass 2 recomputes
+        # the SpMV — an extra nd mul-adds/element buys back a whole frame.
         def spmv_chunk(c, pq):
             c0 = c * C
             q_c = _spmv_chunk(diags, p_s, c0, C, qs=qs, pad_lo=pad_lo)
-            q_s[pl.ds(c0, C), :] = q_c
+            if store_q:
+                q_s[pl.ds(c0, C), :] = q_c
             p_c = p_s[pl.ds(pad_lo + c0, C), :]
             return pq + jnp.sum(p_c * q_c)
 
@@ -153,7 +156,11 @@ def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
             c0 = c * C
             p_c = p_s[pl.ds(pad_lo + c0, C), :]
             x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
-            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            q_c = (
+                q_s[pl.ds(c0, C), :] if store_q
+                else _spmv_chunk(diags, p_s, c0, C, qs=qs, pad_lo=pad_lo)
+            )
+            r_c = r_s[pl.ds(c0, C), :] - alpha * q_c
             r_s[pl.ds(c0, C), :] = r_c
             z_c = mchunk(c0, C) * r_c if use_minv else r_c
             return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c))
@@ -202,21 +209,22 @@ def cg_vmem_budget_bytes() -> int:
 
 
 def cg_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
-                 use_minv: bool = False) -> bool:
+                 use_minv: bool = False, store_q: bool = True) -> bool:
     """Working set: the diags VMEM window (nd frames at storage precision)
-    + x/r/q scratch + the halo-padded p scratch (+ minv window when
-    present) + chunk-sized temporaries.  bf16 `reduce_storage` diagonals
-    halve the dominant term, which is what lets multi-million-row solves
-    stay fully VMEM-resident."""
+    + x/r scratch (+ q scratch when store_q) + the halo-padded p scratch
+    (+ minv window when present) + chunk-sized temporaries.  bf16
+    `reduce_storage` diagonals halve the dominant term, which is what lets
+    multi-million-row solves stay fully VMEM-resident."""
     frame = R * LANES * 4
-    vec_frames = 4.25 + (1 if use_minv else 0)
+    vec_frames = 3.25 + (1 if store_q else 0) + (1 if use_minv else 0)
     return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
     )
 
 
 def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
-                  max_iters, use_implicit=False, interpret=False):
+                  max_iters, use_implicit=False, store_q=True,
+                  interpret=False):
     """Run CG to convergence in one Pallas kernel.
 
     diags: (nd, R, 128) f32/bf16; r0_2/x0_2: (R, 128) f32 initial residual
@@ -231,7 +239,7 @@ def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     use_minv = minv2 is not None
     kernel = functools.partial(
         _cg_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
-        use_minv=use_minv, use_implicit=use_implicit,
+        use_minv=use_minv, use_implicit=use_implicit, store_q=store_q,
     )
     scal = jnp.stack([
         jnp.asarray(tol_sq_eff, jnp.float32).reshape(()),
@@ -267,7 +275,8 @@ def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
         scratch_shapes=[
             pltpu.VMEM((R, LANES), jnp.float32),   # x
             pltpu.VMEM((R, LANES), jnp.float32),   # r
-            pltpu.VMEM((R, LANES), jnp.float32),   # q
+            # q frame only when stored (else pass 2 recomputes the SpMV)
+            pltpu.VMEM((R if store_q else 8, LANES), jnp.float32),
             pltpu.VMEM((Rp, LANES), jnp.float32),  # p (halo-padded)
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -69,9 +69,14 @@ class Cg(IterativeSolverMixin, LinOp):
             return None
         if os.environ.get("GINKGO_TPU_NO_PALLAS"):
             return None
+        # OPT-IN path: interleaved A/B on v5e showed the generic
+        # `lax.while_loop` already runs at the VMEM-resident speed of light
+        # (XLA keeps loop carries on-chip when they fit), so the fused
+        # kernel is parity-at-best — see PERF.md "Whole-solve fused CG".
         force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
         on_tpu = jax.default_backend() == "tpu"
-        if not (on_tpu or force):
+        opt_in = bool(os.environ.get("GINKGO_TPU_FUSED_CG"))
+        if not (force or (on_tpu and opt_in)):
             return None
         nd, R, _ = A.diags.shape
         if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
@@ -87,9 +92,14 @@ class Cg(IterativeSolverMixin, LinOp):
             minv_flat = M.inv_diag
         else:
             return None
-        if not cg_vmem_fits(
-            nd, R, A.diags.dtype.itemsize, use_minv=minv_flat is not None
+        use_minv = minv_flat is not None
+        if cg_vmem_fits(nd, R, A.diags.dtype.itemsize, use_minv=use_minv):
+            store_q = True
+        elif cg_vmem_fits(
+            nd, R, A.diags.dtype.itemsize, use_minv=use_minv, store_q=False
         ):
+            store_q = False  # recompute A@p in the update pass instead
+        else:
             return None
         simple = analyze_simple_residual(self.criterion)
         if simple is None:
@@ -131,6 +141,7 @@ class Cg(IterativeSolverMixin, LinOp):
             tol_sq_eff=tol_sq,
             max_iters=cap,
             use_implicit=implicit,
+            store_q=store_q,
             interpret=not on_tpu,
         )
         x = x2.reshape(F, 1)[:n]

@@ -149,7 +149,10 @@ class Gmres(IterativeSolverMixin, LinOp):
                 w = M.apply(A.apply(vj))
                 # CGS2 against rows 0..j (mask rows > j)
                 rowmask = (jnp.arange(m + 1) <= j).astype(dt)
-                Vd = Vs.astype(dt) * sc[:, None]  # decoded basis (m+1, n)
+                # decoded basis (m+1, n): identity in "keep" mode — a scale
+                # multiply here would materialize a full basis copy EVERY
+                # step and evict the carry from VMEM
+                Vd = Vs if mode == "keep" else Vs.astype(dt) * sc[:, None]
                 h1 = pdot_mat(Vd, w) * rowmask
                 w = w - Vd.T @ h1
                 h2 = pdot_mat(Vd, w) * rowmask
@@ -158,8 +161,10 @@ class Gmres(IterativeSolverMixin, LinOp):
                 hnext = pnorm(w).astype(dt)
                 wnorm = jnp.where(hnext > 0, w / jnp.where(hnext > 0, hnext, 1), w)
                 enc, s_enc = _encode(wnorm, mode, sdtype)
-                Vs = jnp.where(active, Vs.at[j + 1].set(enc), Vs)
-                sc = jnp.where(active, sc.at[j + 1].set(s_enc), sc)
+                # row-level masked update (NOT a whole-basis jnp.where — that
+                # copies (m+1)·n values per step and kills VMEM residency)
+                Vs = Vs.at[j + 1].set(jnp.where(active, enc, Vs[j + 1]))
+                sc = sc.at[j + 1].set(jnp.where(active, s_enc, sc[j + 1]))
                 # apply existing Givens rotations to h
                 def rot(i, hv):
                     hi, hi1 = hv[i], hv[i + 1]
@@ -207,7 +212,7 @@ class Gmres(IterativeSolverMixin, LinOp):
             R = H[:m, :] + jnp.diag(jnp.where(taken, 0, 1).astype(dt))
             gy = jnp.where(taken, g[:m], 0)
             y = jax.scipy.linalg.solve_triangular(R, gy, lower=False)
-            Vd = Vs.astype(dt) * sc[:, None]
+            Vd = Vs if mode == "keep" else Vs.astype(dt) * sc[:, None]
             dx = Vd[:m].T @ y
             x_new = x + dx
             return x_new, it, stopped
