@@ -70,6 +70,19 @@ def _decode(stored, scale, arith_dtype):
     return stored.astype(arith_dtype) * scale
 
 
+def _decode_basis(Vs, sc, mode: str, dt):
+    """Decoded (m+1, n) basis view.  Float storage modes carry unit scales,
+    so the decode is a no-op ("keep") or a bare dtype cast the MXU absorbs
+    on load — a scale multiply would materialize a full basis copy EVERY
+    Arnoldi step and evict the loop carry from VMEM.  Only the integer
+    modes pay for the per-vector dequant scales."""
+    if mode == "keep":
+        return Vs
+    if mode in _INT_MODES:
+        return Vs.astype(dt) * sc[:, None]
+    return Vs.astype(dt)
+
+
 @linop_dataclass
 class Gmres(IterativeSolverMixin, LinOp):
     A: Any
@@ -149,10 +162,7 @@ class Gmres(IterativeSolverMixin, LinOp):
                 w = M.apply(A.apply(vj))
                 # CGS2 against rows 0..j (mask rows > j)
                 rowmask = (jnp.arange(m + 1) <= j).astype(dt)
-                # decoded basis (m+1, n): identity in "keep" mode — a scale
-                # multiply here would materialize a full basis copy EVERY
-                # step and evict the carry from VMEM
-                Vd = Vs if mode == "keep" else Vs.astype(dt) * sc[:, None]
+                Vd = _decode_basis(Vs, sc, mode, dt)
                 h1 = pdot_mat(Vd, w) * rowmask
                 w = w - Vd.T @ h1
                 h2 = pdot_mat(Vd, w) * rowmask
@@ -212,7 +222,7 @@ class Gmres(IterativeSolverMixin, LinOp):
             R = H[:m, :] + jnp.diag(jnp.where(taken, 0, 1).astype(dt))
             gy = jnp.where(taken, g[:m], 0)
             y = jax.scipy.linalg.solve_triangular(R, gy, lower=False)
-            Vd = Vs if mode == "keep" else Vs.astype(dt) * sc[:, None]
+            Vd = _decode_basis(Vs, sc, mode, dt)
             dx = Vd[:m].T @ y
             x_new = x + dx
             return x_new, it, stopped

@@ -92,6 +92,46 @@ def test_vmem_cg_initial_guess(poisson_dia, monkeypatch):
     assert bool(inf_f.converged[0])
 
 
+def test_vmem_cg_multichunk_and_store_q(monkeypatch):
+    """Cover the chunked in-kernel loops (R not a multiple of the chunk
+    forces several chunks) and the store_q=False recompute variant."""
+    from ginkgo_tpu.ops.pallas_cg import cg_vmem_solve
+
+    monkeypatch.setenv("GINKGO_TPU_CG_CHUNK", "2")
+    data = generators.poisson_2d(48, dtype=np.float32)  # R=18 -> 9 chunks
+    A = Dia.from_matrix_data(data)
+    n = data.shape[0]
+    R = A.diags.shape[1]
+    bp = np.zeros((R * 128,), np.float32)
+    bp[:n] = 1.0
+    r0 = jnp.asarray(bp.reshape(R, 128))
+    x0 = jnp.zeros((R, 128), jnp.float32)
+    tol_sq = (1e-6 * np.sqrt(n)) ** 2
+    xs, its, _, _ = cg_vmem_solve(
+        A.diags, A.offsets, r0, x0, None, tol_sq_eff=tol_sq, max_iters=300,
+        store_q=True, interpret=True,
+    )
+    xn, itn, _, _ = cg_vmem_solve(
+        A.diags, A.offsets, r0, x0, None, tol_sq_eff=tol_sq, max_iters=300,
+        store_q=False, interpret=True,
+    )
+    assert int(its) == int(itn)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xn))
+    # against the generic solver
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, infog = Cg.build(
+        criteria=[stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-6)]
+    ).generate(A).solve(jnp.ones((n, 1), jnp.float32))
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(infog.iterations) == int(its)
+    # chunked partial sums reorder the dot reductions vs jnp.sum's tree,
+    # so multi-chunk parity is tight-allclose rather than bit-exact
+    np.testing.assert_allclose(
+        np.asarray(xs).reshape(-1)[:n], np.asarray(xg)[:, 0],
+        rtol=2e-6, atol=2e-4,
+    )
+
+
 def test_vmem_cg_declines_unsupported(poisson_dia, monkeypatch):
     """Multi-RHS, custom criteria, non-Dia operators must fall back."""
     A, b = poisson_dia
