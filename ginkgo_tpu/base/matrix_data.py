@@ -46,8 +46,11 @@ class MatrixData:
 
     @staticmethod
     def from_coo(shape, rows, cols, values):
-        rows = np.asarray(rows)
-        cols = np.asarray(cols)
+        # canonicalize to int64: int32 triplets (e.g. from scipy.sparse)
+        # would overflow the row-major flat key rows*m + cols used by
+        # sum_duplicates once n*m exceeds 2^31
+        rows = np.asarray(rows).astype(np.int64, copy=False)
+        cols = np.asarray(cols).astype(np.int64, copy=False)
         values = np.asarray(values)
         return MatrixData(tuple(shape), rows, cols, values)
 
@@ -80,11 +83,18 @@ class MatrixData:
         d = self.sort_row_major()
         if d.nnz == 0:
             return d
-        key = d.rows * self.shape[1] + d.cols
-        uniq, inv = np.unique(key, return_inverse=True)
-        vals = np.zeros(len(uniq), dtype=d.values.dtype)
-        np.add.at(vals, inv, d.values)
-        return MatrixData(self.shape, uniq // self.shape[1], uniq % self.shape[1], vals)
+        # int64 key regardless of the stored index dtype (overflow guard);
+        # run-length dedup on the sorted keys — np.unique(return_inverse)
+        # re-sorts and costs seconds at 10^7 nnz
+        key = d.rows.astype(np.int64) * np.int64(self.shape[1]) + d.cols
+        first = np.empty(len(key), bool)
+        first[0] = True
+        np.not_equal(key[1:], key[:-1], out=first[1:])
+        seg = np.cumsum(first) - 1
+        vals = np.zeros(int(seg[-1]) + 1, dtype=d.values.dtype)
+        np.add.at(vals, seg, d.values)
+        keep = np.nonzero(first)[0]
+        return MatrixData(self.shape, d.rows[keep], d.cols[keep], vals)
 
     def remove_zeros(self) -> "MatrixData":
         keep = self.values != 0

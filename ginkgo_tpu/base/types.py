@@ -121,3 +121,24 @@ class precision_reduction:
     @staticmethod
     def autodetect():
         return precision_reduction(-1, -1)
+
+
+def to_host(x):
+    """Device->host transfer with an axon-tunnel workaround.
+
+    Reading back a buffer that was UPLOADED from host numpy and never
+    produced by a device computation is pathologically slow through the
+    tunnel (~40 KB/s — 21 MB took 534 s); a buffer that came out of any
+    device computation reads back at ~12 MB/s.  Routing the read through a
+    no-op add forces a computed buffer.  No-op for numpy inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    if isinstance(x, jax.Array):
+        try:
+            x = x + jnp.zeros((), x.dtype)
+        except TypeError:  # e.g. bool
+            x = jnp.logical_or(x, False)
+    return _np.asarray(x)

@@ -58,6 +58,11 @@ def precond_factory(name):
         return IluPreconditionerFactory(
             factorization_factory=ParIluFactory(iterations=5)
         )
+    if name == "amg":
+        from ..solver.multigrid import MultigridFactory
+        from ..stop.criterion import Iteration
+
+        return MultigridFactory(criteria=[Iteration(max_iters=1)])
     raise ValueError(f"unknown preconditioner {name}")
 
 

@@ -35,6 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 
@@ -242,9 +243,9 @@ class Bell(LinOp):
         """(rows, cols, vals) of the true stored entries (inverse of the
         slot encoding in from_matrix_data)."""
         NRB, K, BR, _ = self.values.shape
-        flat = np.asarray(self.ent_flat).astype(np.int64)
-        vals = np.asarray(self.values).reshape(-1)[flat]
-        pids = np.asarray(self.panel_ids)
+        flat = to_host(self.ent_flat).astype(np.int64)
+        vals = to_host(self.values).reshape(-1)[flat]
+        pids = to_host(self.panel_ids)
         cl = flat % LANES
         rest = flat // LANES
         brl = rest % BR

@@ -11,6 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData, DeviceMatrixData
 from ..base import types
@@ -98,9 +99,9 @@ class Coo(LinOp):
     def to_matrix_data(self) -> MatrixData:
         return MatrixData(
             self.shape,
-            np.asarray(self.rows),
-            np.asarray(self.cols),
-            np.asarray(self.values),
+            to_host(self.rows),
+            to_host(self.cols),
+            to_host(self.values),
         )
 
     write = to_matrix_data

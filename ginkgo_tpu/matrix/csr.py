@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData, DeviceMatrixData
 from ..base import types
@@ -215,8 +216,8 @@ class Csr(LinOp):
     def is_sorted_by_column_index(self) -> bool:
         """csr.hpp:789 — construction always sorts, so this verifies the
         invariant (host-side check)."""
-        rp = np.asarray(self.row_ptrs)
-        ci = np.asarray(self.col_idxs)
+        rp = to_host(self.row_ptrs)
+        ci = to_host(self.col_idxs)
         starts = np.zeros(len(ci), bool)
         starts[rp[:-1][rp[:-1] < len(ci)]] = True
         return bool(np.all(starts[1:] | (np.diff(ci) >= 0)))
@@ -301,9 +302,9 @@ class Csr(LinOp):
     def to_matrix_data(self) -> MatrixData:
         return MatrixData(
             self.shape,
-            np.asarray(self.row_ids()),
-            np.asarray(self.col_idxs),
-            np.asarray(self.values),
+            to_host(self.row_ids()),
+            to_host(self.col_idxs),
+            to_host(self.values),
         )
 
     write = to_matrix_data
@@ -449,7 +450,7 @@ class Csr(LinOp):
 
     # row-length helpers (host) used by conversions / strategy heuristics
     def host_row_lengths(self) -> np.ndarray:
-        rp = np.asarray(self.row_ptrs)
+        rp = to_host(self.row_ptrs)
         return rp[1:] - rp[:-1]
 
 

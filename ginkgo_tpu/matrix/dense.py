@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 from ..base import types
@@ -194,7 +195,7 @@ class Dense(LinOp):
     # -- IO / conversion -------------------------------------------------------
 
     def to_matrix_data(self, drop_tol: float = 0.0) -> MatrixData:
-        return MatrixData.from_dense(np.asarray(self.values), drop_tol)
+        return MatrixData.from_dense(to_host(self.values), drop_tol)
 
     write = to_matrix_data  # WritableToMatrixData analog (lin_op.hpp:665)
 

@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 
@@ -249,7 +250,7 @@ class Dia(LinOp):
     def to_matrix_data(self) -> MatrixData:
         n, m = self.shape
         rows_l, cols_l, vals_l = [], [], []
-        host = np.asarray(self.diags).reshape(self.num_diags, -1)
+        host = to_host(self.diags).reshape(self.num_diags, -1)
         for j, off in enumerate(self.offsets):
             r = np.arange(n)
             c = r + off

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 
@@ -87,7 +88,7 @@ class Diagonal(LinOp):
     def to_matrix_data(self) -> MatrixData:
         n = self.shape[0]
         idx = np.arange(n)
-        return MatrixData(self.shape, idx, idx, np.asarray(self.values))
+        return MatrixData(self.shape, idx, idx, to_host(self.values))
 
     write = to_matrix_data
 
@@ -171,7 +172,7 @@ class Permutation(LinOp):
         return Permutation(permutation=inv)
 
     def to_host(self) -> np.ndarray:
-        return np.asarray(self.permutation)
+        return to_host(self.permutation)
 
 
 @linop_dataclass

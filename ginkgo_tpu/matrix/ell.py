@@ -17,6 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 from ..ops import spmv as spmv_ops
@@ -96,8 +97,8 @@ class Ell(LinOp):
         return self.replace(values=self.values * jnp.asarray(alpha).reshape(()))
 
     def to_matrix_data(self) -> MatrixData:
-        cols = np.asarray(self.col_idxs)
-        vals = np.asarray(self.values)
+        cols = to_host(self.col_idxs)
+        vals = to_host(self.values)
         n, K = vals.shape
         rows = np.repeat(np.arange(n), K)
         keep = vals.ravel() != 0
@@ -223,9 +224,9 @@ class Sellp(LinOp):
         return self.to_csr().extract_diagonal()
 
     def to_matrix_data(self) -> MatrixData:
-        ss = np.asarray(self.slice_sets)
-        cols = np.asarray(self.col_idxs)
-        vals = np.asarray(self.values)
+        ss = to_host(self.slice_sets)
+        cols = to_host(self.col_idxs)
+        vals = to_host(self.values)
         C = self.slice_size
         rows_l, cols_l, vals_l = [], [], []
         for s in range(self.num_slices):

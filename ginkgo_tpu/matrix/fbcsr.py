@@ -13,6 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 
@@ -124,8 +125,8 @@ class Fbcsr(LinOp):
         bs = self.block_size
         nb = self.num_blocks
         brids = np.asarray(row_ids_from_ptrs(self.block_row_ptrs, nb))
-        bcols = np.asarray(self.block_cols)
-        blocks = np.asarray(self.blocks)
+        bcols = to_host(self.block_cols)
+        blocks = to_host(self.blocks)
         li, lj = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
         rows = (brids[:, None, None] * bs + li[None]).ravel()
         cols = (bcols[:, None, None] * bs + lj[None]).ravel()

@@ -10,6 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..base.types import to_host
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..base.matrix_data import MatrixData
 from ..ops import spmv as spmv_ops
@@ -72,27 +73,27 @@ class SparsityCsr(LinOp):
 
     def to_adjacency_matrix(self) -> "SparsityCsr":
         """Remove diagonal entries (sparsity_csr to_adjacency_matrix)."""
-        rp = np.asarray(self.row_ptrs)
-        ci = np.asarray(self.col_idxs)
+        rp = to_host(self.row_ptrs)
+        ci = to_host(self.col_idxs)
         n = self.shape[0]
         rows = np.repeat(np.arange(n), rp[1:] - rp[:-1])
         keep = rows != ci
         data = MatrixData.from_coo(
             self.shape, rows[keep], ci[keep], np.ones(keep.sum())
         )
-        return SparsityCsr.from_matrix_data(data, value=np.asarray(self.value))
+        return SparsityCsr.from_matrix_data(data, value=to_host(self.value))
 
     def astype(self, dtype):
         return self.replace(value=self.value.astype(dtype))
 
     def to_matrix_data(self) -> MatrixData:
-        rp = np.asarray(self.row_ptrs)
+        rp = to_host(self.row_ptrs)
         rows = np.repeat(np.arange(self.shape[0]), rp[1:] - rp[:-1])
         return MatrixData.from_coo(
             self.shape,
             rows,
-            np.asarray(self.col_idxs),
-            np.full(len(rows), float(np.asarray(self.value))),
+            to_host(self.col_idxs),
+            np.full(len(rows), float(to_host(self.value))),
         )
 
     write = to_matrix_data

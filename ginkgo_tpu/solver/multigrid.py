@@ -26,19 +26,62 @@ import jax.numpy as jnp
 from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
 from ..stop.criterion import combine, Iteration, ResidualNorm
 from ..multigrid.pgm import PgmFactory
-from ..preconditioner.jacobi import JacobiFactory
-from .ir import Ir
 from .solver_base import SolveInfo, extract_max_iters, norm2
+
+
+@linop_dataclass
+class FixedSmoother(LinOp):
+    """Fixed-count damped Jacobi-Richardson smoother.
+
+    Semantics of the reference's default build_smoother(Jacobi, 1, 0.9)
+    (multigrid.hpp) — but WITHOUT the full Ir solver machinery (criteria,
+    norms, per-column stop masks, while_loop) that a criteria-driven
+    smoother drags into every level of every cycle.  A V-cycle instantiates
+    2 smoothers x levels; keeping each one a bare fori_loop of
+    x += relax * dinv * (b - A x) is what keeps the cycle at streaming cost
+    (and the unrolled 10-level XLA graph compilable in seconds)."""
+
+    A: Any
+    dinv: Any  # (n,) inverse diagonal
+    iters: int = static_field(default=1)
+    relax: float = static_field(default=0.9)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def solve(self, b, x0=None):
+        x = jnp.zeros_like(b) if x0 is None else x0
+        scale = jnp.asarray(self.relax, b.dtype) * self.dinv[:, None]
+
+        def step(_, x):
+            return x + scale * (b - self.A.apply(x))
+
+        if self.iters == 1:  # unrolled: no loop machinery at all
+            x = step(0, x)
+        else:
+            x = jax.lax.fori_loop(0, self.iters, step, x)
+        return x, None
+
+    def apply(self, b):
+        return self.solve(b)[0]
+
+
+def _fixed_smoother(A, iters=1, relax=0.9):
+    diag = A.extract_diagonal().values
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
+    return FixedSmoother(A=A, dinv=dinv.astype(A.dtype), iters=iters,
+                         relax=relax)
 
 
 def default_smoother_factory(A):
     """Damped Jacobi-Richardson, 1 iteration (the reference's default
     build_smoother(Jacobi, 1, 0.9), multigrid.hpp)."""
-    return Ir.build(
-        criteria=[Iteration(max_iters=1)],
-        preconditioner=JacobiFactory(max_block_size=1),
-        relaxation_factor=0.9,
-    ).generate(A)
+    return _fixed_smoother(A)
 
 
 def default_coarse_solver_factory(A):
@@ -193,11 +236,9 @@ class MultigridFactory:
         self.coarse_solver = coarse_solver
 
     def _make_smoother(self, A):
-        return Ir.build(
-            criteria=[Iteration(max_iters=self.smoother_iters)],
-            preconditioner=JacobiFactory(max_block_size=1),
-            relaxation_factor=self.smoother_relax,
-        ).generate(A)
+        return _fixed_smoother(
+            A, iters=self.smoother_iters, relax=self.smoother_relax
+        )
 
     def generate(self, A) -> Multigrid:
         levels = []

@@ -196,3 +196,93 @@ def test_multigrid_on_dia_fast_format(rng):
     r = b - A.apply(x)
     assert float(jnp.linalg.norm(r)) < 1e-8 * float(jnp.linalg.norm(b)) * 1e4
     assert bool(np.all(np.asarray(info.converged)))
+
+
+def test_banded_transfers_match_general_ops(rng):
+    """BandedRestriction/Prolongation (gather-free masked-shift transfers)
+    agree with the segment_sum/take general ops for any bounded-delta
+    aggregation — including odd n and aggregate sizes 1/2/3."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.multigrid.pgm import (
+        BandedProlongation,
+        BandedRestriction,
+        Prolongation,
+        Restriction,
+    )
+
+    for n in (37, 64, 101):
+        # random near-index aggregation: sizes 1-3, ids within +-3 of i//2
+        agg = np.zeros(n, np.int64)
+        c = 0
+        i = 0
+        while i < n:
+            size = rng.integers(1, 4)
+            agg[i : i + size] = c
+            i += size
+            c += 1
+        nc = c
+        delta = agg - np.arange(n) // 2  # drifts with the size-1/3 mix;
+        ds = tuple(int(d) for d in np.unique(delta))  # any set works
+        br = BandedRestriction(
+            delta=jnp.asarray(delta, jnp.int32), deltas=ds, n_coarse=nc
+        )
+        bp = BandedProlongation(
+            delta=jnp.asarray(delta, jnp.int32), deltas=ds, n_coarse=nc
+        )
+        gr = Restriction(agg=jnp.asarray(agg, jnp.int32), n_coarse=nc)
+        gp = Prolongation(agg=jnp.asarray(agg, jnp.int32), n_coarse=nc)
+        x = rng.standard_normal((n, 2))
+        y = rng.standard_normal((nc, 2))
+        np.testing.assert_allclose(
+            np.asarray(br.apply(x)), np.asarray(gr.apply(x)), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(bp.apply(y)), np.asarray(gp.apply(y)), rtol=1e-12
+        )
+        np.testing.assert_array_equal(np.asarray(br.agg), agg)
+
+
+def test_pgm_poisson_transfers_are_banded():
+    """Proximity tie-breaking pairs stencil neighbors in index order, so
+    the PGM level on 2-D Poisson gets pure-reshape transfers (deltas (0,))
+    and a Dia coarse operator — the whole AMG hierarchy is gather-free."""
+    from ginkgo_tpu.matrix.dia import Dia
+    from ginkgo_tpu.multigrid.pgm import BandedRestriction, PgmFactory
+
+    data = generators.poisson_2d(32, dtype=np.float64)
+    lvl = PgmFactory().generate(Dia.from_matrix_data(data))
+    assert isinstance(lvl.restrict_op, BandedRestriction)
+    assert lvl.restrict_op.deltas == (0,)
+    assert isinstance(lvl.coarse_op, Dia)
+
+
+def test_banded_transfers_stride(rng):
+    """Stride-S pairing (vertical grid pairs) also gets gather-free
+    transfers: compare against the general ops on a synthetic (i, i+S)
+    aggregation with a few deviating rows."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.multigrid.pgm import (
+        _banded_transfer_ops,
+        BandedRestriction,
+        Restriction,
+        Prolongation,
+    )
+
+    S, rblocks = 16, 6
+    n = 2 * S * rblocks
+    i = np.arange(n)
+    agg = (i // (2 * S)) * S + i % S
+    nc = agg.max() + 1
+    br, bp = _banded_transfer_ops(agg, nc)
+    assert isinstance(br, BandedRestriction) and br.stride == S
+    gr = Restriction(agg=jnp.asarray(agg, jnp.int32), n_coarse=int(nc))
+    gp = Prolongation(agg=jnp.asarray(agg, jnp.int32), n_coarse=int(nc))
+    x = rng.standard_normal((n, 3))
+    y = rng.standard_normal((int(nc), 3))
+    np.testing.assert_allclose(
+        np.asarray(br.apply(x)), np.asarray(gr.apply(x)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(bp.apply(y)), np.asarray(gp.apply(y)), rtol=1e-12
+    )
+    np.testing.assert_array_equal(np.asarray(br.agg), agg)
