@@ -108,6 +108,34 @@ def _pair_base(n: int, stride: int) -> np.ndarray:
     return (i // (2 * stride)) * stride + i % stride
 
 
+_LANES = 128
+
+
+def _lane_pair_mats() -> np.ndarray:
+    """(2, 128, 128) 0/1 matrices turning two consecutive fine frame rows
+    into one coarse frame row for stride-1 pairing:
+    coarse[c] = fine[2c] + fine[2c+1] in flat index, i.e.
+    C[c_r, m] = sum_a f[2c_r, a] S[0, a, m] + f[2c_r+1, a] S[1, a, m].
+    XLA's own reshape/stride lowering for this parity compaction costs
+    100-800x a streaming pass on TPU (measured); as a constant matmul it
+    rides the (otherwise idle) MXU exactly — each output sums 2 inputs."""
+    S = np.zeros((2, _LANES, _LANES), np.float32)
+    for m in range(_LANES):
+        src = 2 * m
+        p, a = (0, src) if m < _LANES // 2 else (1, src - _LANES)
+        S[p, a, m] = 1.0
+        S[p, a + 1, m] = 1.0
+    return S
+
+
+def _to_frame(col, rows):
+    """(n,) -> zero-padded (rows, 128) frame."""
+    pad = rows * _LANES - col.shape[0]
+    if pad > 0:
+        col = jnp.pad(col, (0, pad))
+    return col.reshape(rows, _LANES)
+
+
 @linop_dataclass
 class BandedRestriction(LinOp):
     """Gather-free R = P^T for near-stride-pattern aggregations.
@@ -146,6 +174,8 @@ class BandedRestriction(LinOp):
         arr, was_1d = as_2d(b)
         n, k = arr.shape
         S = self.stride
+        if self.deltas == (0,) and k == 1 and (S == 1 or S % _LANES == 0):
+            return restore_1d(self._apply_frame(arr[:, 0]), was_1d)
         nb = -(-n // (2 * S))  # pair-blocks
         pad = 2 * S * nb - n
         arr_p = jnp.pad(arr, ((0, pad), (0, 0)))
@@ -163,6 +193,28 @@ class BandedRestriction(LinOp):
                 ln = min(Lb + d, nc)
                 out = out.at[:ln].add(t[-d:-d + ln])
         return restore_1d(out, was_1d)
+
+    def _apply_frame(self, col):
+        """Exact-stride, single-RHS fast path on the (rows, 128) frame —
+        XLA's (n,1) parity reshapes cost 100-800x a streaming pass on TPU
+        (PERF.md); here stride-1 compaction is a constant MXU matmul and
+        stride>=128 is a frame-row block sum."""
+        n = col.shape[0]
+        S = self.stride
+        blk = max(2 * S, 2 * _LANES) // _LANES  # frame rows per pair-block
+        rows = -(-n // (blk * _LANES)) * blk
+        f = _to_frame(col, rows)
+        if S == 1:
+            mats = jnp.asarray(_lane_pair_mats(), f.dtype)
+            f2 = f.reshape(rows // 2, 2, _LANES)
+            C = jnp.einsum(
+                "rpa,pam->rm", f2, mats,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            Sr = S // _LANES
+            C = f.reshape(rows // (2 * Sr), 2, Sr, _LANES).sum(axis=1)
+        return C.reshape(-1)[: self.n_coarse][:, None]
 
 
 @linop_dataclass
@@ -197,6 +249,8 @@ class BandedProlongation(LinOp):
         nc, k = arr.shape
         n = self.delta.shape[0]
         S = self.stride
+        if self.deltas == (0,) and k == 1 and (S == 1 or S % _LANES == 0):
+            return restore_1d(self._apply_frame(arr[:, 0]), was_1d)
         nb = -(-n // (2 * S))
         Lb = nb * S
         out = jnp.zeros((nb * 2 * S, k), arr.dtype)
@@ -218,6 +272,31 @@ class BandedProlongation(LinOp):
             m = (delta_p == d)[:, None].astype(arr.dtype)
             out = out + expand * m
         return restore_1d(out[:n], was_1d)
+
+    def _apply_frame(self, col):
+        """Adjoint of BandedRestriction._apply_frame: stride-1 expansion is
+        the transposed constant MXU matmul, stride>=128 a frame-row
+        broadcast (see that docstring for why XLA reshapes are avoided)."""
+        n = self.delta.shape[0]
+        S = self.stride
+        blk = max(2 * S, 2 * _LANES) // _LANES
+        rows = -(-n // (blk * _LANES)) * blk
+        crows = rows // 2
+        C = _to_frame(col, crows)
+        if S == 1:
+            mats = jnp.asarray(_lane_pair_mats(), C.dtype)
+            f2 = jnp.einsum(
+                "rm,pam->rpa", C, mats,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            f = f2.reshape(rows, _LANES)
+        else:
+            Sr = S // _LANES
+            Cb = C.reshape(crows // Sr, 1, Sr, _LANES)
+            f = jnp.broadcast_to(
+                Cb, (crows // Sr, 2, Sr, _LANES)
+            ).reshape(rows, _LANES)
+        return f.reshape(-1)[:n][:, None]
 
 
 # banded transfers activate when the aggregation stays this close to the

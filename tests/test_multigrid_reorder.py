@@ -286,3 +286,39 @@ def test_banded_transfers_stride(rng):
         np.asarray(bp.apply(y)), np.asarray(gp.apply(y)), rtol=1e-12
     )
     np.testing.assert_array_equal(np.asarray(br.agg), agg)
+
+
+@pytest.mark.parametrize("stride,n", [(1, 999), (1, 2048), (128, 4096), (256, 7000)])
+def test_banded_transfer_frame_fast_path(rng, stride, n):
+    """The exact-stride single-RHS frame path (MXU lane-pair matmul /
+    frame-row block sum) matches the general segment ops bit-for-bit-ish."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.multigrid.pgm import (
+        _banded_transfer_ops,
+        _pair_base,
+        Prolongation,
+        Restriction,
+    )
+
+    agg = _pair_base(n, stride)
+    nc = int(agg.max()) + 1
+    br, bp = _banded_transfer_ops(agg, nc)
+    assert br.deltas == (0,) and br.stride == stride
+    gr = Restriction(agg=jnp.asarray(agg, jnp.int32), n_coarse=nc)
+    gp = Prolongation(agg=jnp.asarray(agg, jnp.int32), n_coarse=nc)
+    x = rng.standard_normal((n, 1)).astype(np.float32)
+    y = rng.standard_normal((nc, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(br.apply(jnp.asarray(x))), np.asarray(gr.apply(jnp.asarray(x))),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bp.apply(jnp.asarray(y))), np.asarray(gp.apply(jnp.asarray(y))),
+        rtol=1e-6, atol=1e-6,
+    )
+    # multi-RHS still uses the general masked path
+    x2 = rng.standard_normal((n, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(br.apply(jnp.asarray(x2))), np.asarray(gr.apply(jnp.asarray(x2))),
+        rtol=1e-6, atol=1e-6,
+    )
