@@ -523,15 +523,20 @@ class PgmFactory:
         # build the scipy strength input straight from triplets: a full
         # to_csr() round-trip (sort + dedup through MatrixData) costs tens
         # of seconds at 10^6 rows, scipy's C dedup does not
-        if hasattr(A, "to_matrix_data"):
-            md = A.to_matrix_data()
-            sp = sps.csr_matrix(
-                (md.values, (md.rows, md.cols)), shape=md.shape
-            )
+        src = A if hasattr(A, "to_matrix_data") else (
+            A.to_csr() if hasattr(A, "to_csr") else A
+        )
+        if hasattr(src, "to_matrix_data"):
+            md = src.to_matrix_data()
             dtype = md.values.dtype
+            vals = md.values
+            if vals.dtype not in (np.float32, np.float64, np.complex64,
+                                  np.complex128):
+                vals = vals.astype(np.float32)  # scipy rejects bf16 etc.
+            sp = sps.csr_matrix((vals, (md.rows, md.cols)), shape=md.shape)
         else:
-            sp = A.to_scipy().tocsr()
-            dtype = np.dtype(A.dtype)
+            sp = src.to_scipy().tocsr()
+            dtype = np.dtype(src.dtype)
         agg = pgm_aggregate(
             sp,
             self.deterministic,

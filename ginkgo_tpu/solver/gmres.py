@@ -72,15 +72,15 @@ def _decode(stored, scale, arith_dtype):
 
 def _decode_basis(Vs, sc, mode: str, dt):
     """Decoded (m+1, n) basis view.  Float storage modes carry unit scales,
-    so the decode is a no-op ("keep") or a bare dtype cast the MXU absorbs
-    on load — a scale multiply would materialize a full basis copy EVERY
-    Arnoldi step and evict the loop carry from VMEM.  Only the integer
-    modes pay for the per-vector dequant scales."""
-    if mode == "keep":
-        return Vs
+    so the basis is returned AS STORED — the MXU consumes bf16 operands
+    directly in mixed-precision matmuls (f32 accumulate), which is the
+    entire point of the compressed basis: matvec traffic at storage width.
+    An astype/scale here would materialize a full arithmetic-precision
+    basis copy EVERY Arnoldi step (measured: it makes reduce1 SLOWER than
+    keep).  Only the integer modes pay for the per-vector dequant."""
     if mode in _INT_MODES:
         return Vs.astype(dt) * sc[:, None]
-    return Vs.astype(dt)
+    return Vs
 
 
 @linop_dataclass

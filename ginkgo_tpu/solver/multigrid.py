@@ -72,7 +72,10 @@ class FixedSmoother(LinOp):
 
 
 def _fixed_smoother(A, iters=1, relax=0.9):
-    diag = A.extract_diagonal().values
+    # duck-typed diagonal extraction: custom user operators may only
+    # expose to_csr (custom-matrix-format contract)
+    src = A if hasattr(A, "extract_diagonal") else A.to_csr()
+    diag = src.extract_diagonal().values
     dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
     return FixedSmoother(A=A, dinv=dinv.astype(A.dtype), iters=iters,
                          relax=relax)
