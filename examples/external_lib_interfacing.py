@@ -52,9 +52,14 @@ def main():
           f"iterations, true residual {res:.2e}")
 
     # ginkgo_tpu -> scipy: the generated solver as a LinearOperator, used
-    # as a preconditioner inside scipy's own GMRES
-    inner = gko.Cg.build(
-        criteria=[stop.Iteration(max_iters=8)]
+    # as a preconditioner inside scipy's own GMRES.  The inner operator
+    # must be LINEAR for plain (non-flexible) GMRES, so use a
+    # fixed-iteration Jacobi-Richardson polynomial preconditioner — a
+    # Krylov inner solve (whose coefficients depend on its input) would
+    # break the Arnoldi recurrence.
+    inner = gko.Ir.build(
+        criteria=[stop.Iteration(max_iters=10)],
+        preconditioner=gko.JacobiFactory(max_block_size=1),
     ).generate(A)
 
     def apply_inner(v):
@@ -64,11 +69,12 @@ def main():
         return np.array(y).reshape(n)
 
     M = spla.LinearOperator((n, n), matvec=apply_inner, dtype=np.float32)
-    x2, code = spla.gmres(A_sp, np.ones(n, np.float32), M=M, rtol=1e-6,
-                          maxiter=50)
+    x2, code = spla.gmres(A_sp, np.ones(n, np.float32), M=M, rtol=1e-4,
+                          maxiter=300)
     res2 = np.linalg.norm(A_sp @ x2 - 1.0)
-    print(f"scipy GMRES with ginkgo_tpu-CG preconditioner: info={code}, "
+    print(f"scipy GMRES with ginkgo_tpu-IR preconditioner: info={code}, "
           f"true residual {res2:.2e}")
+    assert code == 0 and res2 < 1e-2 * np.sqrt(n), (code, res2)  # f32
 
 
 if __name__ == "__main__":

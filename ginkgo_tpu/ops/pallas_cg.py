@@ -124,17 +124,18 @@ def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
         0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
     )
 
-    def monitored(rho, rr):
-        # the quantity the stop test watches (implicit = rho, like
-        # ImplicitResidualNorm; exact = r.r)
-        return jnp.abs(rho) if use_implicit else rr
-
+    # stop_mon mirrors the generic loop's check exactly: the first body
+    # always runs (init +inf, like the generic loop's unconditional first
+    # iteration), exact mode tests the POST-update r.r, implicit mode tests
+    # the rho that fed this body's alpha (solver_base._check_stop receives
+    # the PRE-update rho) — without this the fused path stops one
+    # iteration early in implicit mode.
     def cond(st):
-        it, rho, rr = st
-        return (it < max_iters) & (monitored(rho, rr) > tol_sq)
+        it, rho, rr, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
 
     def body(st):
-        it, rho, rr = st
+        it, rho, rr, _ = st
 
         # pass 1: q = A p (chunked), accumulate pq.  When q does not fit
         # (store_q=False) only the reduction is kept and pass 2 recomputes
@@ -182,10 +183,12 @@ def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pdir_chunk, 0)
-        return (it + 1, rho_new, rr_new)
+        stop_mon = jnp.abs(rho) if use_implicit else rr_new
+        return (it + 1, rho_new, rr_new, stop_mon)
 
-    it, rho, rr = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), rho0, rr0)
+    it, rho, rr, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), rho0, rr0, jnp.float32(jnp.inf)),
     )
 
     # ---- one-time DMA: final state VMEM -> HBM outputs ---------------------
@@ -196,8 +199,8 @@ def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
     cp_xo.wait()
     cp_ro.wait()
     stats[0] = it.astype(jnp.float32)
-    stats[1] = monitored(rho, rr)
-    stats[2] = (monitored(rho, rr) <= tol_sq).astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
 def cg_vmem_budget_bytes() -> int:
@@ -209,14 +212,19 @@ def cg_vmem_budget_bytes() -> int:
 
 
 def cg_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
-                 use_minv: bool = False, store_q: bool = True) -> bool:
+                 use_minv: bool = False, store_q: bool = True,
+                 halo_rows: int = 0) -> bool:
     """Working set: the diags VMEM window (nd frames at storage precision)
     + x/r scratch (+ q scratch when store_q) + the halo-padded p scratch
-    (+ minv window when present) + chunk-sized temporaries.  bf16
-    `reduce_storage` diagonals halve the dominant term, which is what lets
-    multi-million-row solves stay fully VMEM-resident."""
+    (pass the ACTUAL halo from _plan(offsets, R) — wide diagonals can make
+    it a large fraction of a frame) + minv window when present + chunked
+    temporaries.  bf16 `reduce_storage` diagonals halve the dominant term,
+    which is what lets multi-million-row solves stay fully VMEM-resident."""
     frame = R * LANES * 4
-    vec_frames = 3.25 + (1 if store_q else 0) + (1 if use_minv else 0)
+    vec_frames = (
+        3.25 + halo_rows / max(R, 1)
+        + (1 if store_q else 0) + (1 if use_minv else 0)
+    )
     return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
     )

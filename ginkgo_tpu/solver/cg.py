@@ -69,14 +69,17 @@ class Cg(IterativeSolverMixin, LinOp):
             return None
         if os.environ.get("GINKGO_TPU_NO_PALLAS"):
             return None
-        # OPT-IN path: interleaved A/B on v5e showed the generic
-        # `lax.while_loop` already runs at the VMEM-resident speed of light
-        # (XLA keeps loop carries on-chip when they fit), so the fused
-        # kernel is parity-at-best — see PERF.md "Whole-solve fused CG".
+        # Default-on for TPU: honest A/B (env flags in the jit cache key,
+        # solver_base._env_trace_key) measures this kernel at 3.2x/2.9x/
+        # 7.7x over the streaming while_loop at 4.19M(bf16)/1M/65k rows —
+        # see PERF.md "Whole-solve fused CG".  GINKGO_TPU_NO_FUSED_CG=1
+        # opts out; GINKGO_TPU_FORCE_VMEM_CG=1 forces it on CPU
+        # (interpret mode) for the oracle tests.
         force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
         on_tpu = jax.default_backend() == "tpu"
-        opt_in = bool(os.environ.get("GINKGO_TPU_FUSED_CG"))
-        if not (force or (on_tpu and opt_in)):
+        if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+            return None
+        if not (force or on_tpu):
             return None
         nd, R, _ = A.diags.shape
         if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
@@ -92,11 +95,19 @@ class Cg(IterativeSolverMixin, LinOp):
             minv_flat = M.inv_diag
         else:
             return None
+        from ..ops.pallas_dia import _plan
+
+        _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
+        halo_rows = pad_lo + pad_hi
         use_minv = minv_flat is not None
-        if cg_vmem_fits(nd, R, A.diags.dtype.itemsize, use_minv=use_minv):
+        if cg_vmem_fits(
+            nd, R, A.diags.dtype.itemsize, use_minv=use_minv,
+            halo_rows=halo_rows,
+        ):
             store_q = True
         elif cg_vmem_fits(
-            nd, R, A.diags.dtype.itemsize, use_minv=use_minv, store_q=False
+            nd, R, A.diags.dtype.itemsize, use_minv=use_minv, store_q=False,
+            halo_rows=halo_rows,
         ):
             store_q = False  # recompute A@p in the update pass instead
         else:

@@ -55,17 +55,18 @@ class FixedSmoother(LinOp):
         return self.A.dtype
 
     def solve(self, b, x0=None):
-        x = jnp.zeros_like(b) if x0 is None else x0
-        scale = jnp.asarray(self.relax, b.dtype) * self.dinv[:, None]
+        arr, was_1d = as_2d(b)
+        x = jnp.zeros_like(arr) if x0 is None else as_2d(x0)[0]
+        scale = jnp.asarray(self.relax, arr.dtype) * self.dinv[:, None]
 
         def step(_, x):
-            return x + scale * (b - self.A.apply(x))
+            return x + scale * (arr - as_2d(self.A.apply(x))[0])
 
         if self.iters == 1:  # unrolled: no loop machinery at all
             x = step(0, x)
         else:
             x = jax.lax.fori_loop(0, self.iters, step, x)
-        return x, None
+        return restore_1d(x, was_1d), None
 
     def apply(self, b):
         return self.solve(b)[0]
@@ -151,12 +152,12 @@ class Multigrid(LinOp):
         return restore_1d(out, was_1d)
 
     def solve(self, b, x0=None):
-        from .solver_base import _jittable, _jitted_solve
+        from .solver_base import _env_trace_key, _jittable, _jitted_solve
 
         arr, was_1d = as_2d(b)
         x = jnp.zeros_like(arr) if x0 is None else as_2d(x0)[0]
         if _jittable(self):
-            xr, info = _jitted_solve(self, arr, x)
+            xr, info = _jitted_solve(self, arr, x, _env_trace_key())
             return restore_1d(xr, was_1d), info
         xr, info = self._solve_impl(arr, x)
         return restore_1d(xr, was_1d), info

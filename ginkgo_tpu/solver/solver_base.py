@@ -17,6 +17,7 @@ cg.cpp:97).
 
 from __future__ import annotations
 
+import functools
 import time as _time
 from typing import Any
 
@@ -150,13 +151,30 @@ class SolverFactory:
         )
 
 
-@jax.jit
-def _jitted_solve(solver, barr, xarr):
+def _env_trace_key():
+    """Environment flags that select code paths at TRACE time (Pallas
+    on/off, fused-solver opt-ins, backend).  They MUST be part of the jit
+    cache key: otherwise flipping e.g. GINKGO_TPU_NO_PALLAS after a
+    structurally identical solver was traced silently reuses the cached
+    OTHER path (observed: A/B comparisons measuring one path twice)."""
+    import os
+
+    return (
+        os.environ.get("GINKGO_TPU_NO_PALLAS", ""),
+        os.environ.get("GINKGO_TPU_NO_FUSED_CG", ""),
+        os.environ.get("GINKGO_TPU_FORCE_VMEM_CG", ""),
+        os.environ.get("GINKGO_TPU_CG_CHUNK", ""),
+        jax.default_backend(),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _jitted_solve(solver, barr, xarr, env_key):
     return solver._solve_impl(barr, xarr)
 
 
-@jax.jit
-def _jitted_solve_state(solver, barr, xarr, state):
+@functools.partial(jax.jit, static_argnums=(4,))
+def _jitted_solve_state(solver, barr, xarr, state, env_key):
     return solver._solve_with_state(barr, xarr, state)
 
 
@@ -216,7 +234,7 @@ class IterativeSolverMixin:
         else:
             xarr, _ = as_2d(x0)
         if _jittable(self):
-            x, info = _jitted_solve(self, barr, xarr)
+            x, info = _jitted_solve(self, barr, xarr, _env_trace_key())
         else:
             # a field (e.g. a user's plain-object preconditioner) is not a
             # pytree of arrays: run unjitted — still one XLA computation
@@ -259,14 +277,14 @@ class IterativeSolverMixin:
                 # carry the Krylov recurrence across the chunk boundary
                 if _jittable(chunk_solver):
                     x, info, state = _jitted_solve_state(
-                        chunk_solver, barr, x, state
+                        chunk_solver, barr, x, state, _env_trace_key()
                     )
                 else:
                     x, info, state = chunk_solver._solve_with_state(
                         barr, x, state
                     )
             elif _jittable(chunk_solver):
-                x, info = _jitted_solve(chunk_solver, barr, x)
+                x, info = _jitted_solve(chunk_solver, barr, x, _env_trace_key())
             else:
                 x, info = chunk_solver._solve_impl(barr, x)
             done_iters += int(info.iterations)
