@@ -137,10 +137,10 @@ def main():
 
         t_cg_iter = max((cg_total(100) - cg_total(50)) / 50, 1e-9)
 
-        # bf16 reduce_storage diagonals keep the 4.19M-row CG state fully
-        # VMEM-resident across while_loop iterations (f32 state does not
-        # fit, so the f32 row above streams from HBM) — the storage
-        # reduction, not loop fusion, is the lever (PERF.md)
+        # bf16 reduce_storage diagonals fit the 4.19M-row CG state in VMEM,
+        # which routes this row to the whole-solve fused Pallas kernel
+        # (ops/pallas_cg.py, default on TPU); the f32 row above does not
+        # fit and streams from HBM (PERF.md)
         D16cg = D.reduce_storage()
 
         def cg_fused_total(iters):

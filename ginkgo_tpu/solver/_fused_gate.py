@@ -1,0 +1,102 @@
+"""Shared gate for whole-solve fused Pallas solver paths (CG, BiCGSTAB).
+
+Decides — statically, at trace time — whether a solve can route to a
+single-kernel VMEM-resident implementation: Dia operator, diagonal
+(Identity/Diagonal/scalar-Jacobi) preconditioner, single f32 RHS, plain
+Iteration/ResidualNorm criteria, state fits the VMEM budget.  The env
+flags consulted here are part of the jit cache key
+(solver_base._env_trace_key)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def prepare_fused_dia(solver, b, fits_fn):
+    """Return None (fall back to the generic loop) or a dict with
+    everything a fused kernel needs: A, frames for r0/x0 conversion,
+    minv2, tol_sq, cap, implicit/has_res flags, interpret."""
+    from ..matrix.dia import Dia
+    from ..matrix.diagonal import Diagonal, Identity
+    from ..preconditioner.jacobi import Jacobi
+    from ..stop.criterion import analyze_simple_residual
+    from ..ops.pallas_dia import _plan
+    from .solver_base import extract_max_iters
+
+    if solver.axis_name is not None or getattr(solver, "track_history", False):
+        return None
+    if b.shape[1] != 1 or b.dtype != jnp.float32:
+        return None
+    A = solver.A
+    if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
+        return None
+    if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+        return None
+    force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+    on_tpu = jax.default_backend() == "tpu"
+    if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+        return None
+    if not (force or on_tpu):
+        return None
+    nd, R, _ = A.diags.shape
+    if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    M = solver.preconditioner
+    if isinstance(M, Identity):
+        minv_flat = None
+    elif isinstance(M, Diagonal):
+        minv_flat = M.values
+    elif isinstance(M, Jacobi) and M.inv_diag is not None:
+        minv_flat = M.inv_diag
+    else:
+        return None
+    _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
+    if not fits_fn(
+        nd, R, A.diags.dtype.itemsize,
+        use_minv=minv_flat is not None, halo_rows=pad_lo + pad_hi,
+    ):
+        return None
+    simple = analyze_simple_residual(solver.criterion)
+    if simple is None:
+        return None
+    tol, baseline, implicit, has_res = simple
+    return {
+        "A": A,
+        "nd": nd,
+        "R": R,
+        "minv_flat": minv_flat,
+        "tol": tol,
+        "baseline": baseline,
+        "implicit": implicit,
+        "has_res": has_res,
+        "cap": extract_max_iters(solver.criterion),
+        "interpret": not on_tpu,
+    }
+
+
+def frame(v, R):
+    """(n, 1) column -> zero-padded (R, 128) frame."""
+    F = R * LANES
+    pad = F - v.shape[0]
+    vp = jnp.pad(v, ((0, pad), (0, 0))) if pad > 0 else v[:F]
+    return vp.reshape(R, LANES)
+
+
+def tol_sq_eff(ctx, b, r0):
+    """Squared absolute stop threshold from the criterion decomposition."""
+    from .solver_base import norm2
+
+    if not ctx["has_res"]:
+        return jnp.asarray(-1.0, jnp.float32)
+    if ctx["baseline"] == "absolute":
+        base = jnp.asarray(1.0, jnp.float32)
+    elif ctx["baseline"] == "initial_resnorm":
+        base = norm2(r0)[0].astype(jnp.float32)
+    else:
+        base = norm2(b)[0].astype(jnp.float32)
+    return (jnp.float32(ctx["tol"]) * base) ** 2

@@ -37,7 +37,61 @@ class Bicgstab(IterativeSolverMixin, LinOp):
     def create(cls, A, preconditioner, criterion, **params):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM fast path (ops/pallas_bicgstab.py), same
+        gate as Cg's (solver/_fused_gate.py).  Diagonal preconditioning is
+        folded into the operator: the kernel runs on A@M (a one-time
+        column scaling of the Dia diagonals) and rescales the updates by
+        minv.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
+        from ..ops.pallas_bicgstab import (
+            bicgstab_vmem_fits,
+            bicgstab_vmem_solve,
+        )
+
+        ctx = prepare_fused_dia(self, b, bicgstab_vmem_fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        if ctx["minv_flat"] is not None:
+            minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            # A@M: scale diagonal d by minv at column index i + off_d
+            mflat = minv2
+            diags = jnp.stack([
+                A.diags[j].astype(jnp.float32) * A._flat_shift(mflat, off)
+                for j, off in enumerate(A.offsets)
+            ])
+        else:
+            minv2 = None
+            diags = A.diags
+        x2, it, mon, conv = bicgstab_vmem_solve(
+            diags,
+            A.offsets,
+            frame(r0, R),
+            frame(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         A, M = self.A, self.preconditioner
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]

@@ -50,119 +50,60 @@ class Cg(IterativeSolverMixin, LinOp):
         loop runs inside ONE Pallas kernel when A is a Dia whose diagonals
         and the Krylov vectors fit in VMEM, the preconditioner is diagonal
         (Identity / Diagonal / scalar Jacobi), there is a single RHS, and
-        the criterion is a plain Iteration/ResidualNorm combination.  The
-        reference's fusion end-point (cg.cpp:148-156 traffic model) taken to
-        zero per-iteration HBM traffic.  Returns (x, SolveInfo) or None."""
-        import os
-
-        from ..matrix.dia import Dia, LANES
-        from ..matrix.diagonal import Identity, Diagonal
-        from ..preconditioner.jacobi import Jacobi
-        from ..stop.criterion import analyze_simple_residual
-
-        if self.axis_name is not None or self.track_history:
-            return None
-        if b.shape[1] != 1 or b.dtype != jnp.float32:
-            return None
-        A = self.A
-        if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
-            return None
-        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
-            return None
-        # Default-on for TPU: honest A/B (env flags in the jit cache key,
-        # solver_base._env_trace_key) measures this kernel at 3.2x/2.9x/
-        # 7.7x over the streaming while_loop at 4.19M(bf16)/1M/65k rows —
-        # see PERF.md "Whole-solve fused CG".  GINKGO_TPU_NO_FUSED_CG=1
-        # opts out; GINKGO_TPU_FORCE_VMEM_CG=1 forces it on CPU
-        # (interpret mode) for the oracle tests.
-        force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
-        on_tpu = jax.default_backend() == "tpu"
-        if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
-            return None
-        if not (force or on_tpu):
-            return None
-        nd, R, _ = A.diags.shape
-        if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
-            return None
+        the criterion is a plain Iteration/ResidualNorm combination (gate:
+        solver/_fused_gate.py).  Default-on for TPU — measured 3.2x/2.9x/
+        7.7x over the streaming while_loop at 4.19M(bf16)/1M/65k rows
+        (PERF.md); opt out with GINKGO_TPU_NO_FUSED_CG=1.  The reference's
+        fusion end-point (cg.cpp:148-156 traffic model) taken to zero
+        per-iteration HBM traffic.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve
 
-        M = self.preconditioner
-        if isinstance(M, Identity):
-            minv_flat = None
-        elif isinstance(M, Diagonal):
-            minv_flat = M.values
-        elif isinstance(M, Jacobi) and M.inv_diag is not None:
-            minv_flat = M.inv_diag
-        else:
-            return None
-        from ..ops.pallas_dia import _plan
+        store_q_pick = []
 
-        _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
-        halo_rows = pad_lo + pad_hi
-        use_minv = minv_flat is not None
-        if cg_vmem_fits(
-            nd, R, A.diags.dtype.itemsize, use_minv=use_minv,
-            halo_rows=halo_rows,
-        ):
-            store_q = True
-        elif cg_vmem_fits(
-            nd, R, A.diags.dtype.itemsize, use_minv=use_minv, store_q=False,
-            halo_rows=halo_rows,
-        ):
-            store_q = False  # recompute A@p in the update pass instead
-        else:
-            return None
-        simple = analyze_simple_residual(self.criterion)
-        if simple is None:
-            return None
-        tol, baseline, implicit, has_res = simple
-        from .solver_base import extract_max_iters, norm2
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            if cg_vmem_fits(nd, R, itemsize, use_minv=use_minv,
+                            halo_rows=halo_rows):
+                store_q_pick.append(True)
+                return True
+            if cg_vmem_fits(nd, R, itemsize, use_minv=use_minv,
+                            store_q=False, halo_rows=halo_rows):
+                store_q_pick.append(False)  # recompute A@p in pass 2
+                return True
+            return False
 
-        cap = extract_max_iters(self.criterion)
+        ctx = prepare_fused_dia(self, b, fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
         n = A.shape[0]
-        F = R * LANES
-
-        def frame(v):
-            pad = F - v.shape[0]
-            vp = jnp.pad(v, ((0, pad), (0, 0))) if pad > 0 else v[:F]
-            return vp.reshape(R, LANES)
-
         r0 = b - A.apply(x0)
-        if has_res:
-            if baseline == "absolute":
-                base = jnp.asarray(1.0, jnp.float32)
-            elif baseline == "initial_resnorm":
-                base = norm2(r0)[0].astype(jnp.float32)
-            else:
-                base = norm2(b)[0].astype(jnp.float32)
-            tol_sq = (jnp.float32(tol) * base) ** 2
-        else:
-            tol_sq = jnp.asarray(-1.0, jnp.float32)
+        tol_sq = tol_sq_eff(ctx, b, r0)
         minv2 = (
-            frame(minv_flat[:, None].astype(jnp.float32))
-            if minv_flat is not None
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            if ctx["minv_flat"] is not None
             else None
         )
         x2, it, mon, conv = cg_vmem_solve(
             A.diags,
             A.offsets,
-            frame(r0),
-            frame(x0),
+            frame(r0, R),
+            frame(x0, R),
             minv2,
             tol_sq_eff=tol_sq,
-            max_iters=cap,
-            use_implicit=implicit,
-            store_q=store_q,
-            interpret=not on_tpu,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            store_q=store_q_pick[0],
+            interpret=ctx["interpret"],
         )
-        x = x2.reshape(F, 1)[:n]
-        if has_res and not implicit:
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
             rn = jnp.sqrt(mon)[None].astype(b.dtype)
         else:
             # parity with the generic loop's residual_norm fill when no
             # exact-residual criterion is tracked (solver_base._check_stop)
             rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
-        conv_mask = jnp.asarray(conv & has_res)[None]
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
         info = SolveInfo(
             iterations=it, residual_norm=rn, converged=conv_mask, history=None
         )

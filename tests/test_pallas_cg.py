@@ -160,3 +160,46 @@ def test_vmem_cg_declines_unsupported(poisson_dia, monkeypatch):
         criteria=[stop.Iteration(max_iters=5)]
     ).generate(A.to_csr())
     assert csr_solver._try_vmem_fused(b, jnp.zeros_like(b)) is None
+
+
+def test_vmem_bicgstab_matches_generic(poisson_dia, monkeypatch):
+    """Fused whole-solve BiCGSTAB (ops/pallas_bicgstab.py) vs the generic
+    loop: identical iteration counts, f32-roundoff agreement; diagonal
+    preconditioning folded into the operator."""
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+
+    A, b = poisson_dia
+    for pre in (None, Jacobi.build(max_block_size=1)):
+        crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+        monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+        xf, inf_f = Bicgstab.build(criteria=crit, preconditioner=pre).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+        monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+        xg, inf_g = Bicgstab.build(criteria=crit, preconditioner=pre).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+        assert int(inf_f.iterations) == int(inf_g.iterations)
+        assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_vmem_bicgstab_iteration_only(poisson_dia, monkeypatch):
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=15)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == 15 == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+    )
