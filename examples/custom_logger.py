@@ -26,10 +26,12 @@ def main():
     A = gko.Csr.from_matrix_data(data)
     b = jnp.ones((A.shape[0], 1), A.dtype)
     solver = gko.Cg.build(
-        criteria=[stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-10)]
+        criteria=[stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-10)],
+        track_history=True,  # record per-iteration residuals in-graph
     ).generate(A)
     lg = ResidualHistoryLogger()
-    x, info = solver.solve_chunked(b, chunk=10, loggers=[lg])
+    # default solve() path: iteration_complete is replayed from SolveInfo
+    x, info = solver.solve(b, loggers=[lg])
     print(f"{int(info.iterations)} iterations, history points {len(lg.history)}")
     print("first/last residuals:", lg.history[0], lg.history[-1])
 

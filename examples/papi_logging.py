@@ -28,6 +28,9 @@ def main():
     # attach to the Executor and to solve drivers instead.
     counters = Counters()
     gko.default_executor().add_logger(counters)
+    # the global registry is the Executor-level hook analog: it observes
+    # factory generate + apply + iteration events on the DEFAULT solve path
+    gko.log.add_global_logger(counters)
 
     solver = gko.Cg.build(
         criteria=[stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-10)]
@@ -36,14 +39,17 @@ def main():
     # the vendor-range role: annotate the solve for the TPU profiler
     prof = ProfilerRange()
     with profile_region("papi_logging_example/solve"):
-        x, info = solver.solve_chunked(b, chunk=50, loggers=[counters, prof])
+        x, info = solver.solve(b, loggers=[prof])  # default path
 
     print(f"solved in {int(info.iterations)} iterations")
     print("exported counters (papi_sde::ginkgo analog):")
     for name, cnt in sorted(counters.counts.items()):
         print(f"  ginkgo_tpu::{name}: {cnt}")
-    # the apply counter exists because the solver's SpMVs logged on A
+    # default-path events: generate + apply + iteration all counted
     assert counters.counts.get(Event.iteration_complete.name, 0) > 0
+    assert counters.counts.get(Event.linop_apply_started.name, 0) > 0
+    assert counters.counts.get(Event.linop_factory_generate_started.name, 0) > 0
+    gko.log.remove_global_logger(counters)
 
 
 if __name__ == "__main__":

@@ -60,41 +60,48 @@ def split_lu_pattern(A: Csr):
     np.add.at(u_indptr, u_rows + 1, 1)
     u_indptr = np.cumsum(u_indptr)
 
-    def slot(indptr, indices, i, j):
-        s, e = indptr[i], indptr[i + 1]
-        return s + np.searchsorted(indices[s:e], j)
+    # Vectorized dependency expansion (no per-nnz Python): sorted global
+    # keys row*(n+1)+col turn every (i, j) -> slot lookup into one
+    # searchsorted; the product map is built SpGEMM-style from strict-lower
+    # L entries crossed with their U rows, filtered to the A pattern.
+    N1 = np.int64(n + 1)
+    lkeys = l_rows.astype(np.int64) * N1 + l_cols.astype(np.int64)
+    ukeys = u_rows.astype(np.int64) * N1 + u_cols.astype(np.int64)
+    akeys = rows.astype(np.int64) * N1 + cols.astype(np.int64)
+    diag_q = np.arange(n, dtype=np.int64) * N1 + np.arange(n, dtype=np.int64)
+    l_diag = np.searchsorted(lkeys, diag_q)
+    u_diag = np.searchsorted(ukeys, diag_q)
 
-    # diag slots
-    l_diag = np.array([slot(l_indptr, l_cols, i, i) for i in range(n)])
-    u_diag = np.array([slot(u_indptr, u_cols, i, i) for i in range(n)])
+    # products: for strict-lower L entry (i, k) cross U row k -> (k, j);
+    # keep j > k (so k < min(i, j)) and (i, j) present in A
+    l_strict = l_cols < l_rows
+    li = l_rows[l_strict].astype(np.int64)
+    lk = l_cols[l_strict].astype(np.int64)
+    lslot = np.nonzero(l_strict)[0]
+    uL = np.diff(u_indptr)
+    rep = uL[lk]
+    T = int(rep.sum())
+    src = np.repeat(np.arange(len(lk), dtype=np.int64), rep)
+    grp = np.concatenate([[0], np.cumsum(rep)[:-1]])
+    within = np.arange(T, dtype=np.int64) - grp[src]
+    pu_all = u_indptr[lk][src] + within
+    pj = u_cols[pu_all].astype(np.int64)
+    pk = lk[src]
+    q = li[src] * N1 + pj
+    pos = np.searchsorted(akeys, q)
+    posc = np.minimum(pos, max(a.nnz - 1, 0))
+    hit = (pj > pk) & (pos < a.nnz) & (akeys[posc] == q)
+    pl = lslot[src][hit]
+    pu = pu_all[hit]
+    pout = pos[hit]
 
-    # dependency products for every A entry (i,j): k < min(i,j),
-    # (i,k) in L, (k,j) in U
-    pl, pu, pout = [], [], []
-    a_entry_target = np.empty(a.nnz, np.int64)  # slot in L or U
     a_entry_is_lower = lower_mask.copy()
-    a_entry_udiag = np.zeros(a.nnz, np.int64)
-    # per-row L columns / per-col U rows navigation
-    for t in range(a.nnz):
-        i, j = rows[t], cols[t]
-        kmax = min(i, j)
-        # L row i columns < kmax intersect {k : (k,j) in U}
-        ls, le = l_indptr[i], l_indptr[i + 1]
-        lk = l_cols[ls:le]
-        lk_sel = lk < kmax
-        for off in np.nonzero(lk_sel)[0]:
-            k = lk[off]
-            us, ue = u_indptr[k], u_indptr[k + 1]
-            pos = np.searchsorted(u_cols[us:ue], j)
-            if pos < ue - us and u_cols[us + pos] == j:
-                pl.append(ls + off)
-                pu.append(us + pos)
-                pout.append(t)
-        if i > j:
-            a_entry_target[t] = slot(l_indptr, l_cols, i, j)
-            a_entry_udiag[t] = u_diag[j]
-        else:
-            a_entry_target[t] = slot(u_indptr, u_cols, i, j)
+    a_entry_target = np.where(
+        lower_mask,
+        np.searchsorted(lkeys, akeys),
+        np.searchsorted(ukeys, akeys),
+    )
+    a_entry_udiag = np.where(lower_mask, u_diag[cols], 0)
 
     return dict(
         n=n,

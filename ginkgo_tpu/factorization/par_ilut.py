@@ -113,10 +113,12 @@ class ParIlutFactory:
         max_l = int(self.fill_in_limit * (sps.tril(a, 0).nnz))
         max_u = int(self.fill_in_limit * (sps.triu(a, 0).nnz))
 
+        # reference loop order (par_ilut.cpp:63-79): add_candidates ->
+        # sweeps on candidate -> threshold filter -> sweeps on filtered;
+        # one sweeps call per phase, none duplicated across iterations
         pattern = (a + eye).tocsr()  # ensure diagonal
-        L = U = None
+        L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
         for _ in range(self.iterations):
-            L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
             # add_candidates: residual pattern of A - L@U
             LU = (L @ U).tocsr()
             cand = (_pattern_mask((a + eye).tocsr()) + _pattern_mask(LU)).tocsr()
@@ -133,7 +135,7 @@ class ParIlutFactory:
             pattern = (
                 _pattern_mask(Lf) + _pattern_mask(Uf) + _pattern_mask(eye)
             ).tocsr()
-        L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
+            L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
         return Factorization(
             l_factor=Csr.from_scipy(L), u_factor=Csr.from_scipy(U), shape=(n, n)
         )
@@ -161,8 +163,8 @@ class ParIctFactory:
         eye = sps.eye(n, format="csr")
         max_l = int(self.fill_in_limit * sps.tril(a, 0).nnz)
         pattern = (a + eye).tocsr()
+        L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
         for _ in range(self.iterations):
-            L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
             du = np.sqrt(np.maximum(U.diagonal(), 1e-30))
             Lic = (L @ sps.diags(du)).tocsr()
             LLt = (Lic @ Lic.T).tocsr()
@@ -174,7 +176,7 @@ class ParIctFactory:
             Lf = _threshold_filter(sps.tril(L2, 0).tocsr(), max_l)
             sym = _pattern_mask(Lf) + _pattern_mask(Lf).T
             pattern = (sym + _pattern_mask(eye)).tocsr()
-        L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
+            L, U = _sweeps_on_pattern(a, pattern, self.sweeps)
         du = np.sqrt(np.maximum(U.diagonal(), 1e-30))
         Lic = Csr.from_scipy((L @ sps.diags(du)).tocsr())
         return Factorization(

@@ -85,6 +85,20 @@ def read_raw(source) -> MatrixData:
                 p = ln.split()
                 rows[i], cols[i] = int(p[0]) - 1, int(p[1]) - 1
                 vals[i] = float(p[2])
+        # MatrixMarket is 1-based: a 0 (or out-of-range) index would wrap
+        # through numpy fancy indexing downstream — reject (mirrors the
+        # native parser's check).
+        if nnz and (
+            rows.min() < 0 or rows.max() >= nrows
+            or cols.min() < 0 or cols.max() >= ncols
+        ):
+            bad = int(np.argmax(
+                (rows < 0) | (rows >= nrows) | (cols < 0) | (cols >= ncols)
+            ))
+            raise ValueError(
+                f"entry {bad}: coordinate ({rows[bad] + 1}, {cols[bad] + 1}) "
+                f"outside 1-based [1, {nrows}] x [1, {ncols}]"
+            )
     elif layout == "array":
         nrows, ncols = int(header[0]), int(header[1])
         flat = []

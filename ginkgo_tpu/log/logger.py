@@ -62,6 +62,46 @@ class Logger:
         pass
 
 
+# -- global logger registry ---------------------------------------------------
+# The reference attaches loggers to the Executor to observe every object
+# (executor.hpp:663-735).  Under XLA there is no executor in the data path,
+# so the process-wide registry is the analog: loggers added here receive
+# events from every library object (factories, solvers, criteria wrappers).
+
+_GLOBAL_LOGGERS: list["Logger"] = []
+
+
+def add_global_logger(logger: "Logger") -> "Logger":
+    _GLOBAL_LOGGERS.append(logger)
+    return logger
+
+
+def remove_global_logger(logger: "Logger"):
+    _GLOBAL_LOGGERS.remove(logger)
+
+
+def clear_global_loggers():
+    _GLOBAL_LOGGERS.clear()
+
+
+def global_loggers() -> tuple:
+    return tuple(_GLOBAL_LOGGERS)
+
+
+def global_log(event: "Event", **data):
+    for lg in _GLOBAL_LOGGERS:
+        if event in lg.enabled_events:
+            lg.on(event, **data)
+
+
+def fanout(loggers, event: "Event", **data):
+    """Deliver an event to explicit loggers plus the global registry."""
+    for lg in loggers:
+        if event in lg.enabled_events:
+            lg.on(event, **data)
+    global_log(event, **data)
+
+
 class Loggable:
     """EnableLogging analog: mixin holding logger list + log() fanout."""
 
@@ -204,3 +244,37 @@ class PerformanceHint(Logger):
 def _brief(v):
     s = repr(v)
     return s if len(s) < 60 else s[:57] + "..."
+
+
+class LoggedLinOp(Loggable):
+    """Wrap any LinOp so every EAGER apply fires linop_apply events
+    (logger.hpp:336-430).  Inside a jit trace events fire once at trace
+    time — attach the wrapper outside jit for per-call observability.
+
+    Usage: op = LoggedLinOp(A, loggers=[Record()]); op.apply(b)."""
+
+    def __init__(self, op, loggers=(), name=None):
+        super().__init__()
+        self.op = op
+        self.name = name or type(op).__name__
+        for lg in loggers:
+            self.add_logger(lg)
+
+    def __getattr__(self, item):
+        return getattr(self.op, item)
+
+    def _fan(self, event, **data):
+        self.log(event, **data)
+        global_log(event, **data)
+
+    def apply(self, b):
+        self._fan(Event.linop_apply_started, op=self.name)
+        out = self.op.apply(b)
+        self._fan(Event.linop_apply_completed, op=self.name)
+        return out
+
+    def apply_advanced(self, alpha, b, beta, x):
+        self._fan(Event.linop_advanced_apply_started, op=self.name)
+        out = self.op.apply_advanced(alpha, b, beta, x)
+        self._fan(Event.linop_advanced_apply_completed, op=self.name)
+        return out

@@ -24,17 +24,28 @@ def choose_format(
     block_rows: int = 8,
 ):
     """Build the fastest suitable operator for `data` (automatical
-    strategy analog).  Preference: Dia > Bell > Csr.  The Bell candidate
-    block-rows are tuned by the TRUE allocated-slot inflation (including
-    ELL padding to the per-block max panel count)."""
+    strategy analog).  Preference: Dia > (Pell | Bell, whichever streams
+    fewer HBM bytes per nonzero) > Csr.  Candidate inflations are TRUE
+    allocated-slot inflations (including padding)."""
     if suitable_for_dia(data, max_diags=max_diags):
         return Dia.from_matrix_data(data)
     if data.nnz:
-        best = None
+        best_bell = None
         for br in (block_rows, 2 * block_rows, 4 * block_rows):
             inflation = bell_inflation_estimate(data, block_rows=br)
-            if best is None or inflation < best[1]:
-                best = (br, inflation)
-        if best[1] <= max_inflation:
-            return Bell.from_matrix_data(data, block_rows=best[0])
+            if best_bell is None or inflation < best_bell[1]:
+                best_bell = (br, inflation)
+        from .pell import Pell
+
+        pell = Pell.from_matrix_data(data)
+        # HBM bytes per nonzero: Pell streams value + int32 lane index
+        # (8 B/cell), Bell streams dense panels (4 B/cell)
+        pell_bytes = pell.inflation * 8
+        bell_bytes = best_bell[1] * 4
+        if pell_bytes <= bell_bytes and pell.inflation <= max_inflation:
+            return pell
+        if best_bell[1] <= max_inflation:
+            return Bell.from_matrix_data(data, block_rows=best_bell[0])
+        if pell.inflation <= 2 * max_inflation:
+            return pell  # still far better than gather-speed Csr
     return Csr.from_matrix_data(data)

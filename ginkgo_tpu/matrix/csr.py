@@ -132,8 +132,36 @@ class Csr(LinOp):
         return self.replace(strategy=strategy)
 
     def _resolve_strategy(self) -> str:
+        """Data-driven `automatical` analog (csr.hpp:526).
+
+        The reference picks among classical/merge_path/load_balance from
+        row-length statistics; the TPU-relevant decision is different:
+        gathers are the enemy, so on TPU the streaming PELL plan
+        (ops/spmv_pallas.py) wins whenever its storage inflation is
+        acceptable, and the row-length skew only decides among the XLA
+        gather kernels otherwise.  Under a jit trace the arrays are
+        tracers, so resolution falls back to 'classical' (host stats are
+        a setup-time operation; convert or pick a strategy eagerly for
+        the fast path)."""
         if self.strategy != "auto":
             return self.strategy
+        if isinstance(self.values, jax.core.Tracer) or isinstance(
+            self.col_idxs, jax.core.Tracer
+        ):
+            return "classical"
+        if jax.default_backend() == "tpu":
+            from ..ops import spmv_pallas
+
+            plan = spmv_pallas._plan_for(
+                self.row_ptrs, self.col_idxs, self.values, self.shape
+            )
+            if plan.inflation <= 16.0:
+                return "pallas"
+            self._maybe_hint_gather()
+            return "classical"
+        lengths = self.host_row_lengths()
+        if len(lengths) and lengths.max() > 4 * max(lengths.mean(), 1):
+            return "merge_path"  # skewed rows: scan-based balance
         return "classical"
 
     def apply(self, b):
@@ -155,11 +183,22 @@ class Csr(LinOp):
         elif strat == "sellp":
             out = self.to_sellp().apply(arr)
         elif strat == "pallas":
-            from ..ops import spmv_pallas
+            if isinstance(self.values, jax.core.Tracer):
+                # plan building needs concrete host arrays; inside a jit
+                # trace stream through the XLA kernel instead (convert to
+                # Pell/Dia/Bell eagerly for the fast path in solvers)
+                out = spmv_ops.csr_spmv_classical(
+                    self.row_ptrs, self.col_idxs, self.values, arr,
+                    self.shape[0],
+                )
+            else:
+                from ..ops import spmv_pallas
 
-            out = spmv_pallas.csr_spmv(
-                self.row_ptrs, self.col_idxs, self.values, arr, self.shape[0]
-            )
+                out = spmv_pallas.csr_spmv(
+                    self.row_ptrs, self.col_idxs, self.values, arr,
+                    self.shape[0],
+                    interpret=jax.default_backend() != "tpu",
+                )
         else:  # pragma: no cover
             raise ValueError(f"unknown strategy {strat}")
         return restore_1d(out, was_1d)

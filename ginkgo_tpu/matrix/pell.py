@@ -1,0 +1,165 @@
+"""Pell — panel-gathered ELL, the TPU-native general-sparse format.
+
+The jit-compatible format wrapper around the PELL plan of
+ops/spmv_pallas.py (see its module docstring for the layout).  Fills the
+reference's load_balance/merge_path role
+(cuda/matrix/csr_kernels.cu:121-310): fast SpMV on arbitrary unstructured
+sparsity — via in-register `dynamic_gather` from a VMEM-resident x rather
+than per-element memory gathers, which the TPU does not have.
+
+A Pell is a frozen pytree (all storage is jax arrays; the plan geometry is
+static), so solvers can hold one as their operator and the whole solve
+still compiles to a single XLA computation.  Build it eagerly
+(`Pell.from_csr(A)` / `gko.choose_format`) — construction is a host-side
+setup pass like every format conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field, as_2d, restore_1d
+from ..base.matrix_data import MatrixData
+from ..ops import spmv as spmv_ops
+
+
+@linop_dataclass
+class Pell(LinOp):
+    values: jnp.ndarray  # (slots, 8, 128) zero-padded panel cells
+    qidx: jnp.ndarray  # (slots, 8, 128) int32 lane index into the panel
+    panels: jnp.ndarray  # (slots, 8) int32 x-panel id per sublane
+    tile_of_step: jnp.ndarray  # (n_steps,) int32 output tile per grid step
+    shape: tuple = static_field(default=(0, 0))
+    n_steps: int = static_field(default=0)
+    nnz: int = static_field(default=0)
+    G: int = static_field(default=4)
+    NT: int = static_field(default=0)
+    NP: int = static_field(default=0)
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def from_csr(csr, G: int = 4) -> "Pell":
+        from ..ops.spmv_pallas import PellPlan
+
+        plan = PellPlan(
+            np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
+            np.asarray(csr.values), csr.shape, G=G,
+        )
+        return Pell._from_plan(plan)
+
+    @staticmethod
+    def _from_plan(plan) -> "Pell":
+        return Pell(
+            values=plan.values,
+            qidx=plan.qidx,
+            panels=plan.panels,
+            tile_of_step=plan.tile_of_step,
+            shape=tuple(plan.shape),
+            n_steps=plan.n_steps,
+            nnz=plan.nnz,
+            G=plan.G,
+            NT=plan.NT,
+            NP=plan.NP,
+        )
+
+    @staticmethod
+    def from_matrix_data(data: MatrixData, G: int = 4) -> "Pell":
+        from .csr import Csr
+
+        return Pell.from_csr(Csr.from_matrix_data(data), G=G)
+
+    read = from_matrix_data
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def inflation(self) -> float:
+        return self.values.size / max(self.nnz, 1)
+
+    @property
+    def num_stored_elements(self) -> int:
+        return self.nnz
+
+    # -- apply ----------------------------------------------------------------
+
+    def _spmv_one(self, x):
+        import os
+        from ..ops.spmv_pallas import pell_spmv
+
+        interpret = jax.default_backend() != "tpu" or bool(
+            os.environ.get("GINKGO_TPU_NO_PALLAS")
+        )
+        return pell_spmv(self, x, interpret=interpret)
+
+    def apply(self, b):
+        arr, was_1d = as_2d(b)
+        cols = [self._spmv_one(arr[:, k]) for k in range(arr.shape[1])]
+        out = jnp.stack(cols, axis=1)
+        return restore_1d(out, was_1d)
+
+    def apply_advanced(self, alpha, b, beta, x):
+        arr, was_1d = as_2d(b)
+        xa, _ = as_2d(x)
+        out = spmv_ops.advanced(self.apply(arr), alpha, beta, xa)
+        return restore_1d(out, was_1d)
+
+    # -- structure ops --------------------------------------------------------
+
+    def extract_diagonal(self):
+        return self.to_csr().extract_diagonal()
+
+    def scale(self, alpha) -> "Pell":
+        return self.replace(
+            values=self.values * jnp.asarray(alpha).reshape(())
+        )
+
+    def compute_absolute(self) -> "Pell":
+        return self.replace(values=jnp.abs(self.values))
+
+    def astype(self, dtype) -> "Pell":
+        return self.replace(values=self.values.astype(dtype))
+
+    def transpose(self):
+        return Pell.from_csr(self.to_csr().transpose(), G=self.G)
+
+    def conj_transpose(self):
+        return Pell.from_csr(self.to_csr().conj_transpose(), G=self.G)
+
+    # -- conversions ----------------------------------------------------------
+
+    def to_matrix_data(self) -> MatrixData:
+        """Reconstruct COO entries from occupied plan cells.
+
+        Structural zeros stored in the source pattern are dropped (their
+        plan cells are indistinguishable from padding) — acceptable for a
+        streaming format whose apply treats them identically."""
+        vals = np.asarray(self.values)
+        q = np.asarray(self.qidx)
+        panels = np.asarray(self.panels)
+        tiles = np.asarray(self.tile_of_step)
+        slots_per_tile = np.bincount(tiles, minlength=tiles.max() + 1 if
+                                     len(tiles) else 1) * self.G
+        slot_tile = np.repeat(np.arange(len(slots_per_tile)), slots_per_tile)
+        occ = vals != 0
+        sl, s, lane = np.nonzero(occ)
+        rows = slot_tile[sl] * 1024 + s * 128 + lane
+        cols = panels[sl, s].astype(np.int64) * 128 + q[sl, s, lane]
+        order = np.lexsort((cols, rows))
+        return MatrixData(
+            self.shape, rows[order], cols[order], vals[sl, s, lane][order]
+        )
+
+    def to_csr(self):
+        from .csr import Csr
+
+        return Csr.from_matrix_data(self.to_matrix_data())
+
+    def to_dense(self):
+        return self.to_csr().to_dense()
+
+    write = to_matrix_data

@@ -369,21 +369,13 @@ def pgm_aggregate(
     W.eliminate_zeros()
     agg = np.full(n, -1, np.int64)
 
-    def _pick(i, nbs, wts):
-        """Strongest neighbor; ties broken by index proximity, then by a
-        stride-parity direction preference: prefer j > i iff (i // |j-i|)
-        is even.  Both tie-breaks are free w.r.t. matching quality; the
-        direction rule alternates along ANY stride chain (i, i±S, ...), so
-        uniform-weight grid rows form MUTUAL pairs in one parallel round,
-        and the aggregate ids follow the stride pattern that activates the
-        gather-free banded transfer operators."""
-        mx = wts.max()
-        cand = nbs[wts >= mx * (1 - 1e-12)]
-        d = np.maximum(np.abs(cand - i), 1)
-        wrong_dir = (cand > i) != ((i // d) % 2 == 0)
-        order = np.lexsort((wrong_dir, d))
-        return cand[order[0]]
-
+    # Tie-breaks inside _strongest_vectorized: index proximity, then a
+    # stride-parity direction preference (prefer j > i iff (i // |j-i|) is
+    # even).  Both are free w.r.t. matching quality; the direction rule
+    # alternates along ANY stride chain (i, i±S, ...), so uniform-weight
+    # grid rows form MUTUAL pairs in one parallel round, and the aggregate
+    # ids follow the stride pattern that activates the gather-free banded
+    # transfer operators.
     all_rows = np.repeat(np.arange(n), np.diff(W.indptr))
 
     def _strongest_vectorized(is_unagg):
@@ -411,62 +403,50 @@ def pgm_aggregate(
         strongest[got] = best[got] & ((1 << 33) - 1)
         return strongest
 
-    _VEC_ROUNDS = 4  # parallel mutual-matching rounds before greedy mop-up
-
+    # Every round is a parallel mutual strongest-neighbor match — the
+    # reference's own match_edge iteration (pgm_kernels.cpp match_edge is
+    # "agree with your strongest neighbor"), so no sequential greedy tier
+    # is needed; rounds repeat until the unassigned ratio target.
     for it in range(max_iterations):
         unagg = np.nonzero(agg < 0)[0]
         if len(unagg) <= max_unassigned_ratio * n:
             break
         is_unagg = agg < 0
-        progress = False
-        if it < _VEC_ROUNDS:
-            # parallel rounds: mutual strongest-neighbor pairs
-            strongest = _strongest_vectorized(is_unagg)
-            strongest[~is_unagg] = -1
-            j = strongest
-            valid = j >= 0
-            mutual = valid & (np.where(valid, strongest[j], -2) == np.arange(n))
-            lower = mutual & (np.arange(n) < j)
-            if lower.any():
-                i_lo = np.nonzero(lower)[0]
-                agg[i_lo] = i_lo
-                agg[j[i_lo]] = i_lo
-                progress = True
-        else:
-            # later rounds: greedy maximal matching among the remainder
-            # (the reference's deterministic sequential handling)
-            for i in unagg:
-                if agg[i] >= 0:
-                    continue
-                s, e = W.indptr[i], W.indptr[i + 1]
-                nb = W.indices[s:e]
-                wt = W.data[s:e]
-                sel = agg[nb] < 0
-                if sel.any():
-                    nbs, wts = nb[sel], wt[sel]
-                    j = _pick(i, nbs, wts)
-                    root = min(i, j)
-                    agg[i] = root
-                    agg[j] = root
-                    progress = True
-        if not progress:
+        strongest = _strongest_vectorized(is_unagg)
+        strongest[~is_unagg] = -1
+        j = strongest
+        valid = j >= 0
+        mutual = valid & (np.where(valid, strongest[j], -2) == np.arange(n))
+        lower = mutual & (np.arange(n) < j)
+        if not lower.any():
             break
+        i_lo = np.nonzero(lower)[0]
+        agg[i_lo] = i_lo
+        agg[j[i_lo]] = i_lo
 
     # leftover merge into strongest aggregated neighbor (snapshot prevents
-    # aggregate-chaining cascades)
+    # aggregate-chaining cascades).  Vectorized: scatter-max of weights,
+    # then scatter-min of (distance, col)-packed keys among the max-weight
+    # candidates — same two-pass shape as _strongest_vectorized.
     snapshot = agg.copy()
-    for i in np.nonzero(agg < 0)[0]:
-        s, e = W.indptr[i], W.indptr[i + 1]
-        nb = W.indices[s:e]
-        wt = W.data[s:e]
-        best = -1
-        bw = -np.inf
-        for j, w in zip(nb, wt):
-            if snapshot[j] < 0:
-                continue
-            if w > bw or (w == bw and abs(j - i) < abs(best - i)):
-                best, bw = j, w
-        agg[i] = snapshot[best] if best >= 0 else i
+    left = agg < 0
+    if left.any():
+        ok = left[all_rows] & (snapshot[W.indices] >= 0)
+        rows, cols, wts = all_rows[ok], W.indices[ok], W.data[ok]
+        if len(rows):
+            wmax = np.full(n, -np.inf, wts.dtype)
+            np.maximum.at(wmax, rows, wts)
+            keep = wts >= wmax[rows]
+            rows, cols = rows[keep], cols[keep]
+            d = np.abs(cols - rows).astype(np.int64)
+            score = (d << 33) | cols.astype(np.int64)
+            best = np.full(n, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, rows, score)
+            got = (best != np.iinfo(np.int64).max) & left
+            bcol = best[got] & ((1 << 33) - 1)
+            agg[got] = snapshot[bcol]
+        # isolated leftovers (no aggregated neighbor) become singletons
+        agg[agg < 0] = np.nonzero(agg < 0)[0]
     uniq, renum = np.unique(agg, return_inverse=True)
     return renum
 

@@ -50,11 +50,11 @@ def _sdiv(num, den):
     return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 
 
-def _bicgstab_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
-                     x_s, r_s, rr_s, v_s, t_s, p_s, s_s, sems, *, qs,
+def _bicgstab_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
+                     stats, x_s, r_s, rr_s, v_s, t_s, p_s, s_s, sems, *, qs,
                      pad_lo, pad_hi, R, use_minv, use_implicit):
     tol_sq = scal[0]
-    max_iters = scal[1].astype(jnp.int32)
+    max_iters = iscal[0]  # int32 SMEM: exact above 2^24, unlike an f32 ride
     Rp = R + pad_lo + pad_hi
     C = _chunk_rows(R)
     n_chunks = R // C
@@ -203,12 +203,11 @@ def bicgstab_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *,
         _bicgstab_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
         use_minv=use_minv, use_implicit=use_implicit,
     )
-    scal = jnp.stack([
-        jnp.asarray(tol_sq_eff, jnp.float32).reshape(()),
-        jnp.asarray(max_iters, jnp.float32).reshape(()),
-    ])
-    args = [scal, diags, r0_2, x0_2]
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, diags, r0_2, x0_2]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),

@@ -85,13 +85,14 @@ def _spmv_chunk(diags, p_s, c0, C, *, qs, pad_lo):
     return acc
 
 
-def _cg_kernel(scal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
+def _cg_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
                x_s, r_s, q_s, p_s, sems, *, qs, pad_lo, pad_hi, R,
                use_minv, use_implicit, store_q):
-    """scal: SMEM (2,) [tol_sq_eff, max_iters(as f32)].  stats out: SMEM (3,)
-    [iterations, monitored_sq, converged]."""
+    """scal: SMEM (1,) [tol_sq_eff]; iscal: SMEM int32 (1,) [max_iters]
+    (kept integral end-to-end so caps above 2^24 are exact).  stats out:
+    SMEM (3,) [iterations, monitored_sq, converged]."""
     tol_sq = scal[0]
-    max_iters = scal[1].astype(jnp.int32)
+    max_iters = iscal[0]
     Rp = R + pad_lo + pad_hi
     C = _chunk_rows(R)
     n_chunks = R // C
@@ -249,12 +250,11 @@ def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
         _cg_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
         use_minv=use_minv, use_implicit=use_implicit, store_q=store_q,
     )
-    scal = jnp.stack([
-        jnp.asarray(tol_sq_eff, jnp.float32).reshape(()),
-        jnp.asarray(max_iters, jnp.float32).reshape(()),
-    ])
-    args = [scal, diags, r0_2, x0_2]
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, diags, r0_2, x0_2]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # r0 stays in HBM; DMA'd in

@@ -41,26 +41,34 @@ class SpgemmPlan:
         self.c_indptr = c.indptr.copy()
         self.c_indices = c.indices.copy()
         self.c_shape = (a.shape[0], b.shape[1])
-        # expansion: for each A entry (i,k) cross B row k
-        a_rows = np.repeat(np.arange(a.shape[0]), np.diff(a.indptr))
-        prod_a, prod_b, prod_out = [], [], []
-        # map (row, col) -> slot in C
-        col_to_slot = {}
-        for i in range(c.shape[0]):
-            for s in range(c.indptr[i], c.indptr[i + 1]):
-                col_to_slot[(i, c.indices[s])] = s
-        for t in range(a.nnz):
-            i = a_rows[t]
-            k = a.indices[t]
-            for s in range(b.indptr[k], b.indptr[k + 1]):
-                j = b.indices[s]
-                prod_a.append(t)
-                prod_b.append(s)
-                prod_out.append(col_to_slot[(i, j)])
-        order = np.argsort(np.asarray(prod_out, np.int64), kind="stable")
-        self.prod_a = jnp.asarray(np.asarray(prod_a, np.int32)[order])
-        self.prod_b = jnp.asarray(np.asarray(prod_b, np.int32)[order])
-        self.prod_out = jnp.asarray(np.asarray(prod_out, np.int32)[order])
+        # expansion: for each A entry t=(i,k) cross B row k — fully
+        # vectorized (one np.repeat/cumsum chain instead of a per-product
+        # Python loop; the reference sizes this with device hash tables,
+        # cuda/matrix/csr_kernels.cu spgemm)
+        a_rows = np.repeat(
+            np.arange(a.shape[0], dtype=np.int64), np.diff(a.indptr)
+        )
+        bL = np.diff(b.indptr).astype(np.int64)
+        rep = bL[a.indices]  # products contributed by each A entry
+        total = int(rep.sum())
+        prod_a = np.repeat(np.arange(a.nnz, dtype=np.int64), rep)
+        # position within each A-entry's product group
+        grp_off = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        within = np.arange(total, dtype=np.int64) - grp_off[prod_a]
+        prod_b = b.indptr[a.indices][prod_a] + within
+        # slot of (i, j) in C via one sorted-key searchsorted
+        i_of = a_rows[prod_a]
+        j_of = b.indices[prod_b].astype(np.int64)
+        ncols = np.int64(b.shape[1])
+        c_rows = np.repeat(
+            np.arange(c.shape[0], dtype=np.int64), np.diff(c.indptr)
+        )
+        ckey = c_rows * (ncols + 1) + c.indices.astype(np.int64)
+        prod_out = np.searchsorted(ckey, i_of * (ncols + 1) + j_of)
+        order = np.argsort(prod_out, kind="stable")
+        self.prod_a = jnp.asarray(prod_a[order], jnp.int32)
+        self.prod_b = jnp.asarray(prod_b[order], jnp.int32)
+        self.prod_out = jnp.asarray(prod_out[order], jnp.int32)
         self.nnz_c = c.nnz
         # permutation from scipy CSR entry order to our canonical order
         # (both row-major sorted; identical)
@@ -124,14 +132,14 @@ class SpgeamPlan:
 
 
 def _slots_of(m, u):
-    """For each entry of csr m, its slot index in union-pattern csr u."""
-    slots = np.empty(m.nnz, np.int64)
-    for i in range(m.shape[0]):
-        us, ue = u.indptr[i], u.indptr[i + 1]
-        ucols = u.indices[us:ue]
-        ms, me = m.indptr[i], m.indptr[i + 1]
-        slots[ms:me] = us + np.searchsorted(ucols, m.indices[ms:me])
-    return slots
+    """For each entry of csr m, its slot index in union-pattern csr u
+    (vectorized: one searchsorted over row-major sorted global keys)."""
+    ncols = np.int64(u.shape[1])
+    u_rows = np.repeat(np.arange(u.shape[0], dtype=np.int64), np.diff(u.indptr))
+    ukey = u_rows * (ncols + 1) + u.indices.astype(np.int64)
+    m_rows = np.repeat(np.arange(m.shape[0], dtype=np.int64), np.diff(m.indptr))
+    mkey = m_rows * (ncols + 1) + m.indices.astype(np.int64)
+    return np.searchsorted(ukey, mkey)
 
 
 def spgeam(alpha, A_csr, beta, B_csr):

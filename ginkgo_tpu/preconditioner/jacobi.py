@@ -33,26 +33,54 @@ from ..base.types import precision_reduction
 def find_natural_blocks(csr, max_block_size: int) -> np.ndarray:
     """Supervariable agglomeration (jacobi find_blocks kernel analog):
     group consecutive rows with matching sparsity pattern, then agglomerate
-    adjacent groups up to max_block_size.  Returns block_pointers (nb+1,)."""
-    rp = np.asarray(csr.row_ptrs)
+    adjacent groups up to max_block_size.  Returns block_pointers (nb+1,).
+
+    Vectorized setup (no per-row Python): pattern equality of adjacent rows
+    is one shifted compare over the flat col_idxs + a segment reduction;
+    the greedy agglomeration jumps natural-block bounds with searchsorted
+    (one step per OUTPUT block, not per row)."""
+    rp = np.asarray(csr.row_ptrs).astype(np.int64)
     ci = np.asarray(csr.col_idxs)
     n = csr.shape[0]
-    # natural blocks: consecutive rows with identical column pattern
-    starts = [0]
-    for r in range(1, n):
-        a = ci[rp[r - 1] : rp[r]]
-        b = ci[rp[r] : rp[r + 1]]
-        same = len(a) == len(b) and np.array_equal(a, b)
-        if not same or r - starts[-1] >= max_block_size:
-            starts.append(r)
-    # agglomerate adjacent natural blocks greedily while total <= max_block_size
-    bounds = starts + [n]
+    if n <= 1:
+        return np.asarray([0, n], dtype=np.int64)
+    L = np.diff(rp)  # row lengths
+    # adjacent-row pattern equality: element j of row r sits at rp[r]+j,
+    # of row r-1 at rp[r]+j-L[r-1]; valid only when L[r-1] == L[r]
+    same_len = np.concatenate([[False], L[1:] == L[:-1]])
+    nnz = len(ci)
+    if nnz:
+        rows_of = np.repeat(np.arange(n, dtype=np.int64), L)
+        prev_len = np.concatenate([[0], L[:-1]])[rows_of]
+        g = np.arange(nnz, dtype=np.int64)
+        src = g - prev_len
+        valid = (rows_of > 0) & (src >= 0)
+        eq = np.zeros(nnz, dtype=np.int64)
+        eq[valid] = (ci[g[valid]] == ci[src[valid]]).astype(np.int64)
+        eq_per_row = np.zeros(n, dtype=np.int64)
+        np.add.at(eq_per_row, rows_of, eq)
+        all_eq = eq_per_row == L
+    else:
+        all_eq = np.ones(n, dtype=bool)
+    same = same_len & all_eq  # same[r]: row r matches row r-1
+    # natural starts: r == 0, pattern break, or max_block_size rows into a run
+    brk = ~same
+    brk[0] = True
+    run_id = np.cumsum(brk) - 1
+    idx = np.arange(n, dtype=np.int64)
+    run_start = idx[brk][run_id]
+    nat_start_mask = brk | ((idx - run_start) % max_block_size == 0)
+    bounds = np.concatenate([idx[nat_start_mask], [n]])
+    # greedy agglomeration: from a, jump to the largest bound <= a + mbs
     agg = [0]
-    for j in range(1, len(bounds)):
-        b0, b1 = bounds[j - 1], bounds[j]
-        if b1 - agg[-1] > max_block_size:
-            agg.append(b0)
-    agg.append(n)
+    a = 0
+    while a < n:
+        j = np.searchsorted(bounds, a + max_block_size, side="right") - 1
+        b = bounds[j]
+        if b <= a:  # single natural block longer than mbs cannot happen
+            b = bounds[min(j + 1, len(bounds) - 1)]  # (guard) advance anyway
+        agg.append(int(b))
+        a = int(b)
     return np.asarray(agg, dtype=np.int64)
 
 

@@ -58,10 +58,14 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         tol_sq = tol_sq_eff(ctx, b, r0)
         if ctx["minv_flat"] is not None:
             minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
-            # A@M: scale diagonal d by minv at column index i + off_d
+            # A@M: scale diagonal d by minv at column index i + off_d.
+            # Cast back to A.diags.dtype: the fits-check budgeted
+            # A.diags.dtype.itemsize per entry, and bf16 reduce_storage
+            # keeps its bandwidth benefit only if the product stays bf16.
             mflat = minv2
             diags = jnp.stack([
-                A.diags[j].astype(jnp.float32) * A._flat_shift(mflat, off)
+                (A.diags[j].astype(jnp.float32) * A._flat_shift(mflat, off))
+                .astype(A.diags.dtype)
                 for j, off in enumerate(A.offsets)
             ])
         else:

@@ -137,18 +137,38 @@ class SolverFactory:
         return self
 
     def generate(self, A):
+        from ..log.logger import Event, global_log
+
+        global_log(
+            Event.linop_factory_generate_started,
+            factory=self.solver_cls.__name__,
+        )
         crit = combine(self.criteria) if self.criteria is not None else (
             default_criteria()
         )
         if self.preconditioner is None:
             M = Identity.create(A.shape[0], A.dtype)
         elif hasattr(self.preconditioner, "generate"):
+            global_log(
+                Event.linop_factory_generate_started,
+                factory=type(self.preconditioner).__name__,
+            )
             M = self.preconditioner.generate(A)
+            global_log(
+                Event.linop_factory_generate_completed,
+                factory=type(self.preconditioner).__name__,
+            )
         else:
             M = self.preconditioner  # already a LinOp
-        return self.solver_cls.create(
+        solver = self.solver_cls.create(
             A=A, preconditioner=M, criterion=crit, **self.params
         )
+        global_log(
+            Event.linop_factory_generate_completed,
+            factory=self.solver_cls.__name__,
+            solver=solver,
+        )
+        return solver
 
 
 def _env_trace_key():
@@ -164,6 +184,7 @@ def _env_trace_key():
         os.environ.get("GINKGO_TPU_NO_FUSED_CG", ""),
         os.environ.get("GINKGO_TPU_FORCE_VMEM_CG", ""),
         os.environ.get("GINKGO_TPU_CG_CHUNK", ""),
+        os.environ.get("GINKGO_TPU_VMEM_MB", ""),
         jax.default_backend(),
     )
 
@@ -217,15 +238,23 @@ class IterativeSolverMixin:
         x, _ = self.solve(b, x0)
         return x
 
-    def solve(self, b, x0=None):
+    def solve(self, b, x0=None, loggers=()):
         """Returns (x, SolveInfo).
 
         Runs under jit: the solver is a pytree, so the whole solve — setup,
         the fused while_loop, and the criterion — compiles to ONE XLA
         computation.  Eager execution would dispatch every setup op
         separately (ruinous through a remote-device tunnel); inside an
-        enclosing jit trace this wrapper is a no-op cache hit."""
+        enclosing jit trace this wrapper is a no-op cache hit.
+
+        Logging (logger.hpp:336-481): linop_apply events bracket the solve;
+        iteration_complete is REPLAYED post-hoc from SolveInfo (per
+        recorded history row when the solver tracks history, else once with
+        the final state) — in-graph while_loop iterations cannot signal the
+        host, so this is the TPU answer to the reference's per-iteration
+        hook.  Events go to `loggers` plus the global registry."""
         from ..base.exceptions import assert_conformant
+        from ..log.logger import Event, fanout, global_loggers
 
         barr, was_1d = as_2d(b)
         assert_conformant(self.A, barr)  # lin_op.hpp:158 validation analog
@@ -233,6 +262,9 @@ class IterativeSolverMixin:
             xarr = jnp.zeros_like(barr)
         else:
             xarr, _ = as_2d(x0)
+        emit = bool(loggers) or bool(global_loggers())
+        if emit:
+            fanout(loggers, Event.linop_apply_started, solver=self)
         if _jittable(self):
             x, info = _jitted_solve(self, barr, xarr, _env_trace_key())
         else:
@@ -240,7 +272,30 @@ class IterativeSolverMixin:
             # pytree of arrays: run unjitted — still one XLA computation
             # for the while_loop, just eager setup ops
             x, info = self._solve_impl(barr, xarr)
+        if emit:
+            self._replay_iterations(loggers, info)
+            fanout(loggers, Event.linop_apply_completed, solver=self)
         return restore_1d(x, was_1d), info
+
+    def _replay_iterations(self, loggers, info):
+        from ..log.logger import Event, fanout
+
+        import numpy as _np
+
+        if info.history is not None:
+            hist = _np.asarray(info.history)
+            n_it = int(info.iterations)
+            for i in range(min(n_it, hist.shape[0])):
+                fanout(
+                    loggers, Event.iteration_complete, solver=self,
+                    iteration=i + 1, residual_norm=hist[i],
+                )
+        fanout(
+            loggers, Event.iteration_complete, solver=self,
+            iteration=int(info.iterations),
+            residual_norm=info.residual_norm,
+            converged=bool(jnp.all(info.converged)),
+        )
 
     def solve_chunked(self, b, x0=None, chunk: int = 50, loggers=()):
         """Host-orchestrated driver honoring Time criteria and streaming
@@ -251,7 +306,7 @@ class IterativeSolverMixin:
         residual baselines do NOT: `initial_resnorm`-based criteria are
         frozen against the ORIGINAL initial residual before chunking, so
         each chunk is not re-baselined to its own start."""
-        from ..log.logger import Event
+        from ..log.logger import Event, fanout
         from ..stop.criterion import freeze_initial_baseline
 
         limit = extract_time_limit(self.criterion)
@@ -288,15 +343,26 @@ class IterativeSolverMixin:
             else:
                 x, info = chunk_solver._solve_impl(barr, x)
             done_iters += int(info.iterations)
-            for lg in loggers:
-                lg.on(
-                    Event.iteration_complete,
-                    solver=self,
-                    iteration=done_iters,
-                    residual_norm=info.residual_norm,
-                    converged=bool(jnp.all(info.converged)),
-                )
-            if bool(jnp.all(info.converged)):
+            fanout(
+                loggers,
+                Event.iteration_complete,
+                solver=self,
+                iteration=done_iters,
+                residual_norm=info.residual_norm,
+                converged=bool(jnp.all(info.converged)),
+            )
+            # chunk-boundary host check = the reference's criterion check
+            # (criterion events, logger.hpp:436-460)
+            fanout(
+                loggers, Event.criterion_check_started, solver=self,
+                iteration=done_iters,
+            )
+            conv_now = bool(jnp.all(info.converged))
+            fanout(
+                loggers, Event.criterion_check_completed, solver=self,
+                iteration=done_iters, converged=conv_now,
+            )
+            if conv_now:
                 break
             if limit is not None and _time.perf_counter() - start > limit:
                 break

@@ -104,8 +104,9 @@ void sort_row_major(std::vector<Entry>& es)
     });
 }
 
-void fill_result(GkoParseResult* res, int64_t nrows, int64_t ncols,
-                 std::vector<Entry>& es, bool is_cpx)
+// Returns 0 on success, 1 on allocation failure (error already set).
+int fill_result(GkoParseResult* res, int64_t nrows, int64_t ncols,
+                std::vector<Entry>& es, bool is_cpx)
 {
     sort_row_major(es);
     const int64_t nnz = static_cast<int64_t>(es.size());
@@ -117,6 +118,18 @@ void fill_result(GkoParseResult* res, int64_t nrows, int64_t ncols,
     res->cols = static_cast<int64_t*>(malloc(sizeof(int64_t) * nnz));
     res->values =
         static_cast<double*>(malloc(sizeof(double) * nnz * (is_cpx ? 2 : 1)));
+    if (nnz > 0 && (!res->rows || !res->cols || !res->values)) {
+        snprintf(res->error, 256, "allocation failed for %lld entries",
+                 static_cast<long long>(nnz));
+        free(res->rows);
+        free(res->cols);
+        free(res->values);
+        res->rows = nullptr;
+        res->cols = nullptr;
+        res->values = nullptr;
+        res->nnz = 0;
+        return 1;
+    }
     for (int64_t i = 0; i < nnz; ++i) {
         res->rows[i] = es[i].r;
         res->cols[i] = es[i].c;
@@ -127,11 +140,14 @@ void fill_result(GkoParseResult* res, int64_t nrows, int64_t ncols,
             res->values[i] = es[i].re;
         }
     }
+    return 0;
 }
 
 } // namespace
 
 extern "C" {
+
+void gko_free_result(GkoParseResult* res);
 
 // Parse a MatrixMarket file.  Returns 0 on success.
 int gko_read_mtx(const char* path, GkoParseResult* res)
@@ -202,6 +218,19 @@ int gko_read_mtx(const char* path, GkoParseResult* res)
             p = parse_i64(p, end, &e.r);
             p = parse_i64(p, end, &e.c);
             --e.r; --e.c;
+            // MatrixMarket is 1-based: a 0 (or out-of-range) index would
+            // wrap through numpy fancy indexing downstream — reject here.
+            if (e.r < 0 || e.r >= nrows || e.c < 0 || e.c >= ncols) {
+                snprintf(res->error, 256,
+                         "entry %lld: coordinate (%lld, %lld) outside "
+                         "1-based [1, %lld] x [1, %lld]",
+                         static_cast<long long>(i),
+                         static_cast<long long>(e.r + 1),
+                         static_cast<long long>(e.c + 1),
+                         static_cast<long long>(nrows),
+                         static_cast<long long>(ncols));
+                return 1;
+            }
             if (field == Field::real || field == Field::integer) {
                 p = parse_f64(p, end, &e.re);
             } else if (field == Field::cpx) {
@@ -217,7 +246,7 @@ int gko_read_mtx(const char* path, GkoParseResult* res)
                 es.push_back(t);
             }
         }
-        fill_result(res, nrows, ncols, es, is_cpx);
+        if (fill_result(res, nrows, ncols, es, is_cpx)) return 1;
     } else if (!strcmp(layout, "array")) {
         int64_t nrows = 0, ncols = 0;
         p = parse_i64(p, end, &nrows);
@@ -256,7 +285,7 @@ int gko_read_mtx(const char* path, GkoParseResult* res)
                     }
                 }
         }
-        fill_result(res, nrows, ncols, es, is_cpx);
+        if (fill_result(res, nrows, ncols, es, is_cpx)) return 1;
     } else {
         snprintf(res->error, 256, "unknown layout %s", layout);
         return 1;
@@ -309,9 +338,34 @@ int gko_read_binary(const char* path, GkoParseResult* res)
     res->is_complex = (flags & 1) ? 1 : 0;
     const int64_t nnz = res->nnz;
     const int64_t nv = nnz * (res->is_complex ? 2 : 1);
+    // Validate the untrusted header before allocating: negative or
+    // implausible nnz (body larger than the remaining file) must error,
+    // not crash through a null/short malloc.
+    long body_start = ftell(f);
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, body_start, SEEK_SET);
+    const int64_t body_bytes_avail = (int64_t)fsize - (int64_t)body_start;
+    if (nnz < 0 || hdr[0] < 0 || hdr[1] < 0 ||
+        nnz > body_bytes_avail / 8 / (res->is_complex ? 4 : 3) + 1) {
+        snprintf(res->error, 256,
+                 "GTB1 header claims %lld entries but only %lld body bytes "
+                 "follow", (long long)nnz, (long long)body_bytes_avail);
+        fclose(f);
+        res->nnz = 0;
+        return 1;
+    }
     res->rows = static_cast<int64_t*>(malloc(8 * nnz));
     res->cols = static_cast<int64_t*>(malloc(8 * nnz));
     res->values = static_cast<double*>(malloc(8 * nv));
+    if (nnz > 0 && (!res->rows || !res->cols || !res->values)) {
+        snprintf(res->error, 256, "allocation failed for %lld entries",
+                 (long long)nnz);
+        fclose(f);
+        gko_free_result(res);
+        res->nnz = 0;
+        return 1;
+    }
     int ok = nnz == 0 || (fread(res->rows, 8, nnz, f) == (size_t)nnz &&
                           fread(res->cols, 8, nnz, f) == (size_t)nnz &&
                           fread(res->values, 8, nv, f) == (size_t)nv);

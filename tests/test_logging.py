@@ -95,3 +95,82 @@ def test_performance_hint_detects_churn():
     for _ in range(5):
         ph.on(Event.copy_started)
     assert "cop" in buf.getvalue().lower() or buf.getvalue()  # advice emitted
+
+
+def test_default_solve_path_emits_events():
+    """VERDICT r1 #4: factory generate + apply + iteration events must fire
+    on the DEFAULT solve() path (no solve_chunked needed)."""
+    from ginkgo_tpu.log.logger import (
+        add_global_logger, remove_global_logger,
+    )
+
+    rec = Record()
+    add_global_logger(rec)
+    try:
+        data = gko.generators.poisson_1d(40, dtype=np.float64)
+        A = gko.Csr.from_matrix_data(data)
+        b = jnp.ones((40, 1))
+        solver = gko.Cg.build(
+            criteria=[stop.Iteration(max_iters=200),
+                      stop.ResidualNorm(tolerance=1e-10)]
+        ).generate(A)
+        x, info = solver.solve(b)
+    finally:
+        remove_global_logger(rec)
+    events = [e for (e, d) in rec.history]
+    assert Event.linop_factory_generate_started in events
+    assert Event.linop_factory_generate_completed in events
+    assert Event.linop_apply_started in events
+    assert Event.linop_apply_completed in events
+    assert Event.iteration_complete in events
+    its = rec.filtered(Event.iteration_complete)
+    assert its[-1]["iteration"] == int(info.iterations)
+    # preconditioner factories log generate events too
+    rec2 = Record()
+    add_global_logger(rec2)
+    try:
+        from ginkgo_tpu.preconditioner import Jacobi
+
+        gko.Cg.build(
+            criteria=[stop.Iteration(max_iters=5)],
+            preconditioner=Jacobi.build(max_block_size=1),
+        ).generate(A)
+    finally:
+        remove_global_logger(rec2)
+    gens = [d.get("factory") for (e, d) in rec2.history
+            if e == Event.linop_factory_generate_started]
+    assert "JacobiFactory" in gens and "Cg" in gens
+
+
+def test_convergence_on_default_path():
+    from ginkgo_tpu.log.logger import add_global_logger, remove_global_logger
+
+    conv = Convergence()
+    add_global_logger(conv)
+    try:
+        data = gko.generators.poisson_1d(40, dtype=np.float64)
+        A = gko.Csr.from_matrix_data(data)
+        b = jnp.ones((40, 1))
+        solver = gko.Cg.build(
+            criteria=[stop.Iteration(max_iters=200),
+                      stop.ResidualNorm(tolerance=1e-10)]
+        ).generate(A)
+        x, info = solver.solve(b)
+    finally:
+        remove_global_logger(conv)
+    assert conv.has_converged
+    assert conv.num_iterations == int(info.iterations)
+
+
+def test_logged_linop_wrapper():
+    from ginkgo_tpu.log.logger import LoggedLinOp
+
+    data = gko.generators.poisson_1d(16, dtype=np.float64)
+    A = gko.Csr.from_matrix_data(data)
+    rec = Record()
+    op = LoggedLinOp(A, loggers=[rec])
+    y = op.apply(jnp.ones((16,)))
+    assert np.allclose(np.asarray(y), np.asarray(A.apply(jnp.ones((16,)))))
+    events = [e for (e, d) in rec.history]
+    assert events == [Event.linop_apply_started, Event.linop_apply_completed]
+    assert op.shape == A.shape  # delegation
