@@ -49,7 +49,9 @@ class DistCsr(LinOp):
     halo_src: jnp.ndarray  # (P, H)
     row_valid: jnp.ndarray  # (P, L) 1.0 for true rows, 0.0 for padding
     shape: tuple = static_field(default=(0, 0))
-    local_size: int = static_field(default=0)  # L
+    local_size: int = static_field(default=0)  # L (row block)
+    col_local_size: int = static_field(default=0)  # Lc (column block; == L
+    #  when the operator is square with a shared partition)
     num_parts: int = static_field(default=1)
     axis_name: Any = static_field(default=None)
     #: "all_gather": halo = all_gather over the mesh axis (O(P*L) ICI
@@ -66,17 +68,33 @@ class DistCsr(LinOp):
 
     @staticmethod
     def from_matrix_data(
-        data: MatrixData, partition: Partition, axis_name="rows", halo="auto"
+        data: MatrixData, partition: Partition, col_partition=None,
+        axis_name="rows", halo="auto",
     ) -> "DistCsr":
+        """Assemble from COO data + a row partition and an optional
+        SEPARATE column partition (matrix.cpp:142-225 read_distributed's
+        row_part/col_part pair).  With col_partition the operator may be
+        rectangular and the input-vector distribution differs from the
+        output's; without it the operator must be square and columns
+        follow the row partition."""
         d = data.sum_duplicates()
         n, m = d.shape
-        assert n == m, "distributed matrix requires square operator (row part)"
+        if col_partition is None:
+            assert n == m, (
+                "square operator required when columns reuse the row "
+                "partition; pass col_partition for rectangular operators"
+            )
+            col_partition = partition
+        assert partition.num_parts == col_partition.num_parts, (
+            "row/col partitions must agree on the mesh extent"
+        )
         P = partition.num_parts
         L = partition.padded_local_size
+        Lc = col_partition.padded_local_size
         part_r = partition.part_of_row[d.rows]
-        part_c = partition.part_of_row[d.cols]
+        part_c = col_partition.part_of_row[d.cols]
         loc_r = partition.local_of_row[d.rows]
-        loc_c = partition.local_of_row[d.cols]
+        loc_c = col_partition.local_of_row[d.cols]
 
         l_rp = np.zeros((P, L + 1), np.int32)
         nl_rp = np.zeros((P, L + 1), np.int32)
@@ -93,7 +111,7 @@ class DistCsr(LinOp):
             l_entries.append((lr, lc, lv))
             # non-local block: compress needed remote cols
             nr = loc_r[is_nl]
-            ncol_global_padded = part_c[is_nl] * L + loc_c[is_nl]
+            ncol_global_padded = part_c[is_nl] * Lc + loc_c[is_nl]
             nv = d.values[is_nl]
             uniq, inv = np.unique(ncol_global_padded, return_inverse=True)
             order = np.lexsort((inv, nr))
@@ -129,7 +147,7 @@ class DistCsr(LinOp):
         halo_mode = "all_gather"
         if halo in ("auto", "neighbor") and P > 1:
             neighbor_ok = all(
-                np.all(np.isin(halos[p] // L, [p - 1, p + 1]))
+                np.all(np.isin(halos[p] // Lc, [p - 1, p + 1]))
                 for p in range(P)
                 if len(halos[p])
             )
@@ -138,7 +156,7 @@ class DistCsr(LinOp):
                 for p in range(P):
                     h = halos[p]
                     if len(h):
-                        rel = (h // L - p + 1) * L + (h % L)
+                        rel = (h // Lc - p + 1) * Lc + (h % Lc)
                         halo_src[p, : len(h)] = rel
             elif halo == "neighbor":
                 raise ValueError(
@@ -156,6 +174,7 @@ class DistCsr(LinOp):
             row_valid=jnp.asarray(row_valid),
             shape=(n, m),
             local_size=L,
+            col_local_size=Lc,
             num_parts=P,
             axis_name=axis_name,
             halo_mode=halo_mode,
@@ -167,7 +186,9 @@ class DistCsr(LinOp):
         return a[0]
 
     def apply(self, x_local):
-        """Distributed SpMV for the local shard.  x_local: (L, k) or (L,).
+        """Distributed SpMV for the local shard.  x_local: (Lc, k) or
+        (Lc,) — distributed by the COLUMN partition; the result follows
+        the row partition.
 
         all_gather(x) over the mesh axis = the halo exchange; the local SpMV
         is independent of the collective so XLA overlaps them
@@ -209,6 +230,18 @@ class DistCsr(LinOp):
         )
         y = y * self._sq(self.row_valid)[:, None]
         return restore_1d(y, was_1d)
+
+    def apply_advanced(self, alpha, b, beta, x):
+        """Shard-level y = alpha*A@b + beta*x (matrix.cpp advanced apply);
+        b follows the column partition, x/y the row partition."""
+        arr, was_1d = as_2d(b)
+        xa, _ = as_2d(x)
+        y = self.apply(arr)
+        a = jnp.asarray(alpha).reshape(())
+        bb = jnp.asarray(beta).reshape(())
+        out = a * y + bb * xa
+        out = out * self._sq(self.row_valid)[:, None]
+        return restore_1d(out, was_1d)
 
     def extract_diagonal_local(self):
         """(L,) diagonal of the local block (for scalar-Jacobi inside a

@@ -27,9 +27,9 @@ from ..ops import spmv as spmv_ops
 
 @linop_dataclass
 class Pell(LinOp):
-    values: jnp.ndarray  # (slots, 8, 128) zero-padded panel cells
-    qidx: jnp.ndarray  # (slots, 8, 128) int32 lane index into the panel
-    panels: jnp.ndarray  # (slots, 8) int32 x-panel id per sublane
+    values: jnp.ndarray  # (slots, 8, 128) zero-padded window cells
+    qidx: jnp.ndarray  # (slots, 8, 128) int32 packed col-within-window
+    bases: jnp.ndarray  # (slots,) int32 padded-panel base per slot
     tile_of_step: jnp.ndarray  # (n_steps,) int32 output tile per grid step
     shape: tuple = static_field(default=(0, 0))
     n_steps: int = static_field(default=0)
@@ -55,7 +55,7 @@ class Pell(LinOp):
         return Pell(
             values=plan.values,
             qidx=plan.qidx,
-            panels=plan.panels,
+            bases=plan.bases,
             tile_of_step=plan.tile_of_step,
             shape=tuple(plan.shape),
             n_steps=plan.n_steps,
@@ -97,9 +97,22 @@ class Pell(LinOp):
         return pell_spmv(self, x, interpret=interpret)
 
     def apply(self, b):
+        import os
+        from ..ops.spmv_pallas import pell_spmm, _MAX_PREFETCH_INTS
+
         arr, was_1d = as_2d(b)
-        cols = [self._spmv_one(arr[:, k]) for k in range(arr.shape[1])]
-        out = jnp.stack(cols, axis=1)
+        k = arr.shape[1]
+        interpret = jax.default_backend() != "tpu" or bool(
+            os.environ.get("GINKGO_TPU_NO_PALLAS")
+        )
+        step_cap = max(_MAX_PREFETCH_INTS // (self.G + 1), 1)
+        if k > 1 and self.n_steps <= step_cap:
+            # multi-RHS kernel: the matrix streams once for all k columns
+            out = pell_spmm(self, arr, interpret=interpret)
+        else:
+            out = jnp.stack(
+                [self._spmv_one(arr[:, j]) for j in range(k)], axis=1
+            )
         return restore_1d(out, was_1d)
 
     def apply_advanced(self, alpha, b, beta, x):
@@ -138,9 +151,11 @@ class Pell(LinOp):
         Structural zeros stored in the source pattern are dropped (their
         plan cells are indistinguishable from padding) — acceptable for a
         streaming format whose apply treats them identically."""
+        from ..ops.spmv_pallas import PAD_PANELS
+
         vals = np.asarray(self.values)
         q = np.asarray(self.qidx)
-        panels = np.asarray(self.panels)
+        bases = np.asarray(self.bases)
         tiles = np.asarray(self.tile_of_step)
         slots_per_tile = np.bincount(tiles, minlength=tiles.max() + 1 if
                                      len(tiles) else 1) * self.G
@@ -148,7 +163,10 @@ class Pell(LinOp):
         occ = vals != 0
         sl, s, lane = np.nonzero(occ)
         rows = slot_tile[sl] * 1024 + s * 128 + lane
-        cols = panels[sl, s].astype(np.int64) * 128 + q[sl, s, lane]
+        cols = (
+            (bases[sl].astype(np.int64) - PAD_PANELS + s) * 128
+            + q[sl, s, lane]
+        )
         order = np.lexsort((cols, rows))
         return MatrixData(
             self.shape, rows[order], cols[order], vals[sl, s, lane][order]

@@ -4,36 +4,46 @@ Reference role: the load-balanced / merge-path CSR CUDA kernels
 (cuda/matrix/csr_kernels.cu:121-310) — "make arbitrary sparsity fast".
 Those designs are gather/atomic machines and do not map to the TPU; this
 is a from-scratch redesign around the one in-register gather the hardware
-DOES have: `tpu.dynamic_gather` (jnp.take_along_axis along lanes), where
-each of 8 sublanes gathers arbitrary lanes from its OWN 128-lane source
-row.
+DOES have: `tpu.dynamic_gather` (jnp.take_along_axis on matching 2-D
+tiles along lanes).
 
 PELL ("panel-gathered ELL") layout
-----------------------------------
-x is VMEM-resident as (NP, 128) panels (128 consecutive entries each).
-Output rows are tiled 1024 at a time as an (8, 128) accumulator tile
-(sublane s covers rows [1024 t + 128 s, ... + 128)).  A *slot* is one
-(8, 128) values tile + (8, 128) lane-index tile + 8 panel ids: sublane s
-of a slot holds up to 128 nonzeros, ONE per output row of its 128-row
-group, all addressing the SAME x panel p[slot, s].  The kernel builds the
-gather source by stacking the 8 panels (8 cheap dynamic slices of the
-resident x), performs one dynamic_gather, multiplies by the values tile,
-and adds straight into the output tile — no scatter anywhere.
+---------------------------------
+x is VMEM-resident as 128-entry panels (padded by 7 zero panels on both
+sides).  Output rows are tiled 1024 at a time as an (8, 128) accumulator
+tile (sublane s covers rows [1024 t + 128 s, ..., + 128)).  A *slot* is
+one (8, 128) values tile + one (8, 128) lane-index tile + one panel BASE
+b: cell (s, l) of the slot holds at most one nonzero of output row
+1024 t + 128 s + l whose column lies in panel b + s, at lane q[s, l].
 
-A row with m nonzeros in panel p occupies m slots of its (tile, sublane)
-group (occurrence splitting), so the slot count of a group is
-sum_p max_rows(multiplicity).  Storage inflation = slot cells / nnz; it is
-~1-2x whenever the matrix has column locality (stencils, FEM, banded,
-post-RCM reordering) and degrades toward 128x only for uniformly random
-patterns with no locality to exploit (where every format, including the
-reference's GPU kernels' coalescing, loses).  `plan.inflation` reports it
-and `Csr._resolve_strategy` falls back to other kernels when it is
-unacceptable.
+The key observation is the DIAGONAL BASE: for any matrix with column
+locality, the panel wanted by sublane s is (to within the band fraction)
+`base + s` — row group s sits 128 rows (= exactly one panel) below row
+group s-1, so one contiguous 8-panel slice of x lines up with all eight
+sublanes at once.  The kernel therefore issues ONE dynamic slice
+W = x[b : b+8] and ONE lane-gather
+    g[s, l] = W[s, q[s, l]]          (tpu.dynamic_gather along lanes)
+then multiplies by the values tile and adds into the output tile — no
+scatter anywhere, ~4 vector ops and one VMEM slice per 1024-cell slot.
+Slots are shared across sublanes: every cell with the same
+(tile, base = panel - sublane, occurrence) lands in the same slot, so
+banded/stencil structure collapses to a handful of slots per tile.
 
-Streaming behavior: the values/lane-index operands stream from HBM through
-the Pallas pipeline (double-buffered (G, 8, 128) blocks); per-slot panel
-ids ride in an SMEM-blocked operand; the only VMEM-resident operand is x.
-HBM traffic is 8 B per slot cell -> roofline ~100 Gcell/s on v5e.
+A row with m nonzeros in one panel occupies m (base, occurrence) pairs
+(occurrence = index among the row's nonzeros in that panel); the slot
+count of a tile is its number of distinct (base, occurrence) pairs.
+Storage inflation = slot cells / nnz: ~1-2x for matrices with column
+locality (stencils, FEM, banded, post-RCM reordering), degrading only
+for uniformly random patterns with no locality to exploit (where every
+format, including the reference's GPU kernels' coalescing, loses).
+`plan.inflation` reports it and `Csr._resolve_strategy` falls back to
+other kernels when it is unacceptable.
+
+Streaming behavior: the values/index operands stream from HBM through the
+Pallas pipeline (double-buffered (G, 8, 128) blocks); per-slot bases and
+per-step output-tile ids ride the scalar-prefetch SMEM operands; the only
+VMEM-resident operand is x.  HBM traffic is 8 B per slot cell ->
+roofline ~100 Gcell/s on v5e.
 """
 
 from __future__ import annotations
@@ -49,12 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 TILE_ROWS = LANES * SUBLANES  # 1024
+PAD_PANELS = 7  # zero panels either side so any base +- 7 slices validly
 
 
 class PellPlan:
     """Static PELL expansion of a CSR pattern (host-built, numpy)."""
 
-    def __init__(self, indptr, indices, values, shape, G: int = 4):
+    def __init__(self, indptr, indices, values, shape, G: int = 8):
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         values = np.asarray(values)
@@ -65,6 +76,7 @@ class PellPlan:
         NT = max(-(-n_rows // TILE_ROWS), 1)
         NP = max(-(-n_cols // LANES), 1)
         self.NT, self.NP = NT, NP
+        self.nnz = nnz
 
         rows = np.repeat(
             np.arange(n_rows, dtype=np.int64), np.diff(indptr)
@@ -74,10 +86,11 @@ class PellPlan:
         s = (rows >> 7) & 7
         lane = (rows & 127).astype(np.int64)
         p = cols >> 7
-        q = (cols & 127).astype(np.int32)
+        q = (cols & 127).astype(np.int64)
+        base = p - s + PAD_PANELS  # in [0, NP + 6]
 
-        # occurrence index within each (row, panel) run (cols sorted within
-        # rows, so runs are contiguous); always < 128
+        # occurrence index within each (row, panel) run (cols sorted
+        # within rows, so runs are contiguous); < 128 by construction
         rp_key = rows * NP + p
         new_run = np.ones(nnz, bool)
         new_run[1:] = rp_key[1:] != rp_key[:-1]
@@ -85,63 +98,47 @@ class PellPlan:
         run_start = np.nonzero(new_run)[0][run_id] if nnz else run_id
         occ = np.arange(nnz, dtype=np.int64) - run_start
 
-        # slot identity within a (tile, sublane) group: distinct (p, occ)
-        ts = t * SUBLANES + s
-        K = (ts * NP + p) * 128 + occ
+        # slot identity per tile: distinct (base, occurrence) pairs,
+        # shared across the 8 sublanes (the diagonal-base alignment)
+        NB = NP + 2 * PAD_PANELS + 1
+        K = (t * NB + base) * 128 + occ
         uniqK, slot_inv = np.unique(K, return_inverse=True)
-        n_slots_used = len(uniqK)
-        uniq_ts = uniqK // (np.int64(NP) * 128)
-        uniq_p = (uniqK // 128) % NP
-        ts_change = np.ones(n_slots_used, bool)
-        ts_change[1:] = uniq_ts[1:] != uniq_ts[:-1]
-        gs_id = np.cumsum(ts_change) - 1
-        gstart = (
-            np.nonzero(ts_change)[0][gs_id] if n_slots_used else gs_id
-        )
-        slot_in_ts = np.arange(n_slots_used, dtype=np.int64) - gstart
+        u_t = uniqK // (np.int64(NB) * 128)
+        u_base = (uniqK // 128) % NB
+        t_change = np.ones(len(uniqK), bool)
+        t_change[1:] = u_t[1:] != u_t[:-1]
+        g_id = np.cumsum(t_change) - 1
+        g_start = np.nonzero(t_change)[0][g_id] if len(uniqK) else g_id
+        slot_in_t = np.arange(len(uniqK), dtype=np.int64) - g_start
 
-        # per-tile slot count = max over its 8 sublanes, padded to G
-        K_ts = np.zeros(NT * SUBLANES, np.int64)
-        if n_slots_used:
-            np.add.at(K_ts, uniq_ts, 1)
-        K_t = K_ts.reshape(NT, SUBLANES).max(axis=1)
+        K_t = np.zeros(NT, np.int64)
+        if len(uniqK):
+            np.add.at(K_t, u_t, 1)
         steps_t = np.maximum(-(-K_t // G), 1)
         K_t_pad = steps_t * G
         slot_off = np.concatenate([[0], np.cumsum(K_t_pad)])
         total_slots = int(slot_off[-1])
         self.n_steps = int(steps_t.sum())
-        self.nnz = nnz
-        self.inflation = (
-            total_slots * TILE_ROWS / max(nnz, 1)
-        )
+        self.inflation = total_slots * TILE_ROWS / max(nnz, 1)
 
         vals_arr = np.zeros((total_slots, SUBLANES, LANES), values.dtype)
         q_arr = np.zeros((total_slots, SUBLANES, LANES), np.int32)
-        panels = np.zeros((total_slots, SUBLANES), np.int32)
+        bases = np.zeros(total_slots, np.int32)
         if nnz:
-            gslot = slot_off[t] + slot_in_ts[slot_inv]
+            slot_of_pair = slot_off[u_t] + slot_in_t
+            gslot = slot_of_pair[slot_inv]
             vals_arr[gslot, s, lane] = values
             q_arr[gslot, s, lane] = q
-            u_slot = slot_off[uniq_ts // SUBLANES] + slot_in_ts
-            panels[u_slot, uniq_ts % SUBLANES] = uniq_p.astype(np.int32)
-        tile_of_step = np.repeat(
-            np.arange(NT, dtype=np.int32), steps_t
-        )
+            bases[slot_of_pair] = u_base.astype(np.int32)
+        tile_of_step = np.repeat(np.arange(NT, dtype=np.int32), steps_t)
 
         self.values = jnp.asarray(vals_arr)
         self.qidx = jnp.asarray(q_arr)
-        self.panels = jnp.asarray(panels)
+        self.bases = jnp.asarray(bases)
         self.tile_of_step = jnp.asarray(tile_of_step)
 
-    def tree_flatten(self):  # allow embedding in pytrees if needed
-        return (
-            (self.values, self.qidx, self.panels, self.tile_of_step),
-            (self.shape, self.G, self.NT, self.NP, self.n_steps, self.nnz,
-             self.inflation),
-        )
 
-
-def _pell_kernel(tiles_ref, vals_ref, q_ref, panels_ref, x_ref, out_ref, *,
+def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
                  G):
     i = pl.program_id(0)
     prev = tiles_ref[jnp.maximum(i - 1, 0)]
@@ -153,17 +150,59 @@ def _pell_kernel(tiles_ref, vals_ref, q_ref, panels_ref, x_ref, out_ref, *,
 
     acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
     for g in range(G):
-        # gather source: one resident-x panel per sublane
-        src = jnp.concatenate(
-            [x_ref[pl.ds(panels_ref[g, sl], 1), :] for sl in range(SUBLANES)],
-            axis=0,
-        )
+        # one VMEM slice fetches the slot's 8 diagonal-aligned panels
+        W = x_ref[pl.ds(bases_ref[i * G + g], SUBLANES), :]
         gth = jnp.take_along_axis(
-            src.astype(jnp.float32), q_ref[g], axis=1,
+            W.astype(jnp.float32), q_ref[g], axis=1,
             mode="promise_in_bounds",
         )
         acc = acc + vals_ref[g].astype(jnp.float32) * gth
     out_ref[0] += acc.astype(out_ref.dtype)
+
+
+# cap on scalar-prefetch ints per pallas_call (~256 KB of SMEM); plans
+# with more steps are split into tile-aligned chunks of calls
+_MAX_PREFETCH_INTS = 64 * 1024
+
+
+def _pell_call(tiles, bases, values, qidx, x_panels, NT, G, dtype,
+               interpret):
+    n_steps = tiles.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_of_step, bases
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBLANES, LANES),
+            lambda i, tiles, bs: (tiles[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_pell_kernel, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, SUBLANES, LANES), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * values.size,
+            bytes_accessed=values.size * (values.dtype.itemsize + 4)
+            + x_panels.size * x_panels.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tiles, bases, values, qidx, x_panels)
 
 
 def pell_spmv(plan: PellPlan, x, *, interpret=False):
@@ -171,49 +210,134 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
     n_rows, n_cols = plan.shape
     G = plan.G
     NP = plan.NP
-    xp = jnp.zeros((NP * LANES,), x.dtype).at[: n_cols].set(x)
-    x_panels = xp.reshape(NP, LANES)
+    total = (NP + 2 * PAD_PANELS + 1) * LANES
+    xp = (
+        jnp.zeros((total,), x.dtype)
+        .at[PAD_PANELS * LANES: PAD_PANELS * LANES + n_cols]
+        .set(x)
+    )
+    x_panels = xp.reshape(-1, LANES)
 
+    step_cap = max(_MAX_PREFETCH_INTS // (G + 1), 1)
+    if plan.n_steps <= step_cap:
+        out = _pell_call(
+            plan.tile_of_step, plan.bases, plan.values, plan.qidx,
+            x_panels, plan.NT, G, x.dtype, interpret,
+        )
+        return out.reshape(-1)[:n_rows]
+    # chunked: split at tile boundaries so each call owns a disjoint,
+    # contiguous tile range of the output
+    tiles_host = np.asarray(plan.tile_of_step)
+    outs = []
+    s0 = 0
+    while s0 < plan.n_steps:
+        s1 = min(s0 + step_cap, plan.n_steps)
+        if s1 < plan.n_steps and tiles_host[s1] == tiles_host[s1 - 1]:
+            # boundary cuts inside a tile: split before it, or — if that
+            # single tile alone exceeds the cap — take it whole
+            tile_cut = tiles_host[s1]
+            first = int(np.searchsorted(tiles_host, tile_cut, side="left"))
+            if first > s0:
+                s1 = first
+            else:
+                s1 = int(np.searchsorted(tiles_host, tile_cut, side="right"))
+        t0 = int(tiles_host[s0])
+        t1 = int(tiles_host[s1 - 1]) + 1
+        out = _pell_call(
+            plan.tile_of_step[s0:s1] - t0,
+            plan.bases[s0 * G: s1 * G],
+            plan.values[s0 * G: s1 * G],
+            plan.qidx[s0 * G: s1 * G],
+            x_panels, t1 - t0, G, x.dtype, interpret,
+        )
+        outs.append(out)
+        s0 = s1
+    return jnp.concatenate(outs, axis=0).reshape(-1)[:n_rows]
+
+
+# -- multi-RHS (SpMM) ---------------------------------------------------------
+
+
+def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
+                      out_ref, *, G, k):
+    i = pl.program_id(0)
+    prev = tiles_ref[jnp.maximum(i - 1, 0)]
+    cur = tiles_ref[i]
+
+    @pl.when((i == 0) | (prev != cur))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for g in range(G):
+        b = bases_ref[i * G + g]
+        vals = vals_ref[g].astype(jnp.float32)
+        qp = q_ref[g]
+        for j in range(k):
+            W = x_ref[j, pl.ds(b, SUBLANES), :]
+            gth = jnp.take_along_axis(
+                W.astype(jnp.float32), qp, axis=1,
+                mode="promise_in_bounds",
+            )
+            out_ref[0, j] += (vals * gth).astype(out_ref.dtype)
+
+
+def pell_spmm(plan: PellPlan, X, *, interpret=False):
+    """Y = A @ X for (n, k) X: the matrix streams from HBM ONCE for all k
+    columns (vs k passes of pell_spmv), so HBM bytes/nnz-column fall to
+    8/k.  Returns (n_rows, k)."""
+    n_rows, n_cols = plan.shape
+    k = X.shape[1]
+    G = plan.G
+    NP = plan.NP
+    n_pan = NP + 2 * PAD_PANELS + 1
+    Xp = jnp.zeros((k, n_pan * LANES), X.dtype)
+    Xp = Xp.at[:, PAD_PANELS * LANES: PAD_PANELS * LANES + n_cols].set(X.T)
+    x_panels = Xp.reshape(k, n_pan, LANES)
+
+    step_cap = max(_MAX_PREFETCH_INTS // (G + 1), 1)
+    assert plan.n_steps <= step_cap, (
+        "chunked SpMM not implemented; use pell_spmv per column"
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # tile_of_step
+        num_scalar_prefetch=2,
         grid=(plan.n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles: (i, 0, 0),
+                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles: (i, 0, 0),
+                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (G, SUBLANES), lambda i, tiles: (i, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # X resident (k, pan, 128)
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda i, tiles: (tiles[i], 0, 0),
+            (1, k, SUBLANES, LANES),
+            lambda i, tiles, bs: (tiles[i], 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_pell_kernel, G=G),
+        functools.partial(_pell_spmm_kernel, G=G, k=k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.NT, SUBLANES, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.NT, k, SUBLANES, LANES), X.dtype
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * plan.values.size,
+            flops=2 * plan.values.size * k,
             bytes_accessed=plan.values.size
             * (plan.values.dtype.itemsize + 4)
-            + NP * LANES * x.dtype.itemsize,
+            + x_panels.size * X.dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(plan.tile_of_step, plan.values, plan.qidx, plan.panels, x_panels)
-    return out.reshape(-1)[:n_rows]
+    )(plan.tile_of_step, plan.bases, plan.values, plan.qidx, x_panels)
+    # (NT, k, 8, 128) -> (NT*1024, k)
+    return out.transpose(0, 2, 3, 1).reshape(-1, k)[:n_rows]
 
 
 # -- plan cache + Csr-facing API ----------------------------------------------

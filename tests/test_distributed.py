@@ -284,3 +284,84 @@ def test_distribution_transparent_solvers(rng, solver_name):
     A_rep = gko.Csr.from_matrix_data(data)
     rel = float(jnp.linalg.norm(b - A_rep.apply(x)) / jnp.linalg.norm(b))
     assert rel < 1e-4, (solver_name, rel)
+
+
+def test_dist_rectangular_with_col_partition(rng):
+    """matrix.cpp:142-225 parity: distinct row/col partitions, rectangular
+    operator; distributed apply vs replicated dense product."""
+    mesh = make_mesh(4)
+    n, m = 30, 44
+    data = generators.generate_random_matrix(n, m, 2, 6, rng)
+    row_part = Partition.build_from_global_size_uniform(n, 4)
+    col_part = Partition.build_from_global_size_uniform(m, 4)
+    A = DistCsr.from_matrix_data(data, row_part, col_partition=col_part)
+    assert A.shape == (n, m)
+    x = generators.generate_random_dense(m, 2, rng)
+    xp, _ = pad_global(x, col_part)
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    y = shard_map(
+        lambda a, v: a.apply(v),
+        mesh=mesh,
+        in_specs=(a_specs, P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )(A, xp)
+    y_global = unpad_global(y, row_part)
+    np.testing.assert_allclose(
+        np.asarray(y_global), data.to_dense() @ x, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_dist_square_scattered_col_partition(rng):
+    """col partition != row partition on a square operator: the input and
+    output vectors live in different distributions."""
+    mesh = make_mesh(4)
+    n = 37
+    data = generators.make_spd(
+        generators.generate_random_matrix(n, n, 2, 5, rng)
+    )
+    row_part = Partition.build_from_global_size_uniform(n, 4)
+    mapping = rng.integers(0, 4, n)  # scattered column ownership
+    col_part = Partition.build_from_mapping(mapping, 4)
+    A = DistCsr.from_matrix_data(data, row_part, col_partition=col_part)
+    x = generators.generate_random_dense(n, 1, rng)
+    xp, _ = pad_global(x, col_part)
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    y = shard_map(
+        lambda a, v: a.apply(v),
+        mesh=mesh,
+        in_specs=(a_specs, P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )(A, xp)
+    y_global = unpad_global(y, row_part)
+    np.testing.assert_allclose(
+        np.asarray(y_global), data.to_dense() @ x, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_dist_apply_advanced(rng):
+    mesh = make_mesh(4)
+    n = 32
+    data = generators.make_spd(
+        generators.generate_random_matrix(n, n, 2, 5, rng)
+    )
+    part = Partition.build_from_global_size_uniform(n, 4)
+    A = DistCsr.from_matrix_data(data, part)
+    b = generators.generate_random_dense(n, 2, rng)
+    x0 = generators.generate_random_dense(n, 2, rng)
+    bp, _ = pad_global(b, part)
+    xp, _ = pad_global(x0, part)
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    y = shard_map(
+        lambda a, bb, xx: a.apply_advanced(2.0, bb, -0.5, xx),
+        mesh=mesh,
+        in_specs=(a_specs, P("rows"), P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )(A, bp, xp)
+    y_global = unpad_global(y, part)
+    np.testing.assert_allclose(
+        np.asarray(y_global), 2.0 * (data.to_dense() @ b) - 0.5 * x0,
+        rtol=1e-10, atol=1e-12,
+    )
