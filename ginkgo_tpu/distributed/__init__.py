@@ -1,5 +1,6 @@
 from .partition import Partition
 from .matrix import DistCsr
+from .pell import DistPell
 from .dia import DistDia, build_banded_partition
 from .vector import DistVector
 from .solve import distributed_solve, make_mesh, pad_global, unpad_global
@@ -9,6 +10,7 @@ from . import vector
 __all__ = [
     "Partition",
     "DistCsr",
+    "DistPell",
     "DistDia",
     "build_banded_partition",
     "DistVector",

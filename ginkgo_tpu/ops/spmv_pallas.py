@@ -69,6 +69,10 @@ class PellPlan:
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         values = np.asarray(values)
+        nnz_real = int(indptr[-1]) if len(indptr) else 0
+        if len(indices) > nnz_real:  # padded storage (e.g. stacked SPMD)
+            indices = indices[:nnz_real]
+            values = values[:nnz_real]
         n_rows, n_cols = int(shape[0]), int(shape[1])
         nnz = len(indices)
         self.shape = (n_rows, n_cols)

@@ -365,3 +365,65 @@ def test_dist_apply_advanced(rng):
         np.asarray(y_global), 2.0 * (data.to_dense() @ b) - 0.5 * x0,
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_dist_pell_matches_replicated(rng):
+    """DistPell: both blocks stream via the PELL kernel; result must
+    match the replicated product (VERDICT r1 #7 fast path)."""
+    from ginkgo_tpu.distributed import DistPell
+
+    mesh = make_mesh(4)
+    n = 600
+    data = generators.make_spd(
+        generators.generate_random_matrix(n, n, 3, 7, rng)
+    )
+    part = Partition.build_from_global_size_uniform(n, 4)
+    A = DistPell.from_matrix_data(data, part)
+    x = generators.generate_random_dense(n, 2, rng)
+    xp, _ = pad_global(x, part)
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    y = shard_map(
+        lambda a, v: a.apply(v),
+        mesh=mesh,
+        in_specs=(a_specs, P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )(A, xp)
+    y_global = unpad_global(y, part)
+    np.testing.assert_allclose(
+        np.asarray(y_global), data.to_dense() @ x, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dist_pell_solve_and_diagonal(rng):
+    """Distributed CG on a DistPell operator (scalar-Jacobi via the
+    PELL-reconstructed local diagonal)."""
+    from ginkgo_tpu.distributed import DistPell, distributed_solve
+    import ginkgo_tpu as gko2
+    from ginkgo_tpu import stop as stop2
+
+    mesh = make_mesh(4)
+    data = generators.poisson_2d(24, dtype=np.float64)
+    n = data.shape[0]
+    part = Partition.build_from_global_size_uniform(n, 4)
+    A = DistPell.from_matrix_data(data, part)
+    # diagonal parity vs assembled data
+    diag_expected = np.zeros(n)
+    dd = data.sum_duplicates()
+    on = dd.rows == dd.cols
+    np.add.at(diag_expected, dd.rows[on], dd.values[on])
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    d = shard_map(
+        lambda a: a.extract_diagonal_local(),
+        mesh=mesh, in_specs=(a_specs,), out_specs=P("rows"),
+        check_vma=False,
+    )(A)
+    d_global = unpad_global(np.asarray(d)[:, None], part)[:, 0]
+    np.testing.assert_allclose(d_global, diag_expected, rtol=1e-12)
+    b = np.ones((n, 1))
+    x, info = distributed_solve(
+        mesh, gko2.Cg, A, b, part,
+        criteria=[stop2.Iteration(500), stop2.ResidualNorm(1e-9)],
+    )
+    r = data.to_dense() @ np.asarray(x) - b
+    assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b)
