@@ -74,6 +74,13 @@ class MatrixData:
         return len(self.values)
 
     def sort_row_major(self) -> "MatrixData":
+        if self.nnz > 1:
+            # O(nnz) sortedness probe — triplets straight out of a canonical
+            # CSR (e.g. scipy spgemm products) are already row-major, and the
+            # lexsort they would pay costs seconds at 10^7 nnz
+            key = self.rows.astype(np.int64) * np.int64(self.shape[1]) + self.cols
+            if bool(np.all(key[:-1] <= key[1:])):
+                return self
         order = np.lexsort((self.cols, self.rows))
         return MatrixData(
             self.shape, self.rows[order], self.cols[order], self.values[order]
@@ -90,6 +97,8 @@ class MatrixData:
         first = np.empty(len(key), bool)
         first[0] = True
         np.not_equal(key[1:], key[:-1], out=first[1:])
+        if bool(first.all()):  # no duplicates — skip the scatter-add
+            return d
         seg = np.cumsum(first) - 1
         vals = np.zeros(int(seg[-1]) + 1, dtype=d.values.dtype)
         np.add.at(vals, seg, d.values)

@@ -269,6 +269,31 @@ class Dia(LinOp):
 
     write = to_matrix_data
 
+    def to_scipy(self):
+        """Direct scipy ``dia_matrix`` view — no triplet sort.
+
+        scipy's DIA data is column-indexed (``data[k, c] = A[c - off, c]``)
+        while ours is row-indexed (``diags[k, r] = A[r, r + off]``), so each
+        diagonal is one shifted slice copy; ``.tocsr()`` on the result is a
+        C pass.  Dtypes scipy rejects (bf16/f16) are widened to float32 —
+        use :meth:`to_matrix_data` when exact dtype round-trip matters.
+        """
+        import scipy.sparse as sps
+
+        n, m = self.shape
+        host = np.asarray(to_host(self.diags)).reshape(self.num_diags, -1)
+        if host.dtype not in (np.float32, np.float64, np.complex64,
+                              np.complex128):
+            host = host.astype(np.float32)
+        data = np.zeros((self.num_diags, m), host.dtype)
+        for k, off in enumerate(self.offsets):
+            c0, c1 = max(0, off), min(m, n + off)
+            if c1 > c0:
+                data[k, c0:c1] = host[k, c0 - off : c1 - off]
+        return sps.dia_matrix(
+            (data, np.asarray(self.offsets, np.int64)), shape=(n, m)
+        )
+
     def to_csr(self, strategy="auto"):
         from .csr import Csr
 

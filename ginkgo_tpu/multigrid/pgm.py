@@ -378,29 +378,34 @@ def pgm_aggregate(
     # transfer operators.
     all_rows = np.repeat(np.arange(n), np.diff(W.indptr))
 
+    def _seg_starts(rows):
+        """Start offsets of equal-row runs in a row-sorted triplet list."""
+        return np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+
     def _strongest_vectorized(is_unagg):
-        """Strongest-unaggregated-neighbor for ALL rows at once via linear
-        scatter-max/min passes (a 4-key lexsort over ~10 nnz/row costs
-        seconds at 10^6 rows; the per-row python loop costs minutes)."""
+        """Strongest-unaggregated-neighbor for ALL rows at once via
+        segment reductions (`np.maximum.reduceat` over the row-sorted
+        adjacency — ufunc.at scatter passes cost ~7 s at 10^6 rows and a
+        4-key lexsort costs seconds; reduceat is a linear C pass)."""
         ok = is_unagg[W.indices] & is_unagg[all_rows]
         rows, cols, wts = all_rows[ok], W.indices[ok], W.data[ok]
         if len(rows) == 0:
             return np.full(n, -1, np.int64)
-        # pass 1: per-row max weight
-        wmax = np.zeros(n, wts.dtype)
-        np.maximum.at(wmax, rows, wts)
-        keep = wts >= wmax[rows] * (1 - 1e-12)
+        # pass 1: per-row max weight (rows stays sorted under the mask)
+        starts = _seg_starts(rows)
+        wmax_seg = np.maximum.reduceat(wts, starts)
+        seg_len = np.diff(np.r_[starts, len(rows)])
+        keep = wts >= np.repeat(wmax_seg, seg_len) * (1 - 1e-12)
         rows, cols = rows[keep], cols[keep]
         # pass 2: among max-weight candidates minimize (distance,
         # wrong_direction, col) packed into one int64
         d = np.maximum(np.abs(cols - rows), 1)
         wrong = ((cols > rows) != ((rows // d) % 2 == 0)).astype(np.int64)
         score = (d.astype(np.int64) << 34) | (wrong << 33) | cols
-        best = np.full(n, np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(best, rows, score)
+        starts = _seg_starts(rows)
+        best = np.minimum.reduceat(score, starts)
         strongest = np.full(n, -1, np.int64)
-        got = best != np.iinfo(np.int64).max
-        strongest[got] = best[got] & ((1 << 33) - 1)
+        strongest[rows[starts]] = best & ((1 << 33) - 1)
         return strongest
 
     # Every round is a parallel mutual strongest-neighbor match — the
@@ -503,10 +508,15 @@ class PgmFactory:
         # build the scipy strength input straight from triplets: a full
         # to_csr() round-trip (sort + dedup through MatrixData) costs tens
         # of seconds at 10^6 rows, scipy's C dedup does not
-        src = A if hasattr(A, "to_matrix_data") else (
-            A.to_csr() if hasattr(A, "to_csr") else A
-        )
-        if hasattr(src, "to_matrix_data"):
+        src = A if hasattr(A, "to_matrix_data") or hasattr(A, "to_scipy") \
+            else (A.to_csr() if hasattr(A, "to_csr") else A)
+        if hasattr(src, "to_scipy"):
+            # format-direct conversion (Dia shifted-slice copy, Csr view):
+            # no triplet sort at all
+            dtype = np.dtype(src.dtype)
+            sp = src.to_scipy().tocsr()
+            sp.eliminate_zeros()
+        elif hasattr(src, "to_matrix_data"):
             md = src.to_matrix_data()
             dtype = md.values.dtype
             vals = md.values
@@ -537,12 +547,14 @@ class PgmFactory:
         # — smoother SpMVs at coarse levels would otherwise gather
         from ..matrix.auto import choose_format
 
-        Ac_coo = Ac.tocoo()
+        # Ac is canonical CSR (sorted indices, no dups) — expand indptr to
+        # rows and the triplets are row-major by construction; downstream
+        # sort/dedup passes detect this in O(nnz) and skip their lexsort
+        Ac_rows = np.repeat(np.arange(Ac.shape[0]), np.diff(Ac.indptr))
         coarse = choose_format(
             MatrixData.from_coo(
-                Ac.shape, Ac_coo.row, Ac_coo.col,
-                Ac_coo.data.astype(dtype),
-            ).sort_row_major()
+                Ac.shape, Ac_rows, Ac.indices, Ac.data.astype(dtype)
+            )
         )
         return MultigridLevel(
             # keep the caller's operator (e.g. Dia/Bell fast formats) as the

@@ -266,8 +266,15 @@ class MultigridFactory:
         mk_post = self.post_smoother or mk_pre
         mk_mid = self.mid_smoother or mk_post
         pre = tuple(mk_pre(l.fine_op) for l in levels)
-        post = tuple(mk_post(l.fine_op) for l in levels)
-        mid = tuple(mk_mid(l.fine_op) for l in levels)
+        # identical factories produce identical (stateless pytree) smoothers:
+        # reuse instead of re-generating per role — generate at 10^6 rows
+        # costs seconds per sweep of the hierarchy
+        post = pre if mk_post is mk_pre else tuple(
+            mk_post(l.fine_op) for l in levels
+        )
+        mid = post if mk_mid is mk_post else tuple(
+            mk_mid(l.fine_op) for l in levels
+        )
         mk_coarse = self.coarse_solver or default_coarse_solver_factory
         coarse = mk_coarse(op)
         crit = combine(self.criteria) if self.criteria is not None else combine(
