@@ -79,6 +79,37 @@ def prepare_fused_dia(solver, b, fits_fn):
     }
 
 
+def smoother_fused_ready(A, arr):
+    """Gate for the fused fixed-count smoother (ops/pallas_ir.py): Dia
+    operator, single f32 RHS, Pallas enabled, VMEM fits.  Consults only
+    env flags already in solver_base._env_trace_key.  Returns None or a
+    dict with R/interpret."""
+    from ..matrix.dia import Dia
+    from ..ops.pallas_dia import _plan
+    from ..ops.pallas_ir import ir_vmem_fits
+
+    if arr.ndim != 2 or arr.shape[1] != 1 or arr.dtype != jnp.float32:
+        return None
+    if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
+        return None
+    if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+        return None
+    force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+    on_tpu = jax.default_backend() == "tpu"
+    if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+        return None
+    if not (force or on_tpu):
+        return None
+    nd, R, _ = A.diags.shape
+    if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
+    if not ir_vmem_fits(nd, R, A.diags.dtype.itemsize, use_minv=True,
+                        halo_rows=pad_lo + pad_hi):
+        return None
+    return {"R": R, "interpret": not on_tpu}
+
+
 def frame(v, R):
     """(n, 1) column -> zero-padded (R, 128) frame."""
     F = R * LANES

@@ -47,6 +47,9 @@ class Ir(IterativeSolverMixin, LinOp):
         return self.preconditioner
 
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         A, M = self.A, self.preconditioner
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]
@@ -78,6 +81,55 @@ class Ir(IterativeSolverMixin, LinOp):
         x, r, it, stopped, resnorm = jax.lax.while_loop(cond, body, init)
         return x, SolveInfo(
             iterations=it, residual_norm=resnorm, converged=stopped, history=None
+        )
+
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM fast path (ops/pallas_ir.py): the entire
+        Richardson loop runs inside ONE Pallas kernel when A is a Dia that
+        fits VMEM, the inner solver is diagonal (Identity / Diagonal /
+        scalar Jacobi), there is a single f32 RHS, and the criterion is a
+        plain Iteration/ResidualNorm combination (gate:
+        solver/_fused_gate.py; same env flags as the fused CG).  The
+        implicit-residual criterion is rejected — IR has no rho.
+        Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
+        from ..ops.pallas_ir import ir_vmem_fits, ir_vmem_solve
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            return ir_vmem_fits(nd, R, itemsize, use_minv=use_minv,
+                                halo_rows=halo_rows)
+
+        ctx = prepare_fused_dia(self, b, fits)
+        if ctx is None or ctx["implicit"]:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, rr, conv = ir_vmem_solve(
+            A.diags,
+            A.offsets,
+            frame(b, R),
+            frame(x0, R),
+            minv2,
+            omega=self.relaxation_factor,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"]:
+            rn = jnp.sqrt(rr)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
         )
 
 

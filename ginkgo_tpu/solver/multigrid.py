@@ -54,9 +54,44 @@ class FixedSmoother(LinOp):
     def dtype(self):
         return self.A.dtype
 
+    def _fused(self, arr, x0_arr, with_residual):
+        """Whole-smoother-in-VMEM fast path (ops/pallas_ir.py): all sweeps
+        run inside ONE Pallas kernel with x/r/b/dinv VMEM-resident when A
+        is a Dia that fits (gate: _fused_gate.smoother_fused_ready).  With
+        `with_residual` the kernel also returns r = b - A x — the V-cycle
+        uses it to skip its separate per-level residual SpMV.  Gated by
+        the same env flags as the fused CG (all in _env_trace_key).
+        Returns (x, r_or_None) or None."""
+        from ._fused_gate import frame, smoother_fused_ready
+        from ..ops.pallas_ir import ir_vmem_smooth
+
+        ctx = smoother_fused_ready(self.A, arr)
+        if ctx is None:
+            return None
+        R = ctx["R"]
+        n = self.A.shape[0]
+        x2, r2 = ir_vmem_smooth(
+            self.A.diags,
+            self.A.offsets,
+            frame(arr.astype(jnp.float32), R),
+            None if x0_arr is None else frame(x0_arr.astype(jnp.float32), R),
+            frame(self.dinv[:, None].astype(jnp.float32), R),
+            omega=self.relax,
+            iters=self.iters,
+            with_residual=with_residual,
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n].astype(arr.dtype)
+        r = r2.reshape(-1, 1)[:n].astype(arr.dtype) if with_residual else None
+        return x, r
+
     def solve(self, b, x0=None):
         arr, was_1d = as_2d(b)
-        x = jnp.zeros_like(arr) if x0 is None else as_2d(x0)[0]
+        x0_arr = None if x0 is None else as_2d(x0)[0]
+        fast = self._fused(arr, x0_arr, with_residual=False)
+        if fast is not None:
+            return restore_1d(fast[0], was_1d), None
+        x = jnp.zeros_like(arr) if x0_arr is None else x0_arr
         scale = jnp.asarray(self.relax, arr.dtype) * self.dinv[:, None]
 
         def step(_, x):
@@ -67,6 +102,19 @@ class FixedSmoother(LinOp):
         else:
             x = jax.lax.fori_loop(0, self.iters, step, x)
         return restore_1d(x, was_1d), None
+
+    def solve_with_residual(self, b, x0=None):
+        """(x, r = b - A x) in one pass; the fused kernel returns r for
+        free, the generic path pays one extra SpMV (exactly what the
+        V-cycle would otherwise compute itself)."""
+        arr, was_1d = as_2d(b)
+        x0_arr = None if x0 is None else as_2d(x0)[0]
+        fast = self._fused(arr, x0_arr, with_residual=True)
+        if fast is not None:
+            return restore_1d(fast[0], was_1d), restore_1d(fast[1], was_1d)
+        x, _ = self.solve(arr, x0=x0_arr)
+        r = arr - as_2d(self.A.apply(x))[0]
+        return restore_1d(x, was_1d), restore_1d(r, was_1d)
 
     def apply(self, b):
         return self.solve(b)[0]
@@ -118,22 +166,33 @@ class Multigrid(LinOp):
     def _run_cycle(self, lvl: int, b, x, mode: str):
         level = self.levels[lvl]
         A = level.fine_op
-        x = self.pre_smoothers[lvl].solve(b, x0=x)[0]
-        r = b - A.apply(x)
+        pre = self.pre_smoothers[lvl]
+        if hasattr(pre, "solve_with_residual"):
+            # fused smoother returns r = b - A x for free (pallas_ir)
+            x, r = pre.solve_with_residual(b, x0=x)
+        else:
+            x = pre.solve(b, x0=x)[0]
+            r = b - A.apply(x)
         rc = level.restrict_op.apply(r)
         if lvl + 1 == len(self.levels):
             ec = self.coarse_solver.apply(rc)
         else:
-            ec = self._run_cycle(lvl + 1, rc, jnp.zeros_like(rc), mode)
+            # x=None marks a zero initial guess: the fused smoother then
+            # skips its initial residual SpMV entirely (r0 = b)
+            ec = self._run_cycle(lvl + 1, rc, None, mode)
         x = x + level.prolong_op.apply(ec)
         if mode in ("w", "f") and lvl + 1 < len(self.levels):
             # second visit: W recurses same mode, F drops to V
             # (multigrid.cpp:452-455)
-            x = self.mid_smoothers[lvl].solve(b, x0=x)[0]
-            r2 = b - A.apply(x)
+            mid = self.mid_smoothers[lvl]
+            if hasattr(mid, "solve_with_residual"):
+                x, r2 = mid.solve_with_residual(b, x0=x)
+            else:
+                x = mid.solve(b, x0=x)[0]
+                r2 = b - A.apply(x)
             rc2 = level.restrict_op.apply(r2)
             ec2 = self._run_cycle(
-                lvl + 1, rc2, jnp.zeros_like(rc2), "v" if mode == "f" else mode
+                lvl + 1, rc2, None, "v" if mode == "f" else mode
             )
             x = x + level.prolong_op.apply(ec2)
         x = self.post_smoothers[lvl].solve(b, x0=x)[0]
