@@ -199,6 +199,79 @@ def main():
     xb = jnp.ones((mb,), jnp.float32)
     t_bell = amortized_seconds(lambda v: Ab.apply(v) + 1e-6, xb, trips=trips)
 
+    # general-sparse rows: PELL streaming SpMV + fused whole-solve CG on
+    # an UNSTRUCTURED (non-banded, non-block) SPD matrix with column
+    # locality (~10 nnz/row scattered in a +-256 column window — the
+    # post-RCM/FEM profile the reference's load_balance kernels target)
+    from ginkgo_tpu.matrix.pell import Pell
+
+    n_u = 1 << 20 if on_tpu else 1 << 13
+    rng_u = np.random.default_rng(11)
+    per_row = 9
+    rows_u = np.repeat(np.arange(n_u, dtype=np.int64), per_row)
+    cols_u = rows_u + rng_u.integers(-256, 257, size=rows_u.size)
+    np.clip(cols_u, 0, n_u - 1, out=cols_u)
+    vals_u = (rng_u.random(rows_u.size).astype(np.float32) - 0.5) * 1e-2
+    data_u = MatrixData.from_coo(
+        (n_u, n_u),
+        np.concatenate([rows_u, np.arange(n_u)]),
+        np.concatenate([cols_u, np.arange(n_u)]),
+        np.concatenate([vals_u, np.full(n_u, 4.0, np.float32)]),
+    ).sum_duplicates()
+    Au = Pell.from_matrix_data(data_u).scale(0.2)
+    xu = jnp.ones((n_u,), jnp.float32)
+    t_pell = amortized_seconds(
+        lambda v: Au.apply(v), xu, trips=max(trips // 3, 5)
+    )
+
+    # fused whole-solve CG on a VMEM-sized unstructured operator (the
+    # 1M-row plan above exceeds the slot budget; 131k rows fits)
+    n_ucg = 1 << 17
+    t_pell_cg = float("nan")
+    if on_tpu:
+        from ginkgo_tpu import Cg, stop
+
+        rows_c = np.repeat(np.arange(n_ucg, dtype=np.int64), per_row)
+        cols_c = rows_c + rng_u.integers(-256, 257, size=rows_c.size)
+        np.clip(cols_c, 0, n_ucg - 1, out=cols_c)
+        data_c = MatrixData.from_coo(
+            (n_ucg, n_ucg),
+            np.concatenate([rows_c, np.arange(n_ucg)]),
+            np.concatenate([cols_c, np.arange(n_ucg)]),
+            np.concatenate([
+                (rng_u.random(rows_c.size).astype(np.float32) - 0.5) * 1e-2,
+                np.full(n_ucg, 4.0, np.float32),
+            ]),
+        ).sum_duplicates()
+        Au_cg = Pell.from_matrix_data(data_c).scale(0.2)
+        bu = jnp.ones((n_ucg, 1), jnp.float32)
+
+        def pell_cg_total(iters):
+            s = Cg.build(criteria=[stop.Iteration(max_iters=iters)]).generate(
+                Au_cg
+            )
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            float(jnp.sum(run(bu)))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jnp.sum(run(bu)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        probe = Cg.build(criteria=[stop.Iteration(max_iters=2)]).generate(
+            Au_cg
+        )
+        if probe._try_vmem_fused_pell(bu, jnp.zeros_like(bu)) is not None:
+            t_pell_cg = max(
+                (pell_cg_total(600) - pell_cg_total(100)) / 500, 1e-9
+            )
+
     out = {
         "metric": "spmv_roofline_frac",
         "value": round(frac, 4),
@@ -229,6 +302,14 @@ def main():
             "bell_blockstructured_seconds": t_bell,
             "bell_gnnz_per_s": round(data_b.nnz / t_bell / 1e9, 2),
             "bell_inflation": round(Ab.storage_inflation(), 2),
+            "pell_unstructured_seconds": t_pell,
+            "pell_gnnz_per_s": round(data_u.nnz / t_pell / 1e9, 2),
+            "pell_inflation": round(Au.inflation, 2),
+            "pell_n": n_u,
+            "cg_pell_vmem_seconds_per_iteration": (
+                None if t_pell_cg != t_pell_cg else t_pell_cg
+            ),
+            "cg_pell_vmem_n": n_ucg,
             "hbm_gbs": hbm_bandwidth_gbs(),
             "note": "frac may exceed 1.0: loop-invariant diagonal blocks are "
                     "served from on-chip memory across chained applies, so "

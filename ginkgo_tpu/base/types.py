@@ -131,14 +131,23 @@ def to_host(x):
     tunnel (~40 KB/s — 21 MB took 534 s); a buffer that came out of any
     device computation reads back at ~12 MB/s.  Routing the read through a
     no-op add forces a computed buffer.  No-op for numpy inputs.
+
+    Trace-safety: called on a CONCRETE array while some OUTER jit trace is
+    active (e.g. host-side strategy resolution on a closure-captured
+    matrix), the no-op add would be STAGED into the trace and return a
+    tracer — so when that happens the original concrete buffer is read
+    directly instead (the workaround only matters for tunnel readbacks,
+    which never happen mid-trace).
     """
     import jax
     import jax.numpy as jnp
     import numpy as _np
 
-    if isinstance(x, jax.Array):
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
         try:
-            x = x + jnp.zeros((), x.dtype)
+            y = x + jnp.zeros((), x.dtype)
         except TypeError:  # e.g. bool
-            x = jnp.logical_or(x, False)
+            y = jnp.logical_or(x, False)
+        if not isinstance(y, jax.core.Tracer):
+            x = y
     return _np.asarray(x)

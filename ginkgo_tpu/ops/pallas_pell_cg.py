@@ -1,0 +1,266 @@
+"""Whole-solve fused CG for GENERAL unstructured matrices (PELL plan).
+
+The arc completed: ops/pallas_cg.py fuses the entire CG loop into one
+kernel for banded (Dia) operators; this module does the same for
+arbitrary sparsity via the PELL layout (ops/spmv_pallas.py) — the
+operator's slot values + packed lane indices live in VMEM alongside the
+Krylov vectors, so a full conjugate-gradient solve on an *unstructured*
+matrix runs with ZERO per-iteration HBM traffic.  The reference's
+closest analog is still a per-iteration sequence of 5+ kernel launches
+with full HBM passes (core/solver/cg.cpp:148-190); no GPU-side
+equivalent of a VMEM/SMEM-resident whole solve exists there.
+
+Capacity: a poisson-2d 1M-row plan (inflation ~1.6, f32 values + int32
+lane indices) is ~66 MB of slots + ~20 MB of vectors — inside the 116 MB
+budget; bf16 values / int8 indices stretch this ~2.7x.
+
+Layout recap (ops/spmv_pallas.py): output rows tile as (8, 128) per
+1024; a slot is one (values, lane-index) (8, 128) tile pair plus a panel
+base b; q[s, :] gathers from panel b + s of the padded x.  In-kernel the
+search direction p is kept directly in PELL panel layout — a
+(Rf + 15, 128) scratch whose row j + 7 is panel j — so the slot SpMV is
+one dynamic 8-row slice + one `tpu.dynamic_gather`, identical to the
+streaming kernel but reading p from on-chip memory.
+
+Stop semantics mirror ops/pallas_cg._cg_kernel exactly (first iteration
+unconditional, exact r.r or pre-update |rho| monitored).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_cg import _chunk_rows, cg_vmem_budget_bytes
+from .spmv_pallas import PAD_PANELS, SUBLANES
+
+LANES = 128
+
+# scalar maps (tile_of_step + bases) ride SMEM inputs; stay well under
+# the ~256 KB SMEM budget
+_MAX_SMEM_INTS = 48 * 1024
+
+
+def pell_cg_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
+                      q_itemsize: int = 4, n_steps: int = 0,
+                      use_minv: bool = False) -> bool:
+    """Working set: slot values + lane indices, x/r/q frames, the
+    panel-padded p scratch (+ minv), and the SMEM scalar maps."""
+    if n_steps + n_slots > _MAX_SMEM_INTS:
+        return False
+    Rf = NT * SUBLANES
+    slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
+    frame = Rf * LANES * 4
+    vec_frames = 4.5 + (2 * PAD_PANELS + 1) / max(Rf, 1) + (
+        1 if use_minv else 0
+    )
+    return slot_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
+
+
+def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
+                    minv, x_hbm, r_hbm, stats, x_s, r_s, q_s, p_s, sems, *,
+                    G, n_steps, Rf, use_minv, use_implicit):
+    """scal: SMEM (1,) [tol_sq_eff]; iscal: SMEM int32 (1,) [max_iters];
+    tiles/bases: SMEM int32 scalar maps; vals/qidx: VMEM-resident slot
+    arrays; p_s: (Rf + 2*PAD_PANELS + 1, 128) panel-padded scratch with
+    p's panel j at row j + PAD_PANELS."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(Rf)
+    n_chunks = Rf // C
+    Rp = Rf + 2 * PAD_PANELS + 1
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    def mchunk(c0, C):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    # zero the pad panels once; the interior is rewritten every iteration
+    p_s[0:PAD_PANELS] = jnp.zeros((PAD_PANELS, LANES), jnp.float32)
+    p_s[Rp - PAD_PANELS - 1:Rp] = jnp.zeros(
+        (PAD_PANELS + 1, LANES), jnp.float32
+    )
+
+    def init_chunk(c, carry):
+        rho, rr = carry
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        z_c = mchunk(c0, C) * r_c if use_minv else r_c
+        p_s[pl.ds(PAD_PANELS + c0, C), :] = z_c
+        return (rho + jnp.sum(r_c * z_c), rr + jnp.sum(r_c * r_c))
+
+    rho0, rr0 = jax.lax.fori_loop(
+        0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
+    )
+
+    def spmv_into_q():
+        """q = A p: zero q_s, then accumulate every slot's contribution
+        into its output tile — the PELL streaming kernel's body with p
+        read from the VMEM panel scratch."""
+
+        def zq(c, _):
+            q_s[pl.ds(c * C, C), :] = jnp.zeros((C, LANES), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, zq, 0)
+
+        def step_fn(i, _):
+            t = tiles[i]
+            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for g in range(G):
+                slot = i * G + g
+                W = p_s[pl.ds(bases[slot], SUBLANES), :]
+                qv = qidx[pl.ds(slot, 1)][0]
+                gth = jnp.take_along_axis(
+                    W, qv, axis=1, mode="promise_in_bounds"
+                )
+                acc = acc + vals[pl.ds(slot, 1)][0].astype(jnp.float32) * gth
+            base_row = t * SUBLANES
+            q_s[pl.ds(base_row, SUBLANES), :] = (
+                q_s[pl.ds(base_row, SUBLANES), :] + acc
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step_fn, 0)
+
+    def cond(st):
+        it, rho, rr, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho, rr, _ = st
+        spmv_into_q()
+
+        def pq_chunk(c, pq):
+            c0 = c * C
+            return pq + jnp.sum(
+                p_s[pl.ds(PAD_PANELS + c0, C), :] * q_s[pl.ds(c0, C), :]
+            )
+
+        pq = jax.lax.fori_loop(0, n_chunks, pq_chunk, jnp.float32(0))
+        alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
+
+        def update_chunk(c, carry):
+            rho_n, rr_n = carry
+            c0 = c * C
+            p_c = p_s[pl.ds(PAD_PANELS + c0, C), :]
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
+            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            z_c = mchunk(c0, C) * r_c if use_minv else r_c
+            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c))
+
+        rho_new, rr_new = jax.lax.fori_loop(
+            0, n_chunks, update_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+                         0.0)
+
+        def pdir_chunk(c, _):
+            c0 = c * C
+            r_c = r_s[pl.ds(c0, C), :]
+            z_c = mchunk(c0, C) * r_c if use_minv else r_c
+            p_s[pl.ds(PAD_PANELS + c0, C), :] = (
+                z_c + beta * p_s[pl.ds(PAD_PANELS + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pdir_chunk, 0)
+        stop_mon = jnp.abs(rho) if use_implicit else rr_new
+        return (it + 1, rho_new, rr_new, stop_mon)
+
+    it, rho, rr, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), rho0, rr0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
+                       use_implicit=False, interpret=False):
+    """Run CG to convergence in one Pallas kernel on a Pell operator.
+
+    A: matrix.pell.Pell (or any object with values/qidx/bases/
+    tile_of_step/n_steps/G/NT); r0_2/x0_2: (Rf, 128) f32 frames with
+    Rf = A.NT * 8; minv2: optional (Rf, 128) inverse diagonal.
+    Returns (x2, iterations, monitored_sq, converged)."""
+    Rf = A.NT * SUBLANES
+    assert r0_2.shape == (Rf, LANES)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _pell_cg_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf,
+        use_minv=use_minv, use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    args = [
+        scal, iscal,
+        A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
+        A.values, qidx, r0_2, x0_2,
+        minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # tol
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # max_iters
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_of_step
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # values (resident)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qidx (resident)
+        pl.BlockSpec(memory_space=pl.ANY),      # r0 -> DMA
+        pl.BlockSpec(memory_space=pl.ANY),      # x0 -> DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # minv / placeholder
+    ]
+    Rp = Rf + 2 * PAD_PANELS + 1
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # x
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # r
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # q
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # p (panel-padded)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (A.values.size + 6 * Rf * LANES) * int(max_iters),
+            bytes_accessed=A.values.size
+            * (A.values.dtype.itemsize + 4) + 4 * Rf * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

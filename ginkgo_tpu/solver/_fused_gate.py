@@ -17,24 +17,10 @@ import jax.numpy as jnp
 LANES = 128
 
 
-def prepare_fused_dia(solver, b, fits_fn):
-    """Return None (fall back to the generic loop) or a dict with
-    everything a fused kernel needs: A, frames for r0/x0 conversion,
-    minv2, tol_sq, cap, implicit/has_res flags, interpret."""
-    from ..matrix.dia import Dia
-    from ..matrix.diagonal import Diagonal, Identity
-    from ..preconditioner.jacobi import Jacobi
-    from ..stop.criterion import analyze_simple_residual
-    from ..ops.pallas_dia import _plan
-    from .solver_base import extract_max_iters
-
-    if solver.axis_name is not None or getattr(solver, "track_history", False):
-        return None
-    if b.shape[1] != 1 or b.dtype != jnp.float32:
-        return None
-    A = solver.A
-    if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
-        return None
+def _flags_allow_fused():
+    """Env/backend gate shared by every fused path.  All flags consulted
+    here are in solver_base._env_trace_key.  Returns None or dict with
+    interpret."""
     if os.environ.get("GINKGO_TPU_NO_PALLAS"):
         return None
     force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
@@ -43,8 +29,25 @@ def prepare_fused_dia(solver, b, fits_fn):
         return None
     if not (force or on_tpu):
         return None
-    nd, R, _ = A.diags.shape
-    if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+    return {"interpret": not on_tpu}
+
+
+def _prepare_fused_common(solver, b):
+    """Operator-independent checks shared by the Dia and Pell fused
+    paths: single f32 RHS, no SPMD axis / history tracking, env flags,
+    diagonal (Identity/Diagonal/scalar-Jacobi) preconditioner, plain
+    Iteration/ResidualNorm criterion.  Returns None or a partial ctx."""
+    from ..matrix.diagonal import Diagonal, Identity
+    from ..preconditioner.jacobi import Jacobi
+    from ..stop.criterion import analyze_simple_residual
+    from .solver_base import extract_max_iters
+
+    if solver.axis_name is not None or getattr(solver, "track_history", False):
+        return None
+    if b.shape[1] != 1 or b.dtype != jnp.float32:
+        return None
+    flags = _flags_allow_fused()
+    if flags is None:
         return None
     M = solver.preconditioner
     if isinstance(M, Identity):
@@ -55,28 +58,74 @@ def prepare_fused_dia(solver, b, fits_fn):
         minv_flat = M.inv_diag
     else:
         return None
-    _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
-    if not fits_fn(
-        nd, R, A.diags.dtype.itemsize,
-        use_minv=minv_flat is not None, halo_rows=pad_lo + pad_hi,
-    ):
-        return None
     simple = analyze_simple_residual(solver.criterion)
     if simple is None:
         return None
     tol, baseline, implicit, has_res = simple
     return {
-        "A": A,
-        "nd": nd,
-        "R": R,
+        "A": solver.A,
         "minv_flat": minv_flat,
         "tol": tol,
         "baseline": baseline,
         "implicit": implicit,
         "has_res": has_res,
         "cap": extract_max_iters(solver.criterion),
-        "interpret": not on_tpu,
+        "interpret": flags["interpret"],
     }
+
+
+def prepare_fused_dia(solver, b, fits_fn):
+    """Return None (fall back to the generic loop) or a dict with
+    everything a fused kernel needs: A, frames for r0/x0 conversion,
+    minv2, tol_sq, cap, implicit/has_res flags, interpret."""
+    from ..matrix.dia import Dia
+    from ..ops.pallas_dia import _plan
+
+    A = solver.A
+    if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
+        return None
+    nd, R, _ = A.diags.shape
+    if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    ctx = _prepare_fused_common(solver, b)
+    if ctx is None:
+        return None
+    _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
+    if not fits_fn(
+        nd, R, A.diags.dtype.itemsize,
+        use_minv=ctx["minv_flat"] is not None, halo_rows=pad_lo + pad_hi,
+    ):
+        return None
+    ctx.update(nd=nd, R=R)
+    return ctx
+
+
+def prepare_fused_pell(solver, b):
+    """Gate for the fused general-sparse CG (ops/pallas_pell_cg.py): Pell
+    operator whose slot arrays + Krylov vectors fit VMEM (and whose
+    scalar maps fit SMEM)."""
+    from ..matrix.pell import Pell
+    from ..ops.pallas_pell_cg import pell_cg_vmem_fits
+
+    A = solver.A
+    if not isinstance(A, Pell) or A.shape[0] != A.shape[1]:
+        return None
+    if A.values.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if A.values.shape[0] == 0:
+        return None
+    ctx = _prepare_fused_common(solver, b)
+    if ctx is None:
+        return None
+    if not pell_cg_vmem_fits(
+        A.values.shape[0], A.NT, A.values.dtype.itemsize,
+        q_itemsize=A.qidx.dtype.itemsize,
+        n_steps=A.n_steps,
+        use_minv=ctx["minv_flat"] is not None,
+    ):
+        return None
+    ctx.update(Rf=A.NT * 8)
+    return ctx
 
 
 def smoother_fused_ready(A, arr):

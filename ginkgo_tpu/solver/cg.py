@@ -59,6 +59,10 @@ class Cg(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve
 
+        fast = self._try_vmem_fused_pell(b, x0)
+        if fast is not None:
+            return fast
+
         store_q_pick = []
 
         def fits(nd, R, itemsize, use_minv, halo_rows):
@@ -102,6 +106,49 @@ class Cg(IterativeSolverMixin, LinOp):
         else:
             # parity with the generic loop's residual_norm fill when no
             # exact-residual criterion is tracked (solver_base._check_stop)
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+        return x, info
+
+    def _try_vmem_fused_pell(self, b, x0):
+        """Whole-solve-in-VMEM CG for GENERAL unstructured operators
+        (ops/pallas_pell_cg.py): when A is a Pell whose slot arrays +
+        vectors fit VMEM, the entire CG loop — including the
+        gather-based SpMV — runs inside one Pallas kernel with zero
+        per-iteration HBM traffic.  Same gate/criterion/flag rules as
+        the Dia path.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_pell, tol_sq_eff
+        from ..ops.pallas_pell_cg import pell_cg_vmem_solve
+
+        ctx = prepare_fused_pell(self, b)
+        if ctx is None:
+            return None
+        A, Rf = ctx["A"], ctx["Rf"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), Rf)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, mon, conv = pell_cg_vmem_solve(
+            A,
+            frame(r0, Rf),
+            frame(x0, Rf),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
             rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
         conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
         info = SolveInfo(

@@ -161,3 +161,87 @@ def test_choose_format_can_pick_pell():
     ).sort_row_major()
     op = gko.choose_format(md, max_diags=4)
     assert type(op).__name__ in ("Pell", "Bell")
+
+
+# -- fused whole-solve CG on Pell (ops/pallas_pell_cg.py) ----------------------
+
+
+def _spd_unstructured(n, seed, density=0.002):
+    sp = sps.random(n, n, density=density, random_state=seed, format="coo")
+    sp = ((sp + sp.T) * 0.5 + sps.eye(n) * 10.0).tocoo()
+    return gko.MatrixData(
+        (n, n), sp.row, sp.col, sp.data.astype(np.float32)
+    ).sum_duplicates()
+
+
+def test_fused_pell_cg_matches_generic(monkeypatch):
+    """Whole-solve CG with the operator's slots VMEM-resident: identical
+    iteration counts and f32-roundoff agreement vs the generic loop, on a
+    multi-tile unstructured SPD matrix, with and without scalar Jacobi."""
+    from ginkgo_tpu.solver.cg import Cg
+    from ginkgo_tpu.preconditioner.jacobi import Jacobi
+    from ginkgo_tpu import stop
+
+    data = _spd_unstructured(3000, seed=3)
+    A = Pell.from_matrix_data(data)
+    assert A.NT == 3  # multi-tile
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-7)]
+    for pre in (None, Jacobi.build(max_block_size=1)):
+        monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+        solver = Cg.build(criteria=crit, preconditioner=pre).generate(A)
+        assert solver._try_vmem_fused_pell(b, jnp.zeros_like(b)) is not None
+        xf, inf_f = solver.solve(b)
+        monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+        monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+        xg, inf_g = Cg.build(criteria=crit, preconditioner=pre).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+        assert int(inf_f.iterations) == int(inf_g.iterations)
+        assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(xf), np.asarray(xg), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_pell_cg_iteration_only_and_poisson(monkeypatch):
+    from ginkgo_tpu.solver.cg import Cg
+    from ginkgo_tpu.utils import generators
+    from ginkgo_tpu import stop
+
+    data = generators.poisson_2d(20, dtype=np.float32)
+    A = Pell.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=25)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Cg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Cg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == 25 == int(inf_g.iterations)
+    assert not bool(inf_f.converged[0])
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_pell_cg_declines_unsupported(monkeypatch):
+    """Multi-RHS, non-square, SMEM/VMEM overflow must fall back."""
+    from ginkgo_tpu.solver.cg import Cg
+    from ginkgo_tpu.ops.pallas_pell_cg import pell_cg_vmem_fits
+    from ginkgo_tpu import stop
+
+    data = _spd_unstructured(1000, seed=5)
+    A = Pell.from_matrix_data(data)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    solver = Cg.build(
+        criteria=[stop.Iteration(max_iters=5)]
+    ).generate(A)
+    b2 = jnp.ones((A.shape[0], 2), jnp.float32)
+    assert solver._try_vmem_fused_pell(b2, jnp.zeros_like(b2)) is None
+    # budget checks
+    assert not pell_cg_vmem_fits(10**6, 1024, 4)       # slots blow VMEM
+    assert not pell_cg_vmem_fits(10**5, 8, 4)          # maps blow SMEM
+    assert pell_cg_vmem_fits(1000, 8, 4, n_steps=250)
