@@ -15,6 +15,10 @@ from .base import types
 from .base import accessor
 from .base import exceptions
 from .base.types import precision_reduction
+from .base.precision_dispatch import (
+    precision_dispatch,
+    precision_dispatch_advanced,
+)
 from .base.index_set import IndexSet
 from .base.linop import LinOp, Combination, Composition, Perturbation
 from .base.matrix_data import MatrixData, DeviceMatrixData

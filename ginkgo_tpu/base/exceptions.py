@@ -15,8 +15,11 @@ class Error(Exception):
     """Base of the taxonomy (exception.hpp Error)."""
 
 
-class NotImplementedError_(Error):
-    """Operation not implemented for this type (exception.hpp NotImplemented)."""
+class NotImplementedError_(Error, NotImplementedError):
+    """Operation not implemented for this type (exception.hpp
+    NotImplemented).  Also subclasses the builtin NotImplementedError so
+    duck-typed hasattr/try protocols keep working; raised by the abstract
+    LinOp/Criterion/Executor surfaces."""
 
 
 class NotSupported(Error):

@@ -24,7 +24,9 @@ class Executor(Loggable):
 
     @property
     def device(self):
-        raise NotImplementedError
+        from .exceptions import NotImplementedError_
+
+        raise NotImplementedError_(type(self).__name__)
 
     def run(self, name: str, fn, *args, **kwargs):
         """Run a named operation with logging hooks (analog of

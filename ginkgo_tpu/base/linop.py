@@ -49,22 +49,31 @@ def static_field(**kw):
     return dataclasses.field(metadata={"static": True}, **kw)
 
 
+def _not_implemented():
+    from .exceptions import NotImplementedError_
+
+    return NotImplementedError_("operation not implemented for this type")
+
+
 class LinOp:
     """Duck-typed base. Concrete ops are frozen pytree dataclasses."""
+
+    # abstract surface raises the taxonomy's NotImplemented analog
+    # (exception.hpp NotImplemented; base/exceptions.py)
 
     # -- core protocol ------------------------------------------------------
 
     @property
     def shape(self) -> tuple[int, int]:
-        raise NotImplementedError
+        raise _not_implemented()
 
     @property
     def dtype(self):
-        raise NotImplementedError
+        raise _not_implemented()
 
     def apply(self, b):
         """x = self @ b.  b: (m,) or (m, k) array (or Dense)."""
-        raise NotImplementedError
+        raise _not_implemented()
 
     def apply_advanced(self, alpha, b, beta, x):
         """x := alpha * self @ b + beta * x  (reference lin_op.hpp:236)."""
@@ -180,20 +189,3 @@ class Perturbation(LinOp):
         return restore_1d(out, was_1d)
 
 
-@linop_dataclass
-class ScaledPermuted(LinOp):
-    """Helper wrapper op: D_r P A P^T D_c style wrapping is built in
-    reorder.scaled_reordered; kept here for composition reuse."""
-
-    inner: Any
-
-    @property
-    def shape(self):
-        return self.inner.shape
-
-    @property
-    def dtype(self):
-        return self.inner.dtype
-
-    def apply(self, b):
-        return self.inner.apply(b)

@@ -258,10 +258,24 @@ class IterativeSolverMixin:
 
         barr, was_1d = as_2d(b)
         assert_conformant(self.A, barr)  # lin_op.hpp:158 validation analog
+        # precision_dispatch (core/base/precision_dispatch.hpp analog): the
+        # solve runs in the OPERATOR's precision; x comes back in the
+        # caller's.  Real->complex mixes stay in the caller's dtype (a real
+        # operator applies to complex vectors transparently under jnp).
+        caller_dtype = barr.dtype
+        op_dtype = jnp.dtype(self.A.dtype)
+        convert = caller_dtype != op_dtype and (
+            jnp.issubdtype(caller_dtype, jnp.complexfloating)
+            == jnp.issubdtype(op_dtype, jnp.complexfloating)
+        )
+        if convert:
+            barr = barr.astype(op_dtype)
         if x0 is None:
             xarr = jnp.zeros_like(barr)
         else:
             xarr, _ = as_2d(x0)
+            if convert:
+                xarr = xarr.astype(op_dtype)
         emit = bool(loggers) or bool(global_loggers())
         if emit:
             fanout(loggers, Event.linop_apply_started, solver=self)
@@ -275,6 +289,8 @@ class IterativeSolverMixin:
         if emit:
             self._replay_iterations(loggers, info)
             fanout(loggers, Event.linop_apply_completed, solver=self)
+        if convert:
+            x = x.astype(caller_dtype)
         return restore_1d(x, was_1d), info
 
     def _replay_iterations(self, loggers, info):

@@ -42,7 +42,9 @@ class Criterion:
 
     def check(self, ctx) -> jnp.ndarray:
         """Return (k,) bool mask of columns that should stop now."""
-        raise NotImplementedError
+        from ..base.exceptions import NotImplementedError_
+
+        raise NotImplementedError_(type(self).__name__)
 
     def check_converged(self, ctx) -> jnp.ndarray:
         """Mask of columns stopped *by convergence* (Iteration/Time excluded).

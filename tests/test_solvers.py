@@ -222,3 +222,55 @@ def test_find_natural_blocks_caps_size(rng):
     ptrs = gko.preconditioner.find_natural_blocks(A, 4)
     sizes = np.diff(ptrs)
     assert sizes.max() <= 4 and ptrs[0] == 0 and ptrs[-1] == 20
+
+
+# -- precision_dispatch (base/precision_dispatch.py) ---------------------------
+
+
+def test_precision_dispatch_apply():
+    """f32 operator applied to f64 vectors computes in f32 and returns
+    f64 (precision_dispatch.hpp semantics)."""
+    import ginkgo_tpu as gko
+    from ginkgo_tpu.matrix.csr import Csr
+    from ginkgo_tpu.utils import generators
+
+    data = generators.poisson_2d(8, dtype=np.float32)
+    A = Csr.from_matrix_data(data)
+    b = jnp.ones((A.shape[1],), jnp.float64)
+    y = gko.precision_dispatch(A.apply, A.dtype, b)
+    assert y.dtype == jnp.float64
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(A.apply(b.astype(jnp.float32))), rtol=1e-6
+    )
+    # real operator x complex vectors: per-part dispatch
+    bc = b + 1j * (2.0 * b)
+    yc = gko.precision_dispatch(A.apply, A.dtype, bc)
+    assert jnp.issubdtype(yc.dtype, jnp.complexfloating)
+    np.testing.assert_allclose(np.asarray(yc.real), np.asarray(y), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(yc.imag), 2.0 * np.asarray(y), rtol=1e-6
+    )
+
+
+def test_solver_auto_precision_dispatch():
+    """Solving with f64 b on an f32 operator runs the solve in f32 and
+    returns f64 x (automatic conversion at the solve boundary)."""
+    from ginkgo_tpu.matrix.dia import Dia
+    from ginkgo_tpu.solver.cg import Cg
+    from ginkgo_tpu import stop
+    from ginkgo_tpu.utils import generators
+
+    data = generators.poisson_2d(12, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    assert A.dtype == jnp.float32
+    b64 = jnp.ones((A.shape[0], 1), jnp.float64)
+    x, info = Cg.build(
+        criteria=[stop.Iteration(max_iters=300),
+                  stop.ResidualNorm(tolerance=1e-6)]
+    ).generate(A).solve(b64)
+    assert x.dtype == jnp.float64
+    assert bool(info.converged[0])
+    r = np.asarray(b64)[:, 0] - np.asarray(A.to_dense().values) @ np.asarray(
+        x
+    )[:, 0]
+    assert np.linalg.norm(r) <= 1e-4  # f32 compute accuracy
