@@ -62,6 +62,41 @@ def pell_cg_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
     return slot_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
 
 
+def _make_pell_spmv(tiles, bases, vals, qidx, *, G, n_steps, C, n_chunks):
+    """In-kernel slot-loop SpMV factory: dst = A @ src_pad, where src_pad
+    is a panel-padded (.., 128) VMEM ref (panel j at row j + PAD_PANELS)
+    and dst a (Rf, 128) VMEM ref.  The PELL streaming kernel's body with
+    all operands read from on-chip memory."""
+
+    def spmv(src_pad, dst):
+        def zq(c, _):
+            dst[pl.ds(c * C, C), :] = jnp.zeros((C, LANES), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, zq, 0)
+
+        def step_fn(i, _):
+            t = tiles[i]
+            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for g in range(G):
+                slot = i * G + g
+                W = src_pad[pl.ds(bases[slot], SUBLANES), :]
+                qv = qidx[pl.ds(slot, 1)][0]
+                gth = jnp.take_along_axis(
+                    W, qv, axis=1, mode="promise_in_bounds"
+                )
+                acc = acc + vals[pl.ds(slot, 1)][0].astype(jnp.float32) * gth
+            base_row = t * SUBLANES
+            dst[pl.ds(base_row, SUBLANES), :] = (
+                dst[pl.ds(base_row, SUBLANES), :] + acc
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step_fn, 0)
+
+    return spmv
+
+
 def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
                     minv, x_hbm, r_hbm, stats, x_s, r_s, q_s, p_s, sems, *,
                     G, n_steps, Rf, use_minv, use_implicit):
@@ -103,35 +138,13 @@ def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
         0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
     )
 
+    _spmv = _make_pell_spmv(
+        tiles, bases, vals, qidx, G=G, n_steps=n_steps, C=C,
+        n_chunks=n_chunks,
+    )
+
     def spmv_into_q():
-        """q = A p: zero q_s, then accumulate every slot's contribution
-        into its output tile — the PELL streaming kernel's body with p
-        read from the VMEM panel scratch."""
-
-        def zq(c, _):
-            q_s[pl.ds(c * C, C), :] = jnp.zeros((C, LANES), jnp.float32)
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, zq, 0)
-
-        def step_fn(i, _):
-            t = tiles[i]
-            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for g in range(G):
-                slot = i * G + g
-                W = p_s[pl.ds(bases[slot], SUBLANES), :]
-                qv = qidx[pl.ds(slot, 1)][0]
-                gth = jnp.take_along_axis(
-                    W, qv, axis=1, mode="promise_in_bounds"
-                )
-                acc = acc + vals[pl.ds(slot, 1)][0].astype(jnp.float32) * gth
-            base_row = t * SUBLANES
-            q_s[pl.ds(base_row, SUBLANES), :] = (
-                q_s[pl.ds(base_row, SUBLANES), :] + acc
-            )
-            return 0
-
-        jax.lax.fori_loop(0, n_steps, step_fn, 0)
+        _spmv(p_s, q_s)
 
     def cond(st):
         it, rho, rr, stop_mon = st
@@ -256,6 +269,258 @@ def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (A.values.size + 6 * Rf * LANES) * int(max_iters),
+            bytes_accessed=A.values.size
+            * (A.values.dtype.itemsize + 4) + 4 * Rf * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0
+
+
+# -- fused BiCGSTAB on PELL ----------------------------------------------------
+
+
+def pell_bicgstab_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
+                            q_itemsize: int = 4, n_steps: int = 0,
+                            use_minv: bool = False) -> bool:
+    """x/r/rr/v/t frames + panel-padded p, s (and w for the explicit M
+    application) + slot arrays + SMEM maps."""
+    if n_steps + n_slots > _MAX_SMEM_INTS:
+        return False
+    Rf = NT * SUBLANES
+    slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
+    pads = (2 * PAD_PANELS + 1) / max(Rf, 1)
+    vec_frames = 8.5 + 3 * pads + (2 if use_minv else 0)
+    return slot_bytes + vec_frames * Rf * LANES * 4 <= cg_vmem_budget_bytes()
+
+
+def _sdiv(num, den):
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+
+
+def _pell_bicgstab_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
+                          x0_hbm, minv, x_hbm, r_hbm, stats, x_s, r_s, rr_s,
+                          v_s, t_s, p_s, s_s, w_s, sems, *, G, n_steps, Rf,
+                          use_minv, use_implicit):
+    """Semantics mirror ops/pallas_bicgstab._bicgstab_kernel (itself
+    solver/bicgstab.py): shadow residual rr = r0, half-step check on s,
+    omega = 0 for half-converged.  Right preconditioning is EXPLICIT
+    here (w = M p computed chunk-wise into its own padded scratch, then
+    v = A w) — PELL values have no cheap column-scaling fold."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(Rf)
+    n_chunks = Rf // C
+    Rp = Rf + 2 * PAD_PANELS + 1
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    def mchunk(c0):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    pad_refs = (p_s, s_s, w_s) if use_minv else (p_s, s_s)
+    for ref in pad_refs:
+        ref[0:PAD_PANELS] = jnp.zeros((PAD_PANELS, LANES), jnp.float32)
+        ref[Rp - PAD_PANELS - 1:Rp] = jnp.zeros(
+            (PAD_PANELS + 1, LANES), jnp.float32
+        )
+
+    _spmv = _make_pell_spmv(
+        tiles, bases, vals, qidx, G=G, n_steps=n_steps, C=C,
+        n_chunks=n_chunks,
+    )
+
+    def init_chunk(c, rho):
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        rr_s[pl.ds(c0, C), :] = r_c
+        v_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        p_s[pl.ds(PAD_PANELS + c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        return rho + jnp.sum(r_c * r_c)
+
+    rho0 = jax.lax.fori_loop(0, n_chunks, init_chunk, jnp.float32(0))
+
+    def precondition(src_pad):
+        """w = minv * src (chunk-wise); returns the SpMV source ref."""
+        if not use_minv:
+            return src_pad
+
+        def w_chunk(c, _):
+            c0 = c * C
+            w_s[pl.ds(PAD_PANELS + c0, C), :] = (
+                mchunk(c0) * src_pad[pl.ds(PAD_PANELS + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, w_chunk, 0)
+        return w_s
+
+    def cond(st):
+        it, rho_old, alpha, omega, rho_new, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho_old, alpha, omega, rho_new, _ = st
+        beta = _sdiv(rho_new * alpha, rho_old * omega)
+
+        def p_chunk(c, _):
+            c0 = c * C
+            p_c = p_s[pl.ds(PAD_PANELS + c0, C), :]
+            p_s[pl.ds(PAD_PANELS + c0, C), :] = (
+                r_s[pl.ds(c0, C), :]
+                + beta * (p_c - omega * v_s[pl.ds(c0, C), :])
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, p_chunk, 0)
+
+        _spmv(precondition(p_s), v_s)
+
+        def rv_chunk(c, rv):
+            c0 = c * C
+            return rv + jnp.sum(
+                rr_s[pl.ds(c0, C), :] * v_s[pl.ds(c0, C), :]
+            )
+
+        rv = jax.lax.fori_loop(0, n_chunks, rv_chunk, jnp.float32(0))
+        alpha_new = _sdiv(rho_new, rv)
+
+        def s_chunk(c, ss):
+            c0 = c * C
+            s_c = r_s[pl.ds(c0, C), :] - alpha_new * v_s[pl.ds(c0, C), :]
+            s_s[pl.ds(PAD_PANELS + c0, C), :] = s_c
+            return ss + jnp.sum(s_c * s_c)
+
+        ss = jax.lax.fori_loop(0, n_chunks, s_chunk, jnp.float32(0))
+        mon_half = jnp.abs(rho_new) if use_implicit else ss
+        half_done = mon_half <= tol_sq
+
+        _spmv(precondition(s_s), t_s)
+
+        def ts_chunk(c, carry):
+            ts, tt = carry
+            c0 = c * C
+            t_c = t_s[pl.ds(c0, C), :]
+            return (
+                ts + jnp.sum(t_c * s_s[pl.ds(PAD_PANELS + c0, C), :]),
+                tt + jnp.sum(t_c * t_c),
+            )
+
+        ts, tt = jax.lax.fori_loop(
+            0, n_chunks, ts_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        omega_new = jnp.where(half_done, 0.0, _sdiv(ts, tt))
+
+        def upd_chunk(c, carry):
+            rr_dot, rnorm = carry
+            c0 = c * C
+            p_c = p_s[pl.ds(PAD_PANELS + c0, C), :]
+            s_c = s_s[pl.ds(PAD_PANELS + c0, C), :]
+            y_c = mchunk(c0) * p_c if use_minv else p_c
+            z_c = mchunk(c0) * s_c if use_minv else s_c
+            x_s[pl.ds(c0, C), :] = (
+                x_s[pl.ds(c0, C), :] + alpha_new * y_c + omega_new * z_c
+            )
+            r_c = s_c - omega_new * t_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return (
+                rr_dot + jnp.sum(rr_s[pl.ds(c0, C), :] * r_c),
+                rnorm + jnp.sum(r_c * r_c),
+            )
+
+        rho_next, rr_new = jax.lax.fori_loop(
+            0, n_chunks, upd_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        stop_mon = jnp.abs(rho_new) if use_implicit else rr_new
+        omega_carry = jnp.where(half_done, 1.0, omega_new)
+        return (it + 1, rho_new, alpha_new, omega_carry, rho_next, stop_mon)
+
+    it, rho_old, alpha, omega, rho_new, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.float32(1), jnp.float32(1),
+         jnp.float32(1), rho0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def pell_bicgstab_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
+                             max_iters, use_implicit=False, interpret=False):
+    """Run BiCGSTAB to convergence in one Pallas kernel on a Pell
+    operator.  Same contract as pell_cg_vmem_solve."""
+    Rf = A.NT * SUBLANES
+    assert r0_2.shape == (Rf, LANES)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _pell_bicgstab_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf,
+        use_minv=use_minv, use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    args = [
+        scal, iscal,
+        A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
+        A.values, qidx, r0_2, x0_2,
+        minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    Rp = Rf + 2 * PAD_PANELS + 1
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # x
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # r
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # rr
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # v
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # t
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # p (panel-padded)
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # s (panel-padded)
+            # w = M p / M s staging; dummy-small when not preconditioned
+            pltpu.VMEM((Rp if use_minv else 8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (A.values.size + 6 * Rf * LANES) * int(max_iters),
             bytes_accessed=A.values.size
             * (A.values.dtype.itemsize + 4) + 4 * Rf * LANES * 4,
             transcendentals=0,

@@ -49,6 +49,10 @@ class Bicgstab(IterativeSolverMixin, LinOp):
             bicgstab_vmem_solve,
         )
 
+        fast = self._try_vmem_fused_pell(b, x0)
+        if fast is not None:
+            return fast
+
         ctx = prepare_fused_dia(self, b, bicgstab_vmem_fits)
         if ctx is None:
             return None
@@ -76,6 +80,63 @@ class Bicgstab(IterativeSolverMixin, LinOp):
             A.offsets,
             frame(r0, R),
             frame(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
+    def _try_vmem_fused_pell(self, b, x0):
+        """Whole-solve-in-VMEM BiCGSTAB for GENERAL unstructured operators
+        (ops/pallas_pell_cg.pell_bicgstab_vmem_solve): Pell operator whose
+        slots + the seven state frames fit VMEM; right preconditioning
+        applied explicitly in-kernel.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, _prepare_fused_common, tol_sq_eff
+        from ..matrix.pell import Pell
+        from ..ops.pallas_pell_cg import (
+            pell_bicgstab_vmem_fits,
+            pell_bicgstab_vmem_solve,
+        )
+
+        A = self.A
+        if not isinstance(A, Pell) or A.shape[0] != A.shape[1]:
+            return None
+        if A.values.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if A.values.shape[0] == 0:
+            return None
+        ctx = _prepare_fused_common(self, b)
+        if ctx is None:
+            return None
+        if not pell_bicgstab_vmem_fits(
+            A.values.shape[0], A.NT, A.values.dtype.itemsize,
+            q_itemsize=A.qidx.dtype.itemsize, n_steps=A.n_steps,
+            use_minv=ctx["minv_flat"] is not None,
+        ):
+            return None
+        Rf = A.NT * 8
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), Rf)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, mon, conv = pell_bicgstab_vmem_solve(
+            A,
+            frame(r0, Rf),
+            frame(x0, Rf),
             minv2,
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],

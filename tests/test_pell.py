@@ -245,3 +245,58 @@ def test_fused_pell_cg_declines_unsupported(monkeypatch):
     assert not pell_cg_vmem_fits(10**6, 1024, 4)       # slots blow VMEM
     assert not pell_cg_vmem_fits(10**5, 8, 4)          # maps blow SMEM
     assert pell_cg_vmem_fits(1000, 8, 4, n_steps=250)
+
+
+def test_fused_pell_bicgstab_matches_generic(monkeypatch):
+    """Whole-solve BiCGSTAB on a NONSYMMETRIC unstructured Pell operator
+    (explicit in-kernel right preconditioning) vs the generic loop."""
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+    from ginkgo_tpu.preconditioner.jacobi import Jacobi
+    from ginkgo_tpu import stop
+
+    n = 2500
+    sp = sps.random(n, n, density=0.002, random_state=5, format="coo")
+    sp = (sp + sps.eye(n) * 10.0).tocoo()
+    data = gko.MatrixData(
+        (n, n), sp.row, sp.col, sp.data.astype(np.float32)
+    ).sum_duplicates()
+    A = Pell.from_matrix_data(data)
+    b = jnp.ones((n, 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-7)]
+    for pre in (None, Jacobi.build(max_block_size=1)):
+        monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+        s = Bicgstab.build(criteria=crit, preconditioner=pre).generate(A)
+        assert s._try_vmem_fused_pell(b, jnp.zeros_like(b)) is not None
+        xf, inf_f = s.solve(b)
+        monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+        monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+        xg, inf_g = Bicgstab.build(criteria=crit, preconditioner=pre).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+        assert int(inf_f.iterations) == int(inf_g.iterations)
+        assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(xf), np.asarray(xg), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_pell_bicgstab_iteration_only(monkeypatch):
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+    from ginkgo_tpu import stop
+    from ginkgo_tpu.utils import generators
+
+    data = generators.poisson_2d(20, dtype=np.float32)
+    A = Pell.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=12)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == 12 == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+    )
