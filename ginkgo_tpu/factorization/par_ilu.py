@@ -38,24 +38,29 @@ def split_lu_pattern(A: Csr):
 
     lower_mask = rows > cols
     upper_mask = ~lower_mask  # includes diagonal
-    # L pattern: strict lower + explicit unit diagonal
-    l_rows = np.concatenate([rows[lower_mask], np.arange(n)])
-    l_cols = np.concatenate([cols[lower_mask], np.arange(n)])
-    order = np.lexsort((l_cols, l_rows))
-    l_rows, l_cols = l_rows[order], l_cols[order]
+    # L pattern: strict lower + explicit unit diagonal.  The strict-lower
+    # subset is already row-major sorted (subset of sorted A), so the diag
+    # entries MERGE in via one searchsorted + np.insert — no lexsort.
+    N1 = np.int64(n + 1)
+    low_keys = rows[lower_mask].astype(np.int64) * N1 + cols[lower_mask]
+    diag_keys = np.arange(n, dtype=np.int64) * (N1 + 1)
+    ins = np.searchsorted(low_keys, diag_keys)
+    l_rows = np.insert(rows[lower_mask], ins, np.arange(n))
+    l_cols = np.insert(cols[lower_mask], ins, np.arange(n))
     l_indptr = np.zeros(n + 1, np.int64)
     np.add.at(l_indptr, l_rows + 1, 1)
     l_indptr = np.cumsum(l_indptr)
-    # U pattern: upper incl diagonal (ensure diag present)
+    # U pattern: upper incl diagonal (merge in rows lacking one)
     u_rows = rows[upper_mask]
     u_cols = cols[upper_mask]
     have_diag = np.zeros(n, bool)
     have_diag[u_rows[u_rows == u_cols]] = True
     add_d = np.nonzero(~have_diag)[0]
-    u_rows = np.concatenate([u_rows, add_d])
-    u_cols = np.concatenate([u_cols, add_d])
-    order = np.lexsort((u_cols, u_rows))
-    u_rows, u_cols = u_rows[order], u_cols[order]
+    if len(add_d):
+        up_keys = u_rows.astype(np.int64) * N1 + u_cols
+        ins = np.searchsorted(up_keys, add_d.astype(np.int64) * (N1 + 1))
+        u_rows = np.insert(u_rows, ins, add_d)
+        u_cols = np.insert(u_cols, ins, add_d)
     u_indptr = np.zeros(n + 1, np.int64)
     np.add.at(u_indptr, u_rows + 1, 1)
     u_indptr = np.cumsum(u_indptr)
@@ -64,7 +69,6 @@ def split_lu_pattern(A: Csr):
     # keys row*(n+1)+col turn every (i, j) -> slot lookup into one
     # searchsorted; the product map is built SpGEMM-style from strict-lower
     # L entries crossed with their U rows, filtered to the A pattern.
-    N1 = np.int64(n + 1)
     lkeys = l_rows.astype(np.int64) * N1 + l_cols.astype(np.int64)
     ukeys = u_rows.astype(np.int64) * N1 + u_cols.astype(np.int64)
     akeys = rows.astype(np.int64) * N1 + cols.astype(np.int64)
@@ -123,7 +127,68 @@ def split_lu_pattern(A: Csr):
         nnz_l=len(l_cols),
         nnz_u=len(u_cols),
         shape=a.shape,
+        # host copies for callers assembling scipy factors (ParILUT):
+        # avoids device->host readbacks of index arrays every iteration
+        np_l_cols=np.asarray(l_cols, np.int64),
+        np_l_indptr=l_indptr,
+        np_u_cols=np.asarray(u_cols, np.int64),
+        np_u_indptr=u_indptr,
     )
+
+
+def _bucket(m: int) -> int:
+    """Next power-of-2-ish bucket (1.0/1.25/1.5/1.75 mantissa steps) so the
+    adaptive-pattern sweeps reuse jit compilations across iterations."""
+    if m <= 256:
+        return 256
+    p = 1 << (int(m - 1).bit_length() - 1)
+    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+        if m <= int(p * frac):
+            return int(p * frac)
+    return 2 * p
+
+
+def pad_plan_to_buckets(plan):
+    """Pad the device arrays of a sweep plan to bucketed sizes with inert
+    entries (zero values; scatter targets out of bounds, which XLA drops;
+    gather sources at slot 0).  parilu_sweeps output is sliced back by
+    the caller via plan['nnz_l']/['nnz_u'].  The pattern-adaptive ParILUT
+    loop produces a new shape every iteration; bucketing caps the number
+    of distinct jit signatures at O(log) instead of O(iterations)."""
+    import jax.numpy as jnp
+
+    nnz_a = int(plan["a_vals"].shape[0])
+    T = int(plan["pl"].shape[0])
+    nnz_l, nnz_u = plan["nnz_l"], plan["nnz_u"]
+    ba, bt = _bucket(nnz_a), _bucket(T)
+    bl, bu = _bucket(nnz_l), _bucket(nnz_u)
+    if (ba, bt, bl, bu) == (nnz_a, T, nnz_l, nnz_u):
+        return plan
+    p = dict(plan)
+
+    def pad(name, total, fill):
+        arr = p[name]
+        k = total - arr.shape[0]
+        if k > 0:
+            p[name] = jnp.concatenate(
+                [arr, jnp.full((k,), fill, arr.dtype)]
+            )
+
+    pad("a_vals", ba, 0)
+    pad("a_rows", ba, 0)
+    pad("a_cols", ba, 1)        # not a diagonal slot
+    pad("target", ba, max(bl, bu))  # out of bounds -> scatter dropped
+    pad("is_lower", ba, False)
+    pad("udiag_of_entry", ba, 0)
+    pad("pl", bt, 0)
+    pad("pu", bt, 0)
+    pad("pout", bt, ba)         # segment id >= num_segments -> dropped
+    pad("l_cols", bl, 0)
+    pad("u_cols", bu, 0)
+    # l_diag/u_diag are (n,) per-row maps — length fixed by the matrix,
+    # no padding needed (their values index the true slot range)
+    p["nnz_l"], p["nnz_u"] = bl, bu
+    return p
 
 
 def parilu_sweeps(plan, sweeps: int):

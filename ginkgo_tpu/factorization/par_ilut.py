@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..matrix.csr import Csr
 from ..base.matrix_data import MatrixData
 from .factorization import Factorization
-from .par_ilu import split_lu_pattern, parilu_sweeps
+from .par_ilu import pad_plan_to_buckets, parilu_sweeps, split_lu_pattern
 
 
 def _threshold_filter(m, max_nnz: int, keep_diag=True, approximate=False):
@@ -72,14 +72,18 @@ def _sweeps_on_pattern(A_sp, pattern_sp, sweeps: int):
     both.sort_indices()
     A_ext = Csr.from_scipy(both)
     plan = split_lu_pattern(A_ext)
-    lv, uv = parilu_sweeps(plan, sweeps)
+    # bucket-padded shapes: the adaptive pattern changes every iteration,
+    # bucketing keeps the jit signature count O(log) instead of O(iters)
+    lv, uv = parilu_sweeps(pad_plan_to_buckets(plan), sweeps)
     n = both.shape[0]
     L = sps.csr_matrix(
-        (np.asarray(lv), np.asarray(plan["l_cols"]), np.asarray(plan["l_indptr"])),
+        (np.asarray(lv)[: plan["nnz_l"]], plan["np_l_cols"],
+         plan["np_l_indptr"]),
         shape=(n, n),
     )
     U = sps.csr_matrix(
-        (np.asarray(uv), np.asarray(plan["u_cols"]), np.asarray(plan["u_indptr"])),
+        (np.asarray(uv)[: plan["nnz_u"]], plan["np_u_cols"],
+         plan["np_u_indptr"]),
         shape=(n, n),
     )
     return L, U

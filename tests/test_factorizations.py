@@ -285,3 +285,30 @@ def test_direct_solver(rng):
     b = dense @ x_true
     x, info = solver.solve(b)
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-8, atol=1e-9)
+
+
+def test_parilu_bucket_padding_parity():
+    """pad_plan_to_buckets must not change sweep results: padded entries
+    are inert (zero values, out-of-bounds scatters dropped)."""
+    import numpy as np
+    from ginkgo_tpu.utils import generators
+    from ginkgo_tpu.matrix.csr import Csr
+    from ginkgo_tpu.factorization.par_ilu import (
+        pad_plan_to_buckets,
+        parilu_sweeps,
+        split_lu_pattern,
+    )
+
+    data = generators.poisson_2d(13)  # odd size -> real padding everywhere
+    A = Csr.from_matrix_data(data)
+    plan = split_lu_pattern(A)
+    padded = pad_plan_to_buckets(plan)
+    assert padded["a_vals"].shape[0] > plan["a_vals"].shape[0]
+    lv0, uv0 = parilu_sweeps(plan, 4)
+    lv1, uv1 = parilu_sweeps(padded, 4)
+    np.testing.assert_array_equal(
+        np.asarray(lv0), np.asarray(lv1)[: plan["nnz_l"]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(uv0), np.asarray(uv1)[: plan["nnz_u"]]
+    )
