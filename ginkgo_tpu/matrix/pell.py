@@ -27,8 +27,8 @@ from ..ops import spmv as spmv_ops
 
 @linop_dataclass
 class Pell(LinOp):
-    values: jnp.ndarray  # (slots, 8, 128) zero-padded window cells
-    qidx: jnp.ndarray  # (slots, 8, 128) int32 packed col-within-window
+    values: jnp.ndarray  # (slots, S, 128) zero-padded window cells
+    qidx: jnp.ndarray  # (slots, S, 128) int32/int8 packed col-within-window
     bases: jnp.ndarray  # (slots,) int32 padded-panel base per slot
     tile_of_step: jnp.ndarray  # (n_steps,) int32 output tile per grid step
     shape: tuple = static_field(default=(0, 0))
@@ -37,16 +37,17 @@ class Pell(LinOp):
     G: int = static_field(default=4)
     NT: int = static_field(default=0)
     NP: int = static_field(default=0)
+    S: int = static_field(default=8)  # sublanes per slot tile (v5 knob)
 
     # -- construction ---------------------------------------------------------
 
     @staticmethod
-    def from_csr(csr, G: int = 4) -> "Pell":
+    def from_csr(csr, G: int = 4, S: int = 8, q_dtype=np.int32) -> "Pell":
         from ..ops.spmv_pallas import PellPlan
 
         plan = PellPlan(
             np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
-            np.asarray(csr.values), csr.shape, G=G,
+            np.asarray(csr.values), csr.shape, G=G, S=S, q_dtype=q_dtype,
         )
         return Pell._from_plan(plan)
 
@@ -63,13 +64,16 @@ class Pell(LinOp):
             G=plan.G,
             NT=plan.NT,
             NP=plan.NP,
+            S=getattr(plan, "S", 8),
         )
 
     @staticmethod
-    def from_matrix_data(data: MatrixData, G: int = 4) -> "Pell":
+    def from_matrix_data(data: MatrixData, G: int = 4, S: int = 8,
+                         q_dtype=np.int32) -> "Pell":
         from .csr import Csr
 
-        return Pell.from_csr(Csr.from_matrix_data(data), G=G)
+        return Pell.from_csr(Csr.from_matrix_data(data), G=G, S=S,
+                             q_dtype=q_dtype)
 
     read = from_matrix_data
 
@@ -138,10 +142,12 @@ class Pell(LinOp):
         return self.replace(values=self.values.astype(dtype))
 
     def transpose(self):
-        return Pell.from_csr(self.to_csr().transpose(), G=self.G)
+        return Pell.from_csr(self.to_csr().transpose(), G=self.G, S=self.S,
+                             q_dtype=np.asarray(self.qidx).dtype)
 
     def conj_transpose(self):
-        return Pell.from_csr(self.to_csr().conj_transpose(), G=self.G)
+        return Pell.from_csr(self.to_csr().conj_transpose(), G=self.G,
+                             S=self.S, q_dtype=np.asarray(self.qidx).dtype)
 
     # -- conversions ----------------------------------------------------------
 
@@ -151,21 +157,20 @@ class Pell(LinOp):
         Structural zeros stored in the source pattern are dropped (their
         plan cells are indistinguishable from padding) — acceptable for a
         streaming format whose apply treats them identically."""
-        from ..ops.spmv_pallas import PAD_PANELS
-
         vals = np.asarray(self.values)
         q = np.asarray(self.qidx)
         bases = np.asarray(self.bases)
         tiles = np.asarray(self.tile_of_step)
+        pad = self.S - 1
         slots_per_tile = np.bincount(tiles, minlength=tiles.max() + 1 if
                                      len(tiles) else 1) * self.G
         slot_tile = np.repeat(np.arange(len(slots_per_tile)), slots_per_tile)
         occ = vals != 0
         sl, s, lane = np.nonzero(occ)
-        rows = slot_tile[sl] * 1024 + s * 128 + lane
+        rows = slot_tile[sl] * (self.S * 128) + s * 128 + lane
         cols = (
-            (bases[sl].astype(np.int64) - PAD_PANELS + s) * 128
-            + q[sl, s, lane]
+            (bases[sl].astype(np.int64) - pad + s) * 128
+            + q[sl, s, lane].astype(np.int64)
         )
         order = np.lexsort((cols, rows))
         return MatrixData(

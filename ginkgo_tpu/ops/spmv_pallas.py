@@ -63,9 +63,17 @@ PAD_PANELS = 7  # zero panels either side so any base +- 7 slices validly
 
 
 class PellPlan:
-    """Static PELL expansion of a CSR pattern (host-built, numpy)."""
+    """Static PELL expansion of a CSR pattern (host-built, numpy).
 
-    def __init__(self, indptr, indices, values, shape, G: int = 8):
+    S: sublanes per slot tile (tile covers S*128 output rows).  Larger S
+    amortizes the per-slot slice+gather over more cells at equal padding
+    inflation (slots are base-distinct, not row-distinct) — the v5
+    refinement; S=8 is the v4 layout.  q_dtype: storage dtype of the
+    packed lane indices (int8 halves index traffic; lanes < 128 always
+    fit); the kernel widens to int32 in-register."""
+
+    def __init__(self, indptr, indices, values, shape, G: int = 8,
+                 S: int = SUBLANES, q_dtype=np.int32):
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         values = np.asarray(values)
@@ -77,7 +85,10 @@ class PellPlan:
         nnz = len(indices)
         self.shape = (n_rows, n_cols)
         self.G = G
-        NT = max(-(-n_rows // TILE_ROWS), 1)
+        self.S = int(S)
+        self.pad = self.S - 1
+        tile_rows = self.S * LANES
+        NT = max(-(-n_rows // tile_rows), 1)
         NP = max(-(-n_cols // LANES), 1)
         self.NT, self.NP = NT, NP
         self.nnz = nnz
@@ -86,12 +97,12 @@ class PellPlan:
             np.arange(n_rows, dtype=np.int64), np.diff(indptr)
         )
         cols = indices.astype(np.int64)
-        t = rows >> 10
-        s = (rows >> 7) & 7
+        t = rows // tile_rows
+        s = (rows >> 7) % self.S
         lane = (rows & 127).astype(np.int64)
         p = cols >> 7
         q = (cols & 127).astype(np.int64)
-        base = p - s + PAD_PANELS  # in [0, NP + 6]
+        base = p - s + self.pad  # in [0, NP + 2*pad - 1]
 
         # occurrence index within each (row, panel) run (cols sorted
         # within rows, so runs are contiguous); < 128 by construction
@@ -103,8 +114,8 @@ class PellPlan:
         occ = np.arange(nnz, dtype=np.int64) - run_start
 
         # slot identity per tile: distinct (base, occurrence) pairs,
-        # shared across the 8 sublanes (the diagonal-base alignment)
-        NB = NP + 2 * PAD_PANELS + 1
+        # shared across the S sublanes (the diagonal-base alignment)
+        NB = NP + 2 * self.pad + 1
         K = (t * NB + base) * 128 + occ
         uniqK, slot_inv = np.unique(K, return_inverse=True)
         u_t = uniqK // (np.int64(NB) * 128)
@@ -123,10 +134,10 @@ class PellPlan:
         slot_off = np.concatenate([[0], np.cumsum(K_t_pad)])
         total_slots = int(slot_off[-1])
         self.n_steps = int(steps_t.sum())
-        self.inflation = total_slots * TILE_ROWS / max(nnz, 1)
+        self.inflation = total_slots * tile_rows / max(nnz, 1)
 
-        vals_arr = np.zeros((total_slots, SUBLANES, LANES), values.dtype)
-        q_arr = np.zeros((total_slots, SUBLANES, LANES), np.int32)
+        vals_arr = np.zeros((total_slots, self.S, LANES), values.dtype)
+        q_arr = np.zeros((total_slots, self.S, LANES), q_dtype)
         bases = np.zeros(total_slots, np.int32)
         if nnz:
             slot_of_pair = slot_off[u_t] + slot_in_t
@@ -143,7 +154,7 @@ class PellPlan:
 
 
 def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
-                 G):
+                 G, S=SUBLANES):
     i = pl.program_id(0)
     prev = tiles_ref[jnp.maximum(i - 1, 0)]
     cur = tiles_ref[i]
@@ -152,12 +163,15 @@ def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    acc = jnp.zeros((S, LANES), jnp.float32)
     for g in range(G):
-        # one VMEM slice fetches the slot's 8 diagonal-aligned panels
-        W = x_ref[pl.ds(bases_ref[i * G + g], SUBLANES), :]
+        # one VMEM slice fetches the slot's S diagonal-aligned panels
+        W = x_ref[pl.ds(bases_ref[i * G + g], S), :]
+        qv = q_ref[g]
+        if qv.dtype != jnp.int32:
+            qv = qv.astype(jnp.int32)  # int8 storage widens in-register
         gth = jnp.take_along_axis(
-            W.astype(jnp.float32), q_ref[g], axis=1,
+            W.astype(jnp.float32), qv, axis=1,
             mode="promise_in_bounds",
         )
         acc = acc + vals_ref[g].astype(jnp.float32) * gth
@@ -170,32 +184,32 @@ _MAX_PREFETCH_INTS = 64 * 1024
 
 
 def _pell_call(tiles, bases, values, qidx, x_panels, NT, G, dtype,
-               interpret):
+               interpret, S=SUBLANES):
     n_steps = tiles.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_of_step, bases
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                (G, S, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                (G, S, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES),
+            (1, S, LANES),
             lambda i, tiles, bs: (tiles[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_pell_kernel, G=G),
+        functools.partial(_pell_kernel, G=G, S=S),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, SUBLANES, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((NT, S, LANES), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * values.size,
             bytes_accessed=values.size * (values.dtype.itemsize + 4)
@@ -214,10 +228,12 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
     n_rows, n_cols = plan.shape
     G = plan.G
     NP = plan.NP
-    total = (NP + 2 * PAD_PANELS + 1) * LANES
+    S = getattr(plan, "S", SUBLANES)
+    pad = S - 1
+    total = (NP + 2 * pad + 1) * LANES
     xp = (
         jnp.zeros((total,), x.dtype)
-        .at[PAD_PANELS * LANES: PAD_PANELS * LANES + n_cols]
+        .at[pad * LANES: pad * LANES + n_cols]
         .set(x)
     )
     x_panels = xp.reshape(-1, LANES)
@@ -226,7 +242,7 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
     if plan.n_steps <= step_cap:
         out = _pell_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx,
-            x_panels, plan.NT, G, x.dtype, interpret,
+            x_panels, plan.NT, G, x.dtype, interpret, S=S,
         )
         return out.reshape(-1)[:n_rows]
     # chunked: split at tile boundaries so each call owns a disjoint,
@@ -252,7 +268,7 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
             plan.bases[s0 * G: s1 * G],
             plan.values[s0 * G: s1 * G],
             plan.qidx[s0 * G: s1 * G],
-            x_panels, t1 - t0, G, x.dtype, interpret,
+            x_panels, t1 - t0, G, x.dtype, interpret, S=S,
         )
         outs.append(out)
         s0 = s1
@@ -293,6 +309,9 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
     k = X.shape[1]
     G = plan.G
     NP = plan.NP
+    assert getattr(plan, "S", SUBLANES) == SUBLANES, (
+        "pell_spmm supports the S=8 layout; use pell_spmv per column"
+    )
     n_pan = NP + 2 * PAD_PANELS + 1
     Xp = jnp.zeros((k, n_pan * LANES), X.dtype)
     Xp = Xp.at[:, PAD_PANELS * LANES: PAD_PANELS * LANES + n_cols].set(X.T)

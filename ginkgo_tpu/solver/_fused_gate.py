@@ -112,8 +112,8 @@ def prepare_fused_pell(solver, b):
         return None
     if A.values.dtype not in (jnp.float32, jnp.bfloat16):
         return None
-    if A.values.shape[0] == 0:
-        return None
+    if A.values.shape[0] == 0 or A.values.shape[1] != 8:
+        return None  # fused kernels implement the S=8 tile layout
     ctx = _prepare_fused_common(solver, b)
     if ctx is None:
         return None

@@ -113,8 +113,8 @@ class Bicgstab(IterativeSolverMixin, LinOp):
             return None
         if A.values.dtype not in (jnp.float32, jnp.bfloat16):
             return None
-        if A.values.shape[0] == 0:
-            return None
+        if A.values.shape[0] == 0 or A.values.shape[1] != 8:
+            return None  # fused kernel implements the S=8 tile layout
         ctx = _prepare_fused_common(self, b)
         if ctx is None:
             return None

@@ -300,3 +300,44 @@ def test_fused_pell_bicgstab_iteration_only(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("S,q_dtype", [(8, np.int8), (16, np.int32),
+                                       (32, np.int8)])
+def test_pell_v5_tile_variants(S, q_dtype, rng):
+    """(S, 128) slot tiles + int8 packed lane indices (the v5 knobs):
+    exact parity with scipy on random rectangular patterns, and the Pell
+    format round-trips the layout."""
+    sp = _random_csr(700, 900, 0.02, seed=S)
+    plan = PellPlan(sp.indptr, sp.indices, sp.data, sp.shape, S=S,
+                    q_dtype=q_dtype)
+    assert plan.values.shape[1] == S
+    assert plan.qidx.dtype == q_dtype
+    x = rng.standard_normal(900)
+    y = pell_spmv(plan, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float64), sp @ x, rtol=1e-5, atol=1e-5
+    )
+    # format-class ride-through incl. to_matrix_data reconstruction
+    from ginkgo_tpu.matrix.csr import Csr
+
+    A = Pell.from_csr(Csr.from_scipy(sp), S=S, q_dtype=q_dtype)
+    got = A.to_matrix_data().to_dense()
+    np.testing.assert_allclose(got, sp.toarray(), rtol=1e-6, atol=1e-6)
+    y2 = A.apply(jnp.asarray(x.astype(np.float64)))
+    np.testing.assert_allclose(
+        np.asarray(y2), sp @ x, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_gate_declines_non_s8_pell(monkeypatch):
+    from ginkgo_tpu.solver.cg import Cg
+    from ginkgo_tpu.utils import generators
+    from ginkgo_tpu import stop
+
+    data = generators.poisson_2d(16, dtype=np.float32)
+    A = Pell.from_matrix_data(data, S=16)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Cg.build(criteria=[stop.Iteration(max_iters=5)]).generate(A)
+    assert s._try_vmem_fused_pell(b, jnp.zeros_like(b)) is None
