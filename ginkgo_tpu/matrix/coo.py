@@ -47,7 +47,11 @@ class Coo(LinOp):
 
     def apply(self, b):
         arr, was_1d = as_2d(b)
-        out = spmv_ops.coo_spmv(self.rows, self.cols, self.values, arr, self.shape[0])
+        out = spmv_ops.try_streaming(self, arr)
+        if out is None:
+            out = spmv_ops.coo_spmv(
+                self.rows, self.cols, self.values, arr, self.shape[0]
+            )
         return restore_1d(out, was_1d)
 
     def apply2(self, b, x):

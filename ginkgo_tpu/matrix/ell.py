@@ -71,7 +71,11 @@ class Ell(LinOp):
 
     def apply(self, b):
         arr, was_1d = as_2d(b)
-        out = spmv_ops.ell_spmv(self.col_idxs, self.values, arr, self.shape[0])
+        out = spmv_ops.try_streaming(self, arr)
+        if out is None:
+            out = spmv_ops.ell_spmv(
+                self.col_idxs, self.values, arr, self.shape[0]
+            )
         return restore_1d(out, was_1d)
 
     def apply_advanced(self, alpha, b, beta, x):
@@ -197,6 +201,9 @@ class Sellp(LinOp):
 
     def apply(self, b):
         arr, was_1d = as_2d(b)
+        out = spmv_ops.try_streaming(self, arr)
+        if out is not None:
+            return restore_1d(out, was_1d)
         out = spmv_ops.sellp_spmv(
             self.slice_sets,
             self.col_idxs,

@@ -72,9 +72,13 @@ class Fbcsr(LinOp):
         return self.blocks.size
 
     def apply(self, b):
+        from ..ops import spmv as spmv_ops
         from ..ops.spmv import row_ids_from_ptrs
 
         arr, was_1d = as_2d(b)
+        out = spmv_ops.try_streaming(self, arr)
+        if out is not None:
+            return restore_1d(out, was_1d)
         bs = self.block_size
         n, m = self.shape
         k = arr.shape[1]

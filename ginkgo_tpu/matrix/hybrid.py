@@ -100,10 +100,14 @@ class Hybrid(LinOp):
         return self.ell.nnz + self.coo.nnz
 
     def apply(self, b):
+        from ..ops import spmv as spmv_ops
+
         arr, was_1d = as_2d(b)
-        y = as_2d(self.ell.apply(arr))[0]
-        if self.coo.nnz > 0:
-            y = as_2d(self.coo.apply2(arr, y))[0]
+        y = spmv_ops.try_streaming(self, arr)  # one plan for ell+coo parts
+        if y is None:
+            y = as_2d(self.ell.apply(arr))[0]
+            if self.coo.nnz > 0:
+                y = as_2d(self.coo.apply2(arr, y))[0]
         return restore_1d(y, was_1d)
 
     def apply_advanced(self, alpha, b, beta, x):

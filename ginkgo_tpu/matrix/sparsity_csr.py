@@ -49,10 +49,12 @@ class SparsityCsr(LinOp):
 
     def apply(self, b):
         arr, was_1d = as_2d(b)
-        ones = jnp.broadcast_to(self.value, (self.nnz,))
-        out = spmv_ops.csr_spmv_classical(
-            self.row_ptrs, self.col_idxs, ones, arr, self.shape[0]
-        )
+        out = spmv_ops.try_streaming(self, arr)
+        if out is None:
+            ones = jnp.broadcast_to(self.value, (self.nnz,))
+            out = spmv_ops.csr_spmv_classical(
+                self.row_ptrs, self.col_idxs, ones, arr, self.shape[0]
+            )
         return restore_1d(out, was_1d)
 
     def transpose(self) -> "SparsityCsr":

@@ -134,3 +134,15 @@ def advanced(spmv_out, alpha, beta, c):
     a = jnp.asarray(alpha).reshape(())
     b = jnp.asarray(beta).reshape(())
     return a * spmv_out + b * c
+
+
+def try_streaming(op, arr):
+    """Generic TPU streaming fast path for unstructured formats — one
+    cached PELL-plan Pallas kernel replacing the reference's per-format
+    CUDA kernel families (see ops.spmv_pallas.linop_streaming_spmv).
+    Returns the SpMV result or None (caller falls back to its XLA
+    strategy).  Lazy import keeps the XLA strategies importable without
+    Pallas."""
+    from . import spmv_pallas
+
+    return spmv_pallas.linop_streaming_spmv(op, arr)

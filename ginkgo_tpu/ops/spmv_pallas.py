@@ -401,3 +401,80 @@ def csr_spmv(row_ptrs, col_idxs, values, arr, n_rows, *, interpret=False):
     for k in range(arr.shape[1]):
         cols.append(pell_spmv(plan, arr[:, k], interpret=interpret))
     return jnp.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Generic per-format streaming fast path
+# ---------------------------------------------------------------------------
+
+_OP_PLAN_CACHE: dict = {}
+_OP_PLAN_CACHE_MAX = 16
+
+
+def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
+                         max_pad_bytes=256 << 20):
+    """TPU streaming SpMV for any unstructured format (Ell / Sellp /
+    Hybrid / Fbcsr / Coo / SparsityCsr).
+
+    The reference maintains a hand-tuned CUDA kernel family per format
+    (cuda/matrix/ell_kernels.cu, sellp_kernels.cu, coo_kernels.cu,
+    fbcsr_kernels.cu); on TPU the losing move is the gather those kernels
+    all avoid, so every format instead lowers to the ONE streaming PELL
+    Pallas kernel through a host-built plan derived from its CSR view.
+    The plan is cached on the identity of the format's storage arrays
+    (formats are frozen pytrees — repeated applies of the same object
+    reuse the plan; the cache keeps strong refs so ids stay stable).
+
+    Eager-gated: returns None (caller falls back to its XLA kernel) when
+    Pallas is disabled, the backend is not TPU (unless
+    GINKGO_TPU_FORCE_STREAMING=1 forces the interpreted kernel — test
+    hook), any storage leaf is a tracer (plan building needs host
+    arrays), the pattern is empty, or the plan's padding is too large.
+
+    The padding gate is memory-aware: inflation beyond ``max_inflation``
+    is still accepted while the padded slot arrays stay under
+    ``max_pad_bytes`` — at ~7 ns/element the gather fallback is 3-4
+    orders of magnitude slower than streaming padded zeros, so for
+    matrices whose padded form simply *fits*, streaming wins at any
+    inflation; the inflation bound only protects HBM on large nnz."""
+    import os
+
+    if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+        return None
+    force = bool(os.environ.get("GINKGO_TPU_FORCE_STREAMING"))
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or force):
+        return None
+    leaves = jax.tree_util.tree_leaves(op)
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+        return None
+    key = (type(op).__name__, tuple(id(leaf) for leaf in leaves),
+           tuple(op.shape))
+    hit = _OP_PLAN_CACHE.get(key)
+    if (
+        hit is not None and len(hit[0]) == len(leaves)
+        and all(a is b for a, b in zip(hit[0], leaves))
+    ):
+        plan = hit[1]
+    else:
+        csr = op.to_csr()
+        plan = PellPlan(
+            np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
+            np.asarray(csr.values), tuple(op.shape),
+        )
+        if len(_OP_PLAN_CACHE) >= _OP_PLAN_CACHE_MAX:
+            _OP_PLAN_CACHE.pop(next(iter(_OP_PLAN_CACHE)))
+        _OP_PLAN_CACHE[key] = (leaves, plan)
+    if plan.nnz == 0:
+        return None
+    pad_bytes = plan.values.size * (
+        plan.values.dtype.itemsize + plan.qidx.dtype.itemsize
+    )
+    if plan.inflation > max_inflation and pad_bytes > max_pad_bytes:
+        return None
+    interpret = not on_tpu
+    cols = [
+        pell_spmv(plan, arr[:, k], interpret=interpret)
+        for k in range(arr.shape[1])
+    ]
+    return jnp.stack(cols, axis=1).astype(arr.dtype)

@@ -183,6 +183,7 @@ def _env_trace_key():
         os.environ.get("GINKGO_TPU_NO_PALLAS", ""),
         os.environ.get("GINKGO_TPU_NO_FUSED_CG", ""),
         os.environ.get("GINKGO_TPU_FORCE_VMEM_CG", ""),
+        os.environ.get("GINKGO_TPU_FORCE_STREAMING", ""),
         os.environ.get("GINKGO_TPU_CG_CHUNK", ""),
         os.environ.get("GINKGO_TPU_VMEM_MB", ""),
         jax.default_backend(),

@@ -1,0 +1,119 @@
+"""Generic per-format streaming fast path (ops.spmv_pallas.
+linop_streaming_spmv): every unstructured format lowers to the one PELL
+streaming kernel — the TPU replacement for the reference's per-format
+CUDA kernel families (cuda/matrix/{ell,sellp,coo,fbcsr}_kernels.cu).
+
+These tests force the path on the CPU oracle (interpreted Pallas) via
+GINKGO_TPU_FORCE_STREAMING=1 and hard-disable each format's XLA fallback
+so a silent gate-decline cannot fake a pass."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.matrix.coo import Coo
+from ginkgo_tpu.matrix.ell import Ell, Sellp
+from ginkgo_tpu.matrix.fbcsr import Fbcsr
+from ginkgo_tpu.matrix.hybrid import Hybrid
+from ginkgo_tpu.matrix.sparsity_csr import SparsityCsr
+from ginkgo_tpu.ops import spmv as spmv_ops
+from ginkgo_tpu.ops import spmv_pallas
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _rand(n, m, dens, seed=0):
+    sp = sps.random(n, m, density=dens, random_state=seed, format="csr")
+    sp.data[:] = np.random.default_rng(seed).standard_normal(sp.nnz)
+    sp.sum_duplicates()
+    sp.sort_indices()
+    return sp
+
+
+def _data(sp):
+    co = sp.tocoo()
+    return MatrixData.from_coo(sp.shape, co.row, co.col, co.data)
+
+
+FORMATS = [
+    ("ell", lambda d: Ell.from_matrix_data(d)),
+    ("sellp", lambda d: Sellp.from_matrix_data(d)),
+    ("hybrid", lambda d: Hybrid.from_matrix_data(d)),
+    ("fbcsr", lambda d: Fbcsr.from_matrix_data(d, block_size=2)),
+    ("coo", lambda d: Coo.from_matrix_data(d)),
+]
+
+
+@pytest.mark.parametrize("name,build", FORMATS, ids=[f[0] for f in FORMATS])
+def test_streaming_path_taken_and_exact(name, build, rng, monkeypatch):
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    # break every XLA fallback kernel: if the streaming gate declines,
+    # the apply must crash, not silently pass through the gather path
+    for fn in ("ell_spmv", "sellp_spmv", "coo_spmv", "csr_spmv_classical"):
+        monkeypatch.setattr(
+            spmv_ops, fn,
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("fallback kernel used")),
+        )
+    sp = _rand(260, 300, 0.03, seed=11)
+    A = build(_data(sp))
+    x = rng.standard_normal(300)
+    y = np.asarray(A.apply(jnp.asarray(x)), np.float64)
+    np.testing.assert_allclose(y, sp @ x, rtol=1e-4, atol=1e-6)
+    # multi-RHS column loop
+    X = rng.standard_normal((300, 3))
+    Y = np.asarray(A.apply(jnp.asarray(X)), np.float64)
+    np.testing.assert_allclose(Y, sp @ X, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_sparsity_csr(monkeypatch, rng):
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    sp = _rand(200, 200, 0.04, seed=5)
+    A = SparsityCsr.from_matrix_data(_data(sp))
+    x = rng.standard_normal(200)
+    pat = sp.copy()
+    pat.data = np.ones_like(pat.data)
+    y = np.asarray(A.apply(jnp.asarray(x)), np.float64)
+    np.testing.assert_allclose(y, pat @ x, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_plan_cached(monkeypatch, rng):
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    sp = _rand(150, 150, 0.05, seed=7)
+    A = Ell.from_matrix_data(_data(sp))
+    x = jnp.asarray(rng.standard_normal(150))
+    builds = []
+    orig = spmv_pallas.PellPlan
+
+    class CountingPlan(orig):
+        def __init__(self, *a, **k):
+            builds.append(1)
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(spmv_pallas, "PellPlan", CountingPlan)
+    A.apply(x)
+    A.apply(x)
+    assert sum(builds) == 1  # second apply reused the cached plan
+
+
+def test_streaming_gate_declines(monkeypatch, rng):
+    """Off-backend (no force), NO_PALLAS, and empty patterns fall back."""
+    sp = _rand(100, 100, 0.05, seed=9)
+    A = Ell.from_matrix_data(_data(sp))
+    x = jnp.asarray(rng.standard_normal(100))
+    monkeypatch.delenv("GINKGO_TPU_FORCE_STREAMING", raising=False)
+    assert spmv_ops.try_streaming(A, jnp.asarray(x)[:, None]) is None
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    assert spmv_ops.try_streaming(A, jnp.asarray(x)[:, None]) is None
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    empty = Ell.from_matrix_data(MatrixData.empty((40, 40)))
+    assert spmv_ops.try_streaming(empty, jnp.zeros((40, 1))) is None
+    # declined applies still produce correct results through the fallback
+    y = np.asarray(A.apply(x), np.float64)
+    np.testing.assert_allclose(y, sp @ np.asarray(x), rtol=1e-4, atol=1e-6)
