@@ -16,6 +16,7 @@ jittable, `sweeps` (reference `iterations`) unrolled via lax.fori_loop.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -47,9 +48,9 @@ def split_lu_pattern(A: Csr):
     ins = np.searchsorted(low_keys, diag_keys)
     l_rows = np.insert(rows[lower_mask], ins, np.arange(n))
     l_cols = np.insert(cols[lower_mask], ins, np.arange(n))
-    l_indptr = np.zeros(n + 1, np.int64)
-    np.add.at(l_indptr, l_rows + 1, 1)
-    l_indptr = np.cumsum(l_indptr)
+    l_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(l_rows, minlength=n))]
+    ).astype(np.int64)
     # U pattern: upper incl diagonal (merge in rows lacking one)
     u_rows = rows[upper_mask]
     u_cols = cols[upper_mask]
@@ -61,9 +62,9 @@ def split_lu_pattern(A: Csr):
         ins = np.searchsorted(up_keys, add_d.astype(np.int64) * (N1 + 1))
         u_rows = np.insert(u_rows, ins, add_d)
         u_cols = np.insert(u_cols, ins, add_d)
-    u_indptr = np.zeros(n + 1, np.int64)
-    np.add.at(u_indptr, u_rows + 1, 1)
-    u_indptr = np.cumsum(u_indptr)
+    u_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(u_rows, minlength=n))]
+    ).astype(np.int64)
 
     # Vectorized dependency expansion (no per-nnz Python): sorted global
     # keys row*(n+1)+col turn every (i, j) -> slot lookup into one
@@ -91,10 +92,17 @@ def split_lu_pattern(A: Csr):
     pu_all = u_indptr[lk][src] + within
     pj = u_cols[pu_all].astype(np.int64)
     pk = lk[src]
+    # filter j > k BEFORE the searchsorted: roughly halves the lookup
+    # (the diagonal/strict-upper-of-U-row products can never land in A's
+    # strict pattern slots anyway)
+    strict = pj > pk
+    src = src[strict]
+    pu_all = pu_all[strict]
+    pj = pj[strict]
     q = li[src] * N1 + pj
     pos = np.searchsorted(akeys, q)
     posc = np.minimum(pos, max(a.nnz - 1, 0))
-    hit = (pj > pk) & (pos < a.nnz) & (akeys[posc] == q)
+    hit = (pos < a.nnz) & (akeys[posc] == q)
     pl = lslot[src][hit]
     pu = pu_all[hit]
     pout = pos[hit]
@@ -192,10 +200,35 @@ def pad_plan_to_buckets(plan):
 
 
 def parilu_sweeps(plan, sweeps: int):
-    """Run Chow-Patel sweeps on device; returns (l_vals, u_vals)."""
-    a_vals = plan["a_vals"]
+    """Run Chow-Patel sweeps on device; returns (l_vals, u_vals).
+
+    Dispatches to a module-level jitted kernel keyed on the (bucketed)
+    array shapes + static sizes: with pad_plan_to_buckets the adaptive
+    ParILUT loop reuses O(log) compilations instead of recompiling the
+    fori_loop every call (an unjitted lax.fori_loop closes over concrete
+    arrays, so its compile cache never hits)."""
+    return _parilu_sweeps_jit(
+        plan["a_vals"], plan["a_rows"], plan["a_cols"], plan["l_diag"],
+        plan["u_diag"], plan["pl"], plan["pu"], plan["pout"],
+        plan["target"], plan["is_lower"], plan["udiag_of_entry"],
+        sweeps=int(sweeps), n=int(plan["n"]), nnz_l=int(plan["nnz_l"]),
+        nnz_u=int(plan["nnz_u"]),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "n", "nnz_l", "nnz_u")
+)
+def _parilu_sweeps_jit(a_vals, a_rows, a_cols, l_diag, u_diag, pl, pu,
+                       pout, target, is_lower, udiag_of_entry, *, sweeps,
+                       n, nnz_l, nnz_u):
+    plan = dict(
+        a_vals=a_vals, a_rows=a_rows, a_cols=a_cols, l_diag=l_diag,
+        u_diag=u_diag, pl=pl, pu=pu, pout=pout, target=target,
+        is_lower=is_lower, udiag_of_entry=udiag_of_entry, n=n,
+        nnz_l=nnz_l, nnz_u=nnz_u,
+    )
     nnz_a = a_vals.shape[0]
-    n = plan["n"]
     dt = a_vals.dtype
 
     # initialize: u = upper(A); l = lower(A)/diag(A); unit diag on L
