@@ -1,0 +1,368 @@
+"""Whole-solve fused restarted GMRES(m): every restart cycle inside ONE
+Pallas kernel, Krylov basis VMEM-resident.
+
+Reference analog: core/solver/gmres.cpp keeps the (krylov_dim+1)xn basis
+in device memory and launches per-iteration kernel sequences
+(common_gmres initialize / hessenberg_qr / solve_krylov,
+core/solver/common_gmres_kernels.hpp:52-70) with a host-synced stop
+check.  The TPU end point of that fusion arc mirrors ops/pallas_cg.py:
+for DIA operators whose diagonals AND the (m+1)-vector basis fit in
+VMEM, the entire solve — Arnoldi, CGS2 orthogonalization, on-the-fly
+Givens QR, back-substitution, restart — runs on-chip with zero
+per-iteration HBM traffic and no dispatch round-trips.
+
+Semantics match solver/gmres.py exactly (left-preconditioned, CGS2, the
+in-cycle |g[j+1]| preconditioned-residual check, and the honest outer
+re-check on the TRUE residual that can retract a premature stop):
+parity-tested against it in tests/test_pallas_gmres.py.
+
+Small state (Hessenberg R factor, Givens cos/sin, g) rides the inner
+while_loop carry as (m,)-sized vectors — register/VMEM-resident values,
+no SMEM scatter; only tol/cap/stats cross through SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dia import _plan
+from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+
+
+def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
+                    use_minv: bool = False, halo_rows: int = 0) -> bool:
+    """Working set: diags + (m+1) basis frames + x/b/u frames + the
+    halo-padded SpMV source frame + minv when present."""
+    frame = R * LANES * 4
+    vec_frames = (
+        (m + 1) + 3.25 + halo_rows / max(R, 1) + (1 if use_minv else 0)
+    )
+    return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
+        cg_vmem_budget_bytes()
+    )
+
+
+def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
+                  x_s, b_s, u_s, w_s, V_s, sems, *, qs, pad_lo, pad_hi, R,
+                  m, use_minv):
+    """scal SMEM (1,): [tol_sq_eff] (negative -> run to cap);
+    iscal SMEM (1,) int32: [max_iters];
+    stats SMEM out (3,): [iterations, true_rr, converged]."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    Rp = R + pad_lo + pad_hi
+    C = _chunk_rows(R)
+    n_chunks = R // C
+
+    cp_b = pltpu.make_async_copy(b_hbm, b_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_b.start()
+    cp_x.start()
+    cp_b.wait()
+    cp_x.wait()
+
+    if pad_lo:
+        w_s[0:pad_lo] = jnp.zeros((pad_lo, LANES), jnp.float32)
+    if pad_hi:
+        w_s[Rp - pad_hi:Rp] = jnp.zeros((pad_hi, LANES), jnp.float32)
+
+    def mchunk(c0):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    def stage_x_for_spmv(_=None):
+        def cp(c, _):
+            c0 = c * C
+            w_s[pl.ds(pad_lo + c0, C), :] = x_s[pl.ds(c0, C), :]
+            return 0
+        jax.lax.fori_loop(0, n_chunks, cp, 0)
+
+    def residual_into_u(_=None):
+        """u = b - A x (x already staged in w_s); returns true r.r."""
+        def rchunk(c, rr):
+            c0 = c * C
+            q_c = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=pad_lo)
+            r_c = b_s[pl.ds(c0, C), :] - q_c
+            u_s[pl.ds(c0, C), :] = r_c
+            return rr + jnp.sum(r_c * r_c)
+        return jax.lax.fori_loop(0, n_chunks, rchunk, jnp.float32(0))
+
+    def basis_row_chunk(i, c0):
+        return V_s[pl.ds(i, 1), pl.ds(c0, C), :][0]
+
+    stage_x_for_spmv()
+    rr0 = residual_into_u()
+
+    def cycle_cond(st):
+        it, rr, done = st
+        return (~done) & (it < max_iters)
+
+    def cycle_body(st):
+        it, rr, _ = st
+
+        # ---- initialize: z = M u (u holds the true residual), V0 = z/beta
+        def znorm_chunk(c, acc):
+            c0 = c * C
+            z_c = mchunk(c0) * u_s[pl.ds(c0, C), :] if use_minv else (
+                u_s[pl.ds(c0, C), :]
+            )
+            return acc + jnp.sum(z_c * z_c)
+
+        beta_sq = jax.lax.fori_loop(0, n_chunks, znorm_chunk,
+                                    jnp.float32(0))
+        beta = jnp.sqrt(beta_sq)
+        inv_beta = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0),
+                             1.0)
+
+        def v0_chunk(c, _):
+            c0 = c * C
+            z_c = mchunk(c0) * u_s[pl.ds(c0, C), :] if use_minv else (
+                u_s[pl.ds(c0, C), :]
+            )
+            V_s[pl.ds(0, 1), pl.ds(c0, C), :] = (z_c * inv_beta)[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, v0_chunk, 0)
+
+        g0 = jnp.zeros((m + 1,), jnp.float32).at[0].set(beta)
+        cs0 = jnp.zeros((m,), jnp.float32)
+        sn0 = jnp.zeros((m,), jnp.float32)
+        Rm0 = jnp.zeros((m + 1, m), jnp.float32)
+
+        # ---- inner Arnoldi loop (early exit on the |g[j+1]| estimate) --
+        def arnoldi_cond(ast):
+            j, it_a, g, cs, sn, Rm, active = ast
+            return active & (j < m)
+
+        def arnoldi_body(ast):
+            j, it_a, g, cs, sn, Rm, _ = ast
+
+            # w_s <- V[j] (halo-staged), u <- M (A w)
+            def stage_vj(c, _):
+                c0 = c * C
+                w_s[pl.ds(pad_lo + c0, C), :] = basis_row_chunk(j, c0)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, stage_vj, 0)
+
+            def spmv_to_u(c, _):
+                c0 = c * C
+                q_c = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=pad_lo)
+                u_s[pl.ds(c0, C), :] = mchunk(c0) * q_c if use_minv else q_c
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, spmv_to_u, 0)
+
+            # CGS2: two (dot-all, subtract-all) passes against rows 0..j
+            def gs_pass(h_acc):
+                def dot_i(i, h):
+                    def dchunk(c, s):
+                        c0 = c * C
+                        return s + jnp.sum(
+                            basis_row_chunk(i, c0) * u_s[pl.ds(c0, C), :]
+                        )
+                    s = jax.lax.fori_loop(0, n_chunks, dchunk,
+                                          jnp.float32(0))
+                    return h.at[i].set(s)
+
+                h = jax.lax.fori_loop(0, j + 1, dot_i,
+                                      jnp.zeros((m + 1,), jnp.float32))
+
+                def sub_i(i, _):
+                    hi = h[i]
+
+                    def schunk(c, _):
+                        c0 = c * C
+                        u_s[pl.ds(c0, C), :] = (
+                            u_s[pl.ds(c0, C), :]
+                            - hi * basis_row_chunk(i, c0)
+                        )
+                        return 0
+
+                    jax.lax.fori_loop(0, n_chunks, schunk, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, j + 1, sub_i, 0)
+                return h_acc + h
+
+            h = gs_pass(jnp.zeros((m + 1,), jnp.float32))
+            h = gs_pass(h)
+
+            def unorm_chunk(c, s):
+                c0 = c * C
+                u_c = u_s[pl.ds(c0, C), :]
+                return s + jnp.sum(u_c * u_c)
+
+            hnext = jnp.sqrt(
+                jax.lax.fori_loop(0, n_chunks, unorm_chunk, jnp.float32(0))
+            )
+            inv_h = jnp.where(hnext > 0,
+                              1.0 / jnp.where(hnext > 0, hnext, 1.0), 1.0)
+
+            def store_next(c, _):
+                c0 = c * C
+                V_s[pl.ds(j + 1, 1), pl.ds(c0, C), :] = (
+                    u_s[pl.ds(c0, C), :] * inv_h
+                )[None]
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, store_next, 0)
+
+            # Givens chain on the new Hessenberg column (real arithmetic)
+            h = h.at[j + 1].set(hnext)
+
+            def rot(i, hv):
+                use = i < j
+                hi, hi1 = hv[i], hv[i + 1]
+                c_, s_ = cs[i], sn[i]
+                new_i = jnp.where(use, c_ * hi + s_ * hi1, hi)
+                new_i1 = jnp.where(use, -s_ * hi + c_ * hi1, hi1)
+                return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            a_, b_ = h[j], h[j + 1]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            safe_d = jnp.where(denom > 0, denom, 1.0)
+            c_new = jnp.where(denom > 0, jnp.abs(a_) / safe_d, 1.0)
+            phase = jnp.where(jnp.abs(a_) > 0,
+                              jnp.sign(a_), 1.0)
+            s_new = jnp.where(denom > 0, phase * b_ / safe_d, 0.0)
+            h_rot = h.at[j].set(c_new * h[j] + s_new * h[j + 1]).at[
+                j + 1].set(0.0)
+            g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+            Rm_new = jax.lax.dynamic_update_slice(
+                Rm, h_rot[:, None], (jnp.int32(0), j)
+            )
+            cs_new = cs.at[j].set(c_new)
+            sn_new = sn.at[j].set(s_new)
+            it_n = it_a + 1
+            res_sq = g_new[j + 1] * g_new[j + 1]
+            active = (res_sq > tol_sq) & (it_n < max_iters)
+            return (j + 1, it_n, g_new, cs_new, sn_new, Rm_new, active)
+
+        j, it, g, cs, sn, Rm, _ = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_body,
+            (jnp.int32(0), it, g0, cs0, sn0, Rm0,
+             (rr > tol_sq) | (tol_sq < 0)),
+        )
+        steps = j  # columns taken this cycle
+
+        # ---- back-substitution: y = R^{-1} g on the first `steps` cols
+        def bsub(t, y):
+            i = steps - 1 - t
+
+            def row_dot(k, acc):
+                return acc + Rm[i, k] * y[k]
+
+            acc = jax.lax.fori_loop(i + 1, steps, row_dot, jnp.float32(0))
+            diag = Rm[i, i]
+            safe = jnp.where(diag != 0, diag, 1.0)
+            yi = jnp.where(diag != 0, (g[i] - acc) / safe, 0.0)
+            return y.at[i].set(jnp.where(i >= 0, yi, 0.0))
+
+        y = jax.lax.fori_loop(0, steps, bsub, jnp.zeros((m,), jnp.float32))
+
+        # ---- x += V[:steps]^T y ----------------------------------------
+        def xup_chunk(c, _):
+            c0 = c * C
+
+            def add_i(i, acc):
+                return acc + y[i] * basis_row_chunk(i, c0)
+
+            acc = jax.lax.fori_loop(
+                0, steps, add_i, x_s[pl.ds(c0, C), :]
+            )
+            x_s[pl.ds(c0, C), :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, xup_chunk, 0)
+
+        # ---- honest outer check on the TRUE residual -------------------
+        stage_x_for_spmv()
+        rr_new = residual_into_u()
+        done = (rr_new <= tol_sq) & (tol_sq >= 0)
+        return (it, rr_new, done)
+
+    it, rr, done = jax.lax.while_loop(
+        cycle_cond, cycle_body,
+        (jnp.int32(0), rr0, (rr0 <= tol_sq) & (tol_sq >= 0)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_xo.start()
+    cp_xo.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = rr
+    stats[2] = done.astype(jnp.float32)
+
+
+def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
+                     tol_sq_eff, max_iters, interpret=False):
+    """Run restarted GMRES(m) to convergence in one Pallas kernel.
+
+    diags: (nd, R, 128) f32/bf16; b2/x0_2: (R, 128) f32 right-hand side
+    and initial guess; minv2: optional inverse-diagonal frame (left
+    scalar-Jacobi preconditioning, matching solver/gmres.py).
+    tol_sq_eff: squared ABSOLUTE threshold on the residual norms (both
+    the in-cycle preconditioned estimate and the outer true residual);
+    negative -> run to max_iters.  Returns (x2, iters, true_rr,
+    converged)."""
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, R)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _gmres_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R, m=int(m),
+        use_minv=use_minv,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, diags, b2, x0_2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if use_minv:
+        args.append(minv2)
+    else:
+        args.append(jnp.zeros((8, LANES), jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    Rp = R + pad_lo + pad_hi
+    x2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), b2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.float32),        # x
+            pltpu.VMEM((R, LANES), jnp.float32),        # b
+            pltpu.VMEM((R, LANES), jnp.float32),        # u (w / r)
+            pltpu.VMEM((Rp, LANES), jnp.float32),       # SpMV source
+            pltpu.VMEM((int(m) + 1, R, LANES), jnp.float32),  # basis
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nd + 4 * m) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + m + 4) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

@@ -255,6 +255,9 @@ class Gmres(IterativeSolverMixin, LinOp):
         return x, it, stopped, rn
 
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         solve1 = lambda bc, xc: self._solve_single(bc, xc)
         x, it, stopped, rn = jax.vmap(solve1, in_axes=1, out_axes=(1, 0, 0, 0))(
             b, x0
@@ -265,6 +268,61 @@ class Gmres(IterativeSolverMixin, LinOp):
             converged=stopped,
             history=None,
         )
+
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM fast path (ops/pallas_gmres.py): the full
+        restarted GMRES(m) — Arnoldi, CGS2, Givens QR, back-substitution,
+        restarts — runs inside ONE Pallas kernel when A is a Dia whose
+        diagonals and the (m+1)-vector Krylov basis fit in VMEM, the
+        preconditioner is diagonal, there is a single f32 RHS, the basis
+        storage is "keep", and the criterion is plain Iteration /
+        ResidualNorm (gate: solver/_fused_gate.py).  Convergence
+        semantics mirror the generic loop: in-cycle |g[j+1]| estimate,
+        honest outer re-check on the TRUE residual.  Converged is
+        reported under the fused-family convention (residual criteria
+        only).  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
+        from ..ops.pallas_gmres import gmres_vmem_fits, gmres_vmem_solve
+
+        if self.storage_precision != "keep":
+            return None
+        m = int(self.krylov_dim)
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            return gmres_vmem_fits(nd, R, m, itemsize, use_minv=use_minv,
+                                   halo_rows=halo_rows)
+
+        ctx = prepare_fused_dia(self, b, fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, rr, conv = gmres_vmem_solve(
+            A.diags,
+            A.offsets,
+            frame(b, R),
+            frame(x0, R),
+            minv2,
+            m=m,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        rn = jnp.sqrt(rr)[None].astype(b.dtype)  # true residual, always
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
+        )
+        return x, info
 
 
 @linop_dataclass

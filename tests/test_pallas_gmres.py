@@ -1,0 +1,104 @@
+"""Whole-solve-in-VMEM fused GMRES (ops/pallas_gmres.py, solver/gmres.py
+fast path).
+
+Oracle tier: the fused kernel runs in interpreter mode on CPU and must
+match the generic restarted-GMRES `lax.while_loop` solver (same
+left-preconditioned CGS2 + Givens algorithm; reduction orders differ
+inside vs outside the kernel) on solution and convergence behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ginkgo_tpu.utils import generators
+from ginkgo_tpu.matrix.dia import Dia
+from ginkgo_tpu.solver.gmres import Gmres
+from ginkgo_tpu.preconditioner.jacobi import Jacobi
+from ginkgo_tpu import stop
+
+
+@pytest.fixture
+def poisson_dia():
+    data = generators.poisson_2d(16, dtype=np.float32)
+    return Dia.from_matrix_data(data), jnp.ones((data.shape[0], 1), jnp.float32)
+
+
+def _solve_both(A, b, crit, monkeypatch, precond=None, m=10):
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    fac = Gmres.build(criteria=crit, preconditioner=precond, krylov_dim=m)
+    solver = fac.generate(A)
+    assert solver._try_vmem_fused(b, jnp.zeros_like(b)) is not None
+    x_fast, info_fast = solver.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    x_gen, info_gen = Gmres.build(
+        criteria=crit, preconditioner=precond, krylov_dim=m
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    return (x_fast, info_fast), (x_gen, info_gen)
+
+
+def _relres(A, x, b):
+    r = np.asarray(b) - np.asarray(A.apply(x))
+    return np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+
+
+def test_vmem_gmres_matches_generic(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-5)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    # both meet the criterion on the true residual
+    assert _relres(A, xf, b) < 1e-5
+    assert _relres(A, xg, b) < 1e-5
+    # restart boundaries may differ by round-off; iteration counts agree
+    # to one restart cycle
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 10
+
+
+def test_vmem_gmres_multi_restart(poisson_dia, monkeypatch):
+    """krylov_dim far below the iteration need forces several restart
+    cycles through the in-kernel outer while_loop."""
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-5)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch, m=5)
+    assert bool(inf_f.converged[0])
+    assert _relres(A, xf, b) < 1e-5
+    assert int(inf_f.iterations) > 5  # actually restarted
+
+
+def test_vmem_gmres_jacobi(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    # 1e-5: tolerances beyond the f32 restarted-GMRES floor (~1.6e-6
+    # relative on this problem) stall the GENERIC solver too — verified
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-5)]
+    M = Jacobi.build(max_block_size=1).generate(A)
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch, precond=M)
+    assert bool(inf_f.converged[0])
+    assert _relres(A, xf, b) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_vmem_gmres_iteration_only(poisson_dia, monkeypatch):
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=12)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch, m=6)
+    assert int(inf_f.iterations) == 12
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_vmem_gmres_gate_declines(poisson_dia, monkeypatch):
+    """Non-'keep' storage and absent force/backend decline cleanly."""
+    A, b = poisson_dia
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Gmres.build(
+        criteria=[stop.Iteration(5)], storage_precision="reduce2"
+    ).generate(A)
+    assert s._try_vmem_fused(b, jnp.zeros_like(b)) is None
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    s2 = Gmres.build(criteria=[stop.Iteration(5)]).generate(A)
+    assert s2._try_vmem_fused(b, jnp.zeros_like(b)) is None
