@@ -5,11 +5,16 @@ Reference analog: core/solver/gmres.cpp keeps the (krylov_dim+1)xn basis
 in device memory and launches per-iteration kernel sequences
 (common_gmres initialize / hessenberg_qr / solve_krylov,
 core/solver/common_gmres_kernels.hpp:52-70) with a host-synced stop
-check.  The TPU end point of that fusion arc mirrors ops/pallas_cg.py:
-for DIA operators whose diagonals AND the (m+1)-vector basis fit in
-VMEM, the entire solve — Arnoldi, CGS2 orthogonalization, on-the-fly
-Givens QR, back-substitution, restart — runs on-chip with zero
-per-iteration HBM traffic and no dispatch round-trips.
+check.  The TPU end point of that fusion arc mirrors ops/pallas_cg.py
+and ops/pallas_pell_cg.py: when the operator AND the (m+1)-vector basis
+fit in VMEM, the entire solve — Arnoldi, CGS2 orthogonalization,
+on-the-fly Givens QR, back-substitution, restart — runs on-chip with
+zero per-iteration HBM traffic and no dispatch round-trips.
+
+Two operator backends share one core loop (`_gmres_core`):
+- Dia: banded diagonals, gather-free shift SpMV (ops/pallas_cg._spmv_chunk)
+- Pell: general unstructured slots, in-VMEM dynamic-gather SpMV
+  (ops/pallas_pell_cg._make_pell_spmv)
 
 Semantics match solver/gmres.py exactly (left-preconditioned, CGS2, the
 in-cycle |g[j+1]| preconditioned-residual check, and the honest outer
@@ -32,11 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
 from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_pell_cg import _MAX_SMEM_INTS, _make_pell_spmv
+from .spmv_pallas import PAD_PANELS, SUBLANES
 
 
 def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
                     use_minv: bool = False, halo_rows: int = 0) -> bool:
-    """Working set: diags + (m+1) basis frames + x/b/u frames + the
+    """Dia working set: diags + (m+1) basis frames + x/b/u frames + the
     halo-padded SpMV source frame + minv when present."""
     frame = R * LANES * 4
     vec_frames = (
@@ -47,17 +54,34 @@ def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
     )
 
 
-def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
-                  x_s, b_s, u_s, w_s, V_s, sems, *, qs, pad_lo, pad_hi, R,
-                  m, use_minv):
-    """scal SMEM (1,): [tol_sq_eff] (negative -> run to cap);
-    iscal SMEM (1,) int32: [max_iters];
-    stats SMEM out (3,): [iterations, true_rr, converged]."""
-    tol_sq = scal[0]
-    max_iters = iscal[0]
-    Rp = R + pad_lo + pad_hi
+def pell_gmres_vmem_fits(n_slots: int, NT: int, m: int,
+                         val_itemsize: int, q_itemsize: int = 4,
+                         n_steps: int = 0, use_minv: bool = False) -> bool:
+    """Pell working set: slot values + lane indices + (m+1) basis frames
+    + x/b/u frames + the panel-padded SpMV source + SMEM scalar maps."""
+    if n_steps + n_slots > _MAX_SMEM_INTS:
+        return False
+    Rf = NT * SUBLANES
+    slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
+    frame = Rf * LANES * 4
+    vec_frames = (
+        (m + 1) + 3.25 + (2 * PAD_PANELS + 1) / max(Rf, 1)
+        + (1 if use_minv else 0)
+    )
+    return slot_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
+
+
+def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
+                u_s, src_pad, V_s, minv, sems, *, R, m, use_minv,
+                stage_off, pad_rows, spmv_into):
+    """Shared GMRES loop over an opaque SpMV.
+
+    src_pad: (R + pad_rows, 128) staging buffer — frame row c lives at
+    src_pad[stage_off + c]; spmv_into(dst_ref) computes A @ staged into
+    the (R, 128) dst ref.  All other state is operator-independent."""
     C = _chunk_rows(R)
     n_chunks = R // C
+    Rp = R + pad_rows
 
     cp_b = pltpu.make_async_copy(b_hbm, b_s, sems.at[0])
     cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
@@ -66,35 +90,39 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
     cp_b.wait()
     cp_x.wait()
 
-    if pad_lo:
-        w_s[0:pad_lo] = jnp.zeros((pad_lo, LANES), jnp.float32)
-    if pad_hi:
-        w_s[Rp - pad_hi:Rp] = jnp.zeros((pad_hi, LANES), jnp.float32)
+    if stage_off:
+        src_pad[0:stage_off] = jnp.zeros((stage_off, LANES), jnp.float32)
+    if pad_rows - stage_off:
+        src_pad[stage_off + R:Rp] = jnp.zeros(
+            (pad_rows - stage_off, LANES), jnp.float32
+        )
 
     def mchunk(c0):
         return minv[pl.ds(c0, C), :].astype(jnp.float32)
 
-    def stage_x_for_spmv(_=None):
+    def stage_x(_=None):
         def cp(c, _):
             c0 = c * C
-            w_s[pl.ds(pad_lo + c0, C), :] = x_s[pl.ds(c0, C), :]
+            src_pad[pl.ds(stage_off + c0, C), :] = x_s[pl.ds(c0, C), :]
             return 0
         jax.lax.fori_loop(0, n_chunks, cp, 0)
 
     def residual_into_u(_=None):
-        """u = b - A x (x already staged in w_s); returns true r.r."""
+        """u = b - A x (x staged); returns true r.r."""
+        spmv_into(u_s)
+
         def rchunk(c, rr):
             c0 = c * C
-            q_c = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=pad_lo)
-            r_c = b_s[pl.ds(c0, C), :] - q_c
+            r_c = b_s[pl.ds(c0, C), :] - u_s[pl.ds(c0, C), :]
             u_s[pl.ds(c0, C), :] = r_c
             return rr + jnp.sum(r_c * r_c)
+
         return jax.lax.fori_loop(0, n_chunks, rchunk, jnp.float32(0))
 
     def basis_row_chunk(i, c0):
         return V_s[pl.ds(i, 1), pl.ds(c0, C), :][0]
 
-    stage_x_for_spmv()
+    stage_x()
     rr0 = residual_into_u()
 
     def cycle_cond(st):
@@ -141,21 +169,23 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
         def arnoldi_body(ast):
             j, it_a, g, cs, sn, Rm, _ = ast
 
-            # w_s <- V[j] (halo-staged), u <- M (A w)
+            # stage V[j], u <- M (A V[j])
             def stage_vj(c, _):
                 c0 = c * C
-                w_s[pl.ds(pad_lo + c0, C), :] = basis_row_chunk(j, c0)
+                src_pad[pl.ds(stage_off + c0, C), :] = basis_row_chunk(
+                    j, c0
+                )
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, stage_vj, 0)
+            spmv_into(u_s)
+            if use_minv:
+                def prec_chunk(c, _):
+                    c0 = c * C
+                    u_s[pl.ds(c0, C), :] = mchunk(c0) * u_s[pl.ds(c0, C), :]
+                    return 0
 
-            def spmv_to_u(c, _):
-                c0 = c * C
-                q_c = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=pad_lo)
-                u_s[pl.ds(c0, C), :] = mchunk(c0) * q_c if use_minv else q_c
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, spmv_to_u, 0)
+                jax.lax.fori_loop(0, n_chunks, prec_chunk, 0)
 
             # CGS2: two (dot-all, subtract-all) passes against rows 0..j
             def gs_pass(h_acc):
@@ -228,8 +258,7 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
             denom = jnp.sqrt(a_ * a_ + b_ * b_)
             safe_d = jnp.where(denom > 0, denom, 1.0)
             c_new = jnp.where(denom > 0, jnp.abs(a_) / safe_d, 1.0)
-            phase = jnp.where(jnp.abs(a_) > 0,
-                              jnp.sign(a_), 1.0)
+            phase = jnp.where(jnp.abs(a_) > 0, jnp.sign(a_), 1.0)
             s_new = jnp.where(denom > 0, phase * b_ / safe_d, 0.0)
             h_rot = h.at[j].set(c_new * h[j] + s_new * h[j + 1]).at[
                 j + 1].set(0.0)
@@ -246,8 +275,7 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
 
         j, it, g, cs, sn, Rm, _ = jax.lax.while_loop(
             arnoldi_cond, arnoldi_body,
-            (jnp.int32(0), it, g0, cs0, sn0, Rm0,
-             (rr > tol_sq) | (tol_sq < 0)),
+            (jnp.int32(0), it, g0, cs0, sn0, Rm0, rr > tol_sq),
         )
         steps = j  # columns taken this cycle
 
@@ -282,7 +310,7 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
         jax.lax.fori_loop(0, n_chunks, xup_chunk, 0)
 
         # ---- honest outer check on the TRUE residual -------------------
-        stage_x_for_spmv()
+        stage_x()
         rr_new = residual_into_u()
         done = (rr_new <= tol_sq) & (tol_sq >= 0)
         return (it, rr_new, done)
@@ -300,9 +328,54 @@ def _gmres_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm, stats,
     stats[2] = done.astype(jnp.float32)
 
 
+def _gmres_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm,
+                      stats, x_s, b_s, u_s, w_s, V_s, sems, *, qs, pad_lo,
+                      pad_hi, R, m, use_minv):
+    C = _chunk_rows(R)
+    n_chunks = R // C
+
+    def spmv_into(dst):
+        def qchunk(c, _):
+            c0 = c * C
+            dst[pl.ds(c0, C), :] = _spmv_chunk(
+                diags, w_s, c0, C, qs=qs, pad_lo=pad_lo
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, qchunk, 0)
+
+    _gmres_core(
+        scal[0], iscal[0], b_hbm, x0_hbm, x_hbm, stats, x_s, b_s, u_s,
+        w_s, V_s, minv, sems, R=R, m=m, use_minv=use_minv,
+        stage_off=pad_lo, pad_rows=pad_lo + pad_hi, spmv_into=spmv_into,
+    )
+
+
+def _gmres_pell_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm,
+                       x0_hbm, minv, x_hbm, stats, x_s, b_s, u_s, p_s,
+                       V_s, sems, *, G, n_steps, Rf, m, use_minv):
+    C = _chunk_rows(Rf)
+    n_chunks = Rf // C
+    spmv = _make_pell_spmv(
+        tiles, bases, vals, qidx, G=G, n_steps=n_steps, C=C,
+        n_chunks=n_chunks,
+    )
+
+    def spmv_into(dst):
+        spmv(p_s, dst)
+
+    _gmres_core(
+        scal[0], iscal[0], b_hbm, x0_hbm, x_hbm, stats, x_s, b_s, u_s,
+        p_s, V_s, minv, sems, R=Rf, m=m, use_minv=use_minv,
+        stage_off=PAD_PANELS, pad_rows=2 * PAD_PANELS + 1,
+        spmv_into=spmv_into,
+    )
+
+
 def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
                      tol_sq_eff, max_iters, interpret=False):
-    """Run restarted GMRES(m) to convergence in one Pallas kernel.
+    """Run restarted GMRES(m) to convergence in one Pallas kernel on a
+    Dia operator.
 
     diags: (nd, R, 128) f32/bf16; b2/x0_2: (R, 128) f32 right-hand side
     and initial guess; minv2: optional inverse-diagonal frame (left
@@ -316,24 +389,21 @@ def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
     qs, qmin, halo, pad_lo, pad_hi = _plan(offsets, R)
     use_minv = minv2 is not None
     kernel = functools.partial(
-        _gmres_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R, m=int(m),
-        use_minv=use_minv,
+        _gmres_dia_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
+        m=int(m), use_minv=use_minv,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    args = [scal, iscal, diags, b2, x0_2]
+    args = [scal, iscal, diags, b2, x0_2,
+            minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32)]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    if use_minv:
-        args.append(minv2)
-    else:
-        args.append(jnp.zeros((8, LANES), jnp.float32))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     Rp = R + pad_lo + pad_hi
     x2, stats = pl.pallas_call(
         kernel,
@@ -360,6 +430,77 @@ def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
         cost_estimate=pl.CostEstimate(
             flops=2 * (nd + 4 * m) * R * LANES * int(max_iters),
             bytes_accessed=(nd + m + 4) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0
+
+
+def pell_gmres_vmem_solve(A, b2, x0_2, minv2=None, *, m, tol_sq_eff,
+                          max_iters, interpret=False):
+    """Run restarted GMRES(m) to convergence in one Pallas kernel on a
+    GENERAL unstructured (Pell) operator.
+
+    A: matrix.pell.Pell (S=8 layout); b2/x0_2: (Rf, 128) f32 frames with
+    Rf = A.NT * 8; minv2: optional (Rf, 128) inverse diagonal.  Returns
+    (x2, iters, true_rr, converged)."""
+    Rf = A.NT * SUBLANES
+    assert b2.shape == (Rf, LANES)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _gmres_pell_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf, m=int(m),
+        use_minv=use_minv,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    args = [
+        scal, iscal,
+        A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
+        A.values, qidx, b2, x0_2,
+        minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_of_step
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # values (resident)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qidx (resident)
+        pl.BlockSpec(memory_space=pl.ANY),      # b -> DMA
+        pl.BlockSpec(memory_space=pl.ANY),      # x0 -> DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # minv / placeholder
+    ]
+    Rp = Rf + 2 * PAD_PANELS + 1
+    x2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rf, LANES), b2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rf, LANES), jnp.float32),       # x
+            pltpu.VMEM((Rf, LANES), jnp.float32),       # b
+            pltpu.VMEM((Rf, LANES), jnp.float32),       # u
+            pltpu.VMEM((Rp, LANES), jnp.float32),       # SpMV source
+            pltpu.VMEM((int(m) + 1, Rf, LANES), jnp.float32),  # basis
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (A.values.size + 4 * m * Rf * LANES)
+            * int(max_iters),
+            bytes_accessed=A.values.size
+            * (A.values.dtype.itemsize + 4) + (m + 4) * Rf * LANES * 4,
             transcendentals=0,
         ),
         interpret=interpret,

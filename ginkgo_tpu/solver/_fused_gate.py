@@ -100,10 +100,12 @@ def prepare_fused_dia(solver, b, fits_fn):
     return ctx
 
 
-def prepare_fused_pell(solver, b):
-    """Gate for the fused general-sparse CG (ops/pallas_pell_cg.py): Pell
-    operator whose slot arrays + Krylov vectors fit VMEM (and whose
-    scalar maps fit SMEM)."""
+def prepare_fused_pell(solver, b, fits_fn=None):
+    """Gate for the fused general-sparse solvers on Pell operators
+    (ops/pallas_pell_cg.py, ops/pallas_gmres.py): slot arrays + Krylov
+    vectors fit VMEM, scalar maps fit SMEM.  fits_fn(n_slots, NT,
+    val_itemsize, q_itemsize, n_steps, use_minv) overrides the default
+    CG working-set check (GMRES adds basis frames)."""
     from ..matrix.pell import Pell
     from ..ops.pallas_pell_cg import pell_cg_vmem_fits
 
@@ -117,7 +119,8 @@ def prepare_fused_pell(solver, b):
     ctx = _prepare_fused_common(solver, b)
     if ctx is None:
         return None
-    if not pell_cg_vmem_fits(
+    fits = fits_fn if fits_fn is not None else pell_cg_vmem_fits
+    if not fits(
         A.values.shape[0], A.NT, A.values.dtype.itemsize,
         q_itemsize=A.qidx.dtype.itemsize,
         n_steps=A.n_steps,

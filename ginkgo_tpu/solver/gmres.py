@@ -287,6 +287,9 @@ class Gmres(IterativeSolverMixin, LinOp):
         if self.storage_precision != "keep":
             return None
         m = int(self.krylov_dim)
+        fast = self._try_vmem_fused_pell(b, x0)
+        if fast is not None:
+            return fast
 
         def fits(nd, R, itemsize, use_minv, halo_rows):
             return gmres_vmem_fits(nd, R, m, itemsize, use_minv=use_minv,
@@ -317,6 +320,55 @@ class Gmres(IterativeSolverMixin, LinOp):
         )
         x = x2.reshape(-1, 1)[:n]
         rn = jnp.sqrt(rr)[None].astype(b.dtype)  # true residual, always
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
+        )
+        return x, info
+
+    def _try_vmem_fused_pell(self, b, x0):
+        """Whole-solve-in-VMEM GMRES for GENERAL unstructured operators
+        (ops/pallas_gmres.pell_gmres_vmem_solve): Pell slots + the
+        Krylov basis VMEM-resident, scalar maps in SMEM.  Returns
+        (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_pell, tol_sq_eff
+        from ..ops.pallas_gmres import (
+            pell_gmres_vmem_fits, pell_gmres_vmem_solve,
+        )
+
+        m = int(self.krylov_dim)
+
+        def fits(n_slots, NT, val_itemsize, q_itemsize, n_steps, use_minv):
+            return pell_gmres_vmem_fits(
+                n_slots, NT, m, val_itemsize, q_itemsize=q_itemsize,
+                n_steps=n_steps, use_minv=use_minv,
+            )
+
+        ctx = prepare_fused_pell(self, b, fits)
+        if ctx is None:
+            return None
+        A, Rf = ctx["A"], ctx["Rf"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), Rf)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, rr, conv = pell_gmres_vmem_solve(
+            A,
+            frame(b, Rf),
+            frame(x0, Rf),
+            minv2,
+            m=m,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        rn = jnp.sqrt(rr)[None].astype(b.dtype)
         conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
         info = SolveInfo(
             iterations=it, residual_norm=rn, converged=conv_mask,

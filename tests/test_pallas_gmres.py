@@ -102,3 +102,36 @@ def test_vmem_gmres_gate_declines(poisson_dia, monkeypatch):
     monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
     s2 = Gmres.build(criteria=[stop.Iteration(5)]).generate(A)
     assert s2._try_vmem_fused(b, jnp.zeros_like(b)) is None
+
+
+def test_vmem_gmres_pell(monkeypatch):
+    """Fused GMRES on a GENERAL unstructured (Pell) operator matches the
+    generic solver on the same matrix."""
+    import scipy.sparse as sps
+    from ginkgo_tpu.matrix.pell import Pell
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    rng = np.random.default_rng(4)
+    n = 500
+    sp = sps.random(n, n, density=0.01, random_state=5, format="csr")
+    sp = (sp + sp.T + sps.eye(n) * 8).tocsr()
+    co = sp.tocoo()
+    data = MatrixData.from_coo(sp.shape, co.row, co.col, co.data)
+    A = Pell.from_matrix_data(data).astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)[:, None]
+    crit = [stop.Iteration(max_iters=300), stop.ResidualNorm(tolerance=1e-5)]
+
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Gmres.build(criteria=crit, krylov_dim=15).generate(A)
+    assert s._try_vmem_fused_pell(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Gmres.build(criteria=crit, krylov_dim=15).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    assert _relres(A, xf, b) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=5e-3, atol=5e-4
+    )
