@@ -312,3 +312,48 @@ def test_parilu_bucket_padding_parity():
     np.testing.assert_array_equal(
         np.asarray(uv0), np.asarray(uv1)[: plan["nnz_u"]]
     )
+
+
+def test_spd_isai_preconditions_cg(rng):
+    """VERDICT #9 done-criterion: the spd ISAI (M^H M with M ~= inverse
+    of the scaled IC factor, isai.cpp:139-166) reduces preconditioned-CG
+    iteration counts on an SPD model problem vs no preconditioner, and
+    the preconditioner application is SPD (symmetric positive)."""
+    from ginkgo_tpu.preconditioner.isai import SpdIsai
+    import scipy.sparse as sps
+
+    # variable-coefficient 1-D Laplacian with 6-decade coefficient jumps:
+    # ill-conditioned SPD where the scaled-IC-factor inverse matters
+    # (measured: raw 1872 iters, spd-ISAI 451, power-2 258)
+    n = 400
+    nrng = np.random.default_rng(0)
+    k = np.exp(nrng.uniform(-3, 3, n + 1))
+    sp = sps.diags(
+        [-k[1:-1], k[:-1] + k[1:], -k[1:-1]], [-1, 0, 1]
+    ).tocsr()
+    co = sp.tocoo()
+    A = gko.Csr.from_matrix_data(
+        gko.MatrixData.from_coo(sp.shape, co.row, co.col, co.data)
+    )
+    b = np.ones(n)
+    crit = [gko.stop.Iteration(3000), gko.stop.ResidualNorm(1e-10)]
+    M = SpdIsai().generate(A)
+    # SPD-ness of the composed preconditioner on a probe set
+    P = np.column_stack([np.asarray(M.apply(v)) for v in np.eye(n)])
+    np.testing.assert_allclose(P, P.T, rtol=1e-8, atol=1e-10)
+    assert np.all(np.linalg.eigvalsh((P + P.T) / 2) > 0)
+    it_pre = int(np.asarray(
+        gko.Cg.build(criteria=crit, preconditioner=M).generate(A)
+        .solve(b)[1].iterations
+    ))
+    it_raw = int(np.asarray(
+        gko.Cg.build(criteria=crit).generate(A).solve(b)[1].iterations
+    ))
+    assert it_pre < it_raw / 2  # measured ~4x; require at least 2x
+    # higher sparsity power strengthens the approximation further
+    it_p2 = int(np.asarray(
+        gko.Cg.build(
+            criteria=crit, preconditioner=SpdIsai(sparsity_power=2).generate(A)
+        ).generate(A).solve(b)[1].iterations
+    ))
+    assert it_p2 < it_pre
