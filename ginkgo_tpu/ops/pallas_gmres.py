@@ -42,12 +42,15 @@ from .spmv_pallas import PAD_PANELS, SUBLANES
 
 
 def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
-                    use_minv: bool = False, halo_rows: int = 0) -> bool:
-    """Dia working set: diags + (m+1) basis frames + x/b/u frames + the
-    halo-padded SpMV source frame + minv when present."""
+                    use_minv: bool = False, halo_rows: int = 0,
+                    basis_itemsize: int = 4) -> bool:
+    """Dia working set: diags + (m+1) basis frames (at the CB-GMRES
+    storage width) + x/b/u frames + the halo-padded SpMV source frame +
+    minv when present."""
     frame = R * LANES * 4
     vec_frames = (
-        (m + 1) + 3.25 + halo_rows / max(R, 1) + (1 if use_minv else 0)
+        (m + 1) * basis_itemsize / 4 + 3.25 + halo_rows / max(R, 1)
+        + (1 if use_minv else 0)
     )
     return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
@@ -56,7 +59,8 @@ def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
 
 def pell_gmres_vmem_fits(n_slots: int, NT: int, m: int,
                          val_itemsize: int, q_itemsize: int = 4,
-                         n_steps: int = 0, use_minv: bool = False) -> bool:
+                         n_steps: int = 0, use_minv: bool = False,
+                         basis_itemsize: int = 4) -> bool:
     """Pell working set: slot values + lane indices + (m+1) basis frames
     + x/b/u frames + the panel-padded SpMV source + SMEM scalar maps."""
     if n_steps + n_slots > _MAX_SMEM_INTS:
@@ -65,8 +69,8 @@ def pell_gmres_vmem_fits(n_slots: int, NT: int, m: int,
     slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
     frame = Rf * LANES * 4
     vec_frames = (
-        (m + 1) + 3.25 + (2 * PAD_PANELS + 1) / max(Rf, 1)
-        + (1 if use_minv else 0)
+        (m + 1) * basis_itemsize / 4 + 3.25
+        + (2 * PAD_PANELS + 1) / max(Rf, 1) + (1 if use_minv else 0)
     )
     return slot_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
 
@@ -120,7 +124,10 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
         return jax.lax.fori_loop(0, n_chunks, rchunk, jnp.float32(0))
 
     def basis_row_chunk(i, c0):
-        return V_s[pl.ds(i, 1), pl.ds(c0, C), :][0]
+        # bf16 basis storage (CB-GMRES reduce1/reduce2 float modes,
+        # cb_gmres_accessor.hpp:87-97): stored at V_s.dtype, arithmetic
+        # in f32 — the astype is a free VPU convert on read
+        return V_s[pl.ds(i, 1), pl.ds(c0, C), :][0].astype(jnp.float32)
 
     stage_x()
     rr0 = residual_into_u()
@@ -151,7 +158,9 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
             z_c = mchunk(c0) * u_s[pl.ds(c0, C), :] if use_minv else (
                 u_s[pl.ds(c0, C), :]
             )
-            V_s[pl.ds(0, 1), pl.ds(c0, C), :] = (z_c * inv_beta)[None]
+            V_s[pl.ds(0, 1), pl.ds(c0, C), :] = (
+                (z_c * inv_beta)[None].astype(V_s.dtype)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_chunks, v0_chunk, 0)
@@ -237,7 +246,7 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
                 c0 = c * C
                 V_s[pl.ds(j + 1, 1), pl.ds(c0, C), :] = (
                     u_s[pl.ds(c0, C), :] * inv_h
-                )[None]
+                )[None].astype(V_s.dtype)
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, store_next, 0)
@@ -373,7 +382,8 @@ def _gmres_pell_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm,
 
 
 def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
-                     tol_sq_eff, max_iters, interpret=False):
+                     tol_sq_eff, max_iters, basis_dtype=jnp.float32,
+                     interpret=False):
     """Run restarted GMRES(m) to convergence in one Pallas kernel on a
     Dia operator.
 
@@ -421,7 +431,7 @@ def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
             pltpu.VMEM((R, LANES), jnp.float32),        # b
             pltpu.VMEM((R, LANES), jnp.float32),        # u (w / r)
             pltpu.VMEM((Rp, LANES), jnp.float32),       # SpMV source
-            pltpu.VMEM((int(m) + 1, R, LANES), jnp.float32),  # basis
+            pltpu.VMEM((int(m) + 1, R, LANES), basis_dtype),  # basis
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -439,7 +449,8 @@ def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
 
 
 def pell_gmres_vmem_solve(A, b2, x0_2, minv2=None, *, m, tol_sq_eff,
-                          max_iters, interpret=False):
+                          max_iters, basis_dtype=jnp.float32,
+                          interpret=False):
     """Run restarted GMRES(m) to convergence in one Pallas kernel on a
     GENERAL unstructured (Pell) operator.
 
@@ -490,7 +501,7 @@ def pell_gmres_vmem_solve(A, b2, x0_2, minv2=None, *, m, tol_sq_eff,
             pltpu.VMEM((Rf, LANES), jnp.float32),       # b
             pltpu.VMEM((Rf, LANES), jnp.float32),       # u
             pltpu.VMEM((Rp, LANES), jnp.float32),       # SpMV source
-            pltpu.VMEM((int(m) + 1, Rf, LANES), jnp.float32),  # basis
+            pltpu.VMEM((int(m) + 1, Rf, LANES), basis_dtype),  # basis
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -269,6 +269,19 @@ class Gmres(IterativeSolverMixin, LinOp):
             history=None,
         )
 
+    def _fused_basis_dtype(self):
+        """Basis storage dtype for the fused kernel, or None when the
+        storage mode needs the generic path.  Float CB-GMRES modes map
+        to bf16 VMEM storage with f32 arithmetic — exactly the
+        _decode_basis float-mode semantics (unit scales, convert on
+        read); integer modes (per-vector scales) stay generic."""
+        mode = self.storage_precision
+        if mode == "keep":
+            return jnp.float32
+        if mode in ("reduce1", "reduce2"):
+            return jnp.bfloat16
+        return None
+
     def _try_vmem_fused(self, b, x0):
         """Whole-solve-in-VMEM fast path (ops/pallas_gmres.py): the full
         restarted GMRES(m) — Arnoldi, CGS2, Givens QR, back-substitution,
@@ -284,7 +297,8 @@ class Gmres(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_gmres import gmres_vmem_fits, gmres_vmem_solve
 
-        if self.storage_precision != "keep":
+        basis_dtype = self._fused_basis_dtype()
+        if basis_dtype is None:
             return None
         m = int(self.krylov_dim)
         fast = self._try_vmem_fused_pell(b, x0)
@@ -292,8 +306,11 @@ class Gmres(IterativeSolverMixin, LinOp):
             return fast
 
         def fits(nd, R, itemsize, use_minv, halo_rows):
-            return gmres_vmem_fits(nd, R, m, itemsize, use_minv=use_minv,
-                                   halo_rows=halo_rows)
+            return gmres_vmem_fits(
+                nd, R, m, itemsize, use_minv=use_minv,
+                halo_rows=halo_rows,
+                basis_itemsize=jnp.dtype(basis_dtype).itemsize,
+            )
 
         ctx = prepare_fused_dia(self, b, fits)
         if ctx is None:
@@ -316,6 +333,7 @@ class Gmres(IterativeSolverMixin, LinOp):
             m=m,
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
+            basis_dtype=basis_dtype,
             interpret=ctx["interpret"],
         )
         x = x2.reshape(-1, 1)[:n]
@@ -337,12 +355,16 @@ class Gmres(IterativeSolverMixin, LinOp):
             pell_gmres_vmem_fits, pell_gmres_vmem_solve,
         )
 
+        basis_dtype = self._fused_basis_dtype()
+        if basis_dtype is None:
+            return None
         m = int(self.krylov_dim)
 
         def fits(n_slots, NT, val_itemsize, q_itemsize, n_steps, use_minv):
             return pell_gmres_vmem_fits(
                 n_slots, NT, m, val_itemsize, q_itemsize=q_itemsize,
                 n_steps=n_steps, use_minv=use_minv,
+                basis_itemsize=jnp.dtype(basis_dtype).itemsize,
             )
 
         ctx = prepare_fused_pell(self, b, fits)
@@ -365,6 +387,7 @@ class Gmres(IterativeSolverMixin, LinOp):
             m=m,
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
+            basis_dtype=basis_dtype,
             interpret=ctx["interpret"],
         )
         x = x2.reshape(-1, 1)[:n]

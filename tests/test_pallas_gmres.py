@@ -92,16 +92,42 @@ def test_vmem_gmres_iteration_only(poisson_dia, monkeypatch):
 
 
 def test_vmem_gmres_gate_declines(poisson_dia, monkeypatch):
-    """Non-'keep' storage and absent force/backend decline cleanly."""
+    """Integer storage modes and absent force/backend decline cleanly."""
     A, b = poisson_dia
     monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
     s = Gmres.build(
-        criteria=[stop.Iteration(5)], storage_precision="reduce2"
+        criteria=[stop.Iteration(5)], storage_precision="integer"
     ).generate(A)
     assert s._try_vmem_fused(b, jnp.zeros_like(b)) is None
     monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
     s2 = Gmres.build(criteria=[stop.Iteration(5)]).generate(A)
     assert s2._try_vmem_fused(b, jnp.zeros_like(b)) is None
+
+
+def test_vmem_gmres_bf16_basis(poisson_dia, monkeypatch):
+    """CB-GMRES float storage modes ride the fused kernel with a bf16
+    VMEM basis (halved basis footprint); convergence survives the
+    reduced-precision basis on the true-residual outer check."""
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-4)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Gmres.build(
+        criteria=crit, krylov_dim=10, storage_precision="reduce2"
+    ).generate(A)
+    assert s._try_vmem_fused(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    assert bool(inf_f.converged[0])
+    assert _relres(A, xf, b) < 1e-4
+    # generic CB-GMRES reduce2 for comparison
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Gmres.build(
+        criteria=crit, krylov_dim=10, storage_precision="reduce2"
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=5e-2, atol=5e-3
+    )
 
 
 def test_vmem_gmres_pell(monkeypatch):
