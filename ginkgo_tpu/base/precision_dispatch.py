@@ -28,16 +28,13 @@ from .linop import as_2d, restore_1d
 
 
 def dispatch_dtype(op_dtype, arg_dtype):
-    """The compute dtype the reference's dispatch would pick: the
-    OPERATOR's value type (arguments are converted to it)."""
-    op_dtype = jnp.dtype(op_dtype)
-    arg_dtype = jnp.dtype(arg_dtype)
-    if jnp.issubdtype(arg_dtype, jnp.complexfloating) and not jnp.issubdtype(
-        op_dtype, jnp.complexfloating
-    ):
-        # real op x complex vectors: compute per-part in the op's precision
-        return op_dtype
-    return op_dtype
+    """The compute dtype the reference's dispatch would pick: always the
+    OPERATOR's value type — arguments are converted to it
+    (core/base/precision_dispatch.hpp; a real operator with complex
+    vectors computes per-part in the operator's precision, which is the
+    same rule)."""
+    del arg_dtype  # the reference converts arguments, never the operator
+    return jnp.dtype(op_dtype)
 
 
 def precision_dispatch(apply_fn, op_dtype, b):

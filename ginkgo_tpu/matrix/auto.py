@@ -35,17 +35,26 @@ def choose_format(
             inflation = bell_inflation_estimate(data, block_rows=br)
             if best_bell is None or inflation < best_bell[1]:
                 best_bell = (br, inflation)
+        import numpy as np
+
+        from ..ops.spmv_pallas import PellPlan
         from .pell import Pell
 
-        pell = Pell.from_matrix_data(data)
+        csr = Csr.from_matrix_data(data)
+        # stats-only plan: selection must not materialize (or upload)
+        # the padded slot arrays of a candidate that loses to Bell/Csr
+        stats = PellPlan(
+            np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
+            np.asarray(csr.values), tuple(csr.shape), materialize=False,
+        )
         # HBM bytes per nonzero: Pell streams value + int32 lane index
         # (8 B/cell), Bell streams dense panels (4 B/cell)
-        pell_bytes = pell.inflation * 8
+        pell_bytes = stats.inflation * 8
         bell_bytes = best_bell[1] * 4
-        if pell_bytes <= bell_bytes and pell.inflation <= max_inflation:
-            return pell
+        if pell_bytes <= bell_bytes and stats.inflation <= max_inflation:
+            return Pell.from_csr(csr)
         if best_bell[1] <= max_inflation:
             return Bell.from_matrix_data(data, block_rows=best_bell[0])
-        if pell.inflation <= 2 * max_inflation:
-            return pell  # still far better than gather-speed Csr
+        if stats.inflation <= 2 * max_inflation:
+            return Pell.from_csr(csr)  # far better than gather-speed Csr
     return Csr.from_matrix_data(data)

@@ -152,10 +152,16 @@ class Csr(LinOp):
         if jax.default_backend() == "tpu":
             from ..ops import spmv_pallas
 
-            plan = spmv_pallas._plan_for(
-                self.row_ptrs, self.col_idxs, self.values, self.shape
+            # stats-only pass: resolution must not materialize (or
+            # upload) the padded slot arrays before the gate accepts
+            stats = spmv_pallas.PellPlan(
+                np.asarray(self.row_ptrs), np.asarray(self.col_idxs),
+                np.asarray(self.values), tuple(self.shape),
+                materialize=False,
             )
-            if plan.inflation <= 16.0:
+            if stats.inflation <= 16.0 and stats.total_cells * 8 <= (
+                spmv_pallas._HARD_PAD_BYTES
+            ):
                 return "pallas"
             self._maybe_hint_gather()
             return "classical"

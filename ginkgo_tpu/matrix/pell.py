@@ -110,7 +110,7 @@ class Pell(LinOp):
             os.environ.get("GINKGO_TPU_NO_PALLAS")
         )
         step_cap = max(_MAX_PREFETCH_INTS // (self.G + 1), 1)
-        if k > 1 and self.n_steps <= step_cap:
+        if k > 1 and self.n_steps <= step_cap and self.S == 8:
             # multi-RHS kernel: the matrix streams once for all k columns
             out = pell_spmm(self, arr, interpret=interpret)
         else:
@@ -143,11 +143,11 @@ class Pell(LinOp):
 
     def transpose(self):
         return Pell.from_csr(self.to_csr().transpose(), G=self.G, S=self.S,
-                             q_dtype=np.asarray(self.qidx).dtype)
+                             q_dtype=np.dtype(str(self.qidx.dtype)))
 
     def conj_transpose(self):
         return Pell.from_csr(self.to_csr().conj_transpose(), G=self.G,
-                             S=self.S, q_dtype=np.asarray(self.qidx).dtype)
+                             S=self.S, q_dtype=np.dtype(str(self.qidx.dtype)))
 
     # -- conversions ----------------------------------------------------------
 

@@ -73,7 +73,8 @@ class PellPlan:
     fit); the kernel widens to int32 in-register."""
 
     def __init__(self, indptr, indices, values, shape, G: int = 8,
-                 S: int = SUBLANES, q_dtype=np.int32):
+                 S: int = SUBLANES, q_dtype=np.int32, *,
+                 materialize: bool = True, max_cells: int | None = None):
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         values = np.asarray(values)
@@ -134,7 +135,19 @@ class PellPlan:
         slot_off = np.concatenate([[0], np.cumsum(K_t_pad)])
         total_slots = int(slot_off[-1])
         self.n_steps = int(steps_t.sum())
-        self.inflation = total_slots * tile_rows / max(nnz, 1)
+        self.total_cells = total_slots * tile_rows
+        self.inflation = self.total_cells / max(nnz, 1)
+        self.val_dtype = values.dtype
+        self.q_dtype = np.dtype(q_dtype)
+
+        # padding gates run BEFORE the padded arrays exist: a low-locality
+        # pattern can inflate to tens of GB, which must be declinable
+        # without allocating it (review finding r2).  materialize=False
+        # computes stats only (choose_format / strategy resolution).
+        self.too_large = max_cells is not None and self.total_cells > max_cells
+        if not materialize or self.too_large:
+            self.values = self.qidx = self.bases = self.tile_of_step = None
+            return
 
         vals_arr = np.zeros((total_slots, self.S, LANES), values.dtype)
         q_arr = np.zeros((total_slots, self.S, LANES), q_dtype)
@@ -292,6 +305,8 @@ def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
         b = bases_ref[i * G + g]
         vals = vals_ref[g].astype(jnp.float32)
         qp = q_ref[g]
+        if qp.dtype != jnp.int32:
+            qp = qp.astype(jnp.int32)  # int8 storage widens in-register
         for j in range(k):
             W = x_ref[j, pl.ds(b, SUBLANES), :]
             gth = jnp.take_along_axis(
@@ -382,8 +397,16 @@ def _plan_for(row_ptrs, col_idxs, values, shape):
         return hit[3]
     plan = PellPlan(
         np.asarray(row_ptrs), np.asarray(col_idxs), np.asarray(values),
-        shape,
+        shape, max_cells=_HARD_PAD_BYTES // 8,
     )
+    if plan.too_large:
+        raise MemoryError(
+            "PELL plan for this pattern would materialize "
+            f"{plan.total_cells * 8 / 2**30:.1f} GB of padded slots "
+            f"(inflation {plan.inflation:.0f}x); use an XLA strategy "
+            "(classical/merge_path) or reorder the matrix (e.g. Rcm) to "
+            "improve column locality"
+        )
     if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = (row_ptrs, col_idxs, values, plan)
@@ -409,6 +432,9 @@ def csr_spmv(row_ptrs, col_idxs, values, arr, n_rows, *, interpret=False):
 
 _OP_PLAN_CACHE: dict = {}
 _OP_PLAN_CACHE_MAX = 16
+# absolute ceiling on materialized padded bytes regardless of inflation:
+# even a "good" 16x expansion of a huge nnz must not exhaust HBM/host RAM
+_HARD_PAD_BYTES = 2 << 30
 
 
 def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
@@ -455,22 +481,30 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         hit is not None and len(hit[0]) == len(leaves)
         and all(a is b for a, b in zip(hit[0], leaves))
     ):
-        plan = hit[1]
+        plan = hit[1]  # None = cached decline
     else:
         csr = op.to_csr()
-        plan = PellPlan(
-            np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
-            np.asarray(csr.values), tuple(op.shape),
+        ip = np.asarray(csr.row_ptrs)
+        ci = np.asarray(csr.col_idxs)
+        vv = np.asarray(csr.values)
+        # stats-only pass first: the padding gate must run BEFORE the
+        # padded arrays are allocated (a low-locality pattern can
+        # inflate to tens of GB)
+        stats = PellPlan(ip, ci, vv, tuple(op.shape), materialize=False)
+        bytes_per_cell = (
+            vv.dtype.itemsize + np.dtype(np.int32).itemsize
+        )
+        pad_bytes = stats.total_cells * bytes_per_cell
+        accept = stats.nnz > 0 and (
+            stats.inflation <= max_inflation or pad_bytes <= max_pad_bytes
+        ) and pad_bytes <= _HARD_PAD_BYTES
+        plan = (
+            PellPlan(ip, ci, vv, tuple(op.shape)) if accept else None
         )
         if len(_OP_PLAN_CACHE) >= _OP_PLAN_CACHE_MAX:
             _OP_PLAN_CACHE.pop(next(iter(_OP_PLAN_CACHE)))
         _OP_PLAN_CACHE[key] = (leaves, plan)
-    if plan.nnz == 0:
-        return None
-    pad_bytes = plan.values.size * (
-        plan.values.dtype.itemsize + plan.qidx.dtype.itemsize
-    )
-    if plan.inflation > max_inflation and pad_bytes > max_pad_bytes:
+    if plan is None:
         return None
     interpret = not on_tpu
     cols = [

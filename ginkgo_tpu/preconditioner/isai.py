@@ -105,12 +105,16 @@ def generate_isai(
         )[..., 0]
         mhost = np.asarray(Mrows).astype(sp.data.dtype)
         if isai_type == "spd":
-            # scale by 1/sqrt(solution diagonal) — i sits at the END of a
-            # tril pattern row (isai_kernels.hpp.inc:278-281)
-            diag = mhost[np.arange(nr), np.maximum(m - 1, 0)]
+            # scale by 1/sqrt(solution diagonal) at the POSITION of i
+            # within J_i (isai_kernels.hpp.inc:278-281 reads the last
+            # entry because its tril rows always store an explicit
+            # diagonal; here a row may lack one — `pos`/`has` from the
+            # rhs construction locate it robustly, identity elsewhere)
+            diag = mhost[np.arange(nr), pos]
             with np.errstate(invalid="ignore", divide="ignore"):
                 scale = 1.0 / np.sqrt(diag)
-            mhost = mhost * np.where(m > 0, scale, 1.0)[:, None]
+            ok = has & np.isfinite(scale) & (diag > 0)
+            mhost = mhost * np.where(ok, scale, 1.0)[:, None]
         vals[pat.indptr[r0]: pat.indptr[r1]] = mhost[maskJ]
     return Csr.create((n, n), pat.indptr, pat.indices, vals).astype(
         A_csr.dtype

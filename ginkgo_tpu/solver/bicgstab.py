@@ -101,30 +101,16 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         (ops/pallas_pell_cg.pell_bicgstab_vmem_solve): Pell operator whose
         slots + the seven state frames fit VMEM; right preconditioning
         applied explicitly in-kernel.  Returns (x, SolveInfo) or None."""
-        from ._fused_gate import frame, _prepare_fused_common, tol_sq_eff
-        from ..matrix.pell import Pell
+        from ._fused_gate import frame, prepare_fused_pell, tol_sq_eff
         from ..ops.pallas_pell_cg import (
             pell_bicgstab_vmem_fits,
             pell_bicgstab_vmem_solve,
         )
 
-        A = self.A
-        if not isinstance(A, Pell) or A.shape[0] != A.shape[1]:
-            return None
-        if A.values.dtype not in (jnp.float32, jnp.bfloat16):
-            return None
-        if A.values.shape[0] == 0 or A.values.shape[1] != 8:
-            return None  # fused kernel implements the S=8 tile layout
-        ctx = _prepare_fused_common(self, b)
+        ctx = prepare_fused_pell(self, b, pell_bicgstab_vmem_fits)
         if ctx is None:
             return None
-        if not pell_bicgstab_vmem_fits(
-            A.values.shape[0], A.NT, A.values.dtype.itemsize,
-            q_itemsize=A.qidx.dtype.itemsize, n_steps=A.n_steps,
-            use_minv=ctx["minv_flat"] is not None,
-        ):
-            return None
-        Rf = A.NT * 8
+        A, Rf = ctx["A"], ctx["Rf"]
         n = A.shape[0]
         r0 = b - A.apply(x0)
         tol_sq = tol_sq_eff(ctx, b, r0)

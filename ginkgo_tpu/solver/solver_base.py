@@ -299,6 +299,11 @@ class IterativeSolverMixin:
 
         import numpy as _np
 
+        if isinstance(info.iterations, jax.core.Tracer):
+            # solve() running under an enclosing user jit: the replay
+            # needs concrete values; events stream only on eager solves
+            # (or via solve_chunked)
+            return
         if info.history is not None:
             hist = _np.asarray(info.history)
             n_it = int(info.iterations)
