@@ -272,6 +272,51 @@ def main():
                 (pell_cg_total(600) - pell_cg_total(100)) / 500, 1e-9
             )
 
+    # fused whole-solve GMRES(30) per-iteration vs the streaming loop on
+    # a 262k-row Dia Poisson (basis 31 frames VMEM-resident)
+    t_gmres_fused = float("nan")
+    t_gmres_stream = float("nan")
+    if on_tpu:
+        from ginkgo_tpu import Gmres
+
+        data_g = generators.poisson_2d(512, dtype=np.float32)
+        Dg = Dia.from_matrix_data(data_g).scale(0.125)
+        bg = jnp.ones((data_g.shape[0], 1), jnp.float32)
+
+        def gmres_total(iters, fused):
+            import os as _os
+
+            if not fused:
+                _os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+            try:
+                s = Gmres.build(
+                    criteria=[stop.Iteration(max_iters=iters)],
+                    krylov_dim=30,
+                ).generate(Dg)
+
+                @jax.jit
+                def run(rhs):
+                    x, _ = s.solve(rhs)
+                    return x
+
+                float(jnp.sum(run(bg)))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(jnp.sum(run(bg)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+            finally:
+                _os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+        # interleaved A/B (chip clock drifts between sessions)
+        g_f1 = gmres_total(60, True)
+        g_s1 = gmres_total(60, False)
+        g_f2 = gmres_total(240, True)
+        g_s2 = gmres_total(240, False)
+        t_gmres_fused = max((g_f2 - g_f1) / 180, 1e-9)
+        t_gmres_stream = max((g_s2 - g_s1) / 180, 1e-9)
+
     out = {
         "metric": "spmv_roofline_frac",
         "value": round(frac, 4),
@@ -310,6 +355,13 @@ def main():
                 None if t_pell_cg != t_pell_cg else t_pell_cg
             ),
             "cg_pell_vmem_n": n_ucg,
+            "gmres30_fused_seconds_per_iteration": (
+                None if t_gmres_fused != t_gmres_fused else t_gmres_fused
+            ),
+            "gmres30_stream_seconds_per_iteration": (
+                None if t_gmres_stream != t_gmres_stream
+                else t_gmres_stream
+            ),
             "hbm_gbs": hbm_bandwidth_gbs(),
             "note": "frac may exceed 1.0: loop-invariant diagonal blocks are "
                     "served from on-chip memory across chained applies, so "
