@@ -1,0 +1,293 @@
+"""Whole-solve fused CG with in-kernel ILU/IC preconditioning.
+
+The fused CG family (ops/pallas_cg.py) requires a DIAGONAL
+preconditioner; production Ginkgo workloads overwhelmingly run CG with
+incomplete-factorization preconditioners (ilu.hpp:114, ic.hpp:107) whose
+apply is two triangular solves.  The TPU-native triangular solve for
+banded factors is the Jacobi-Richardson sweep (solver/triangular.py
+'sweeps': x^{m+1} = D^{-1}(b - (T - D) x^m) — Chow & Patel's iterative
+triangular solve), and each sweep is a banded SpMV — exactly the
+gather-free shift SpMV the fused CG kernel already performs for A.  So
+the whole ILU-preconditioned solve fuses: per iteration, one A-SpMV +
+(sweeps_l + sweeps_u) triangle-SpMVs + the CG vector work, ALL from
+VMEM with zero HBM traffic and no dispatch round-trips.
+
+Gate (solver/_fused_gate.prepare_fused_dia_ilu): A is Dia; M is an
+IluPreconditioner whose two TriangularSolvers use the 'sweeps'
+algorithm with small static sweep counts and whose strict triangles
+choose_format-ed to Dia (banded factors of banded operators do).
+
+Parity: matches the generic CG + IluPreconditioner(sweeps) composition
+to f32 round-off (tests/test_pallas_cg_ilu.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dia import _plan
+from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+
+
+def cg_ilu_vmem_fits(nd_a: int, nd_l: int, nd_u: int, R: int,
+                     itemsize: int = 4, halo_rows: int = 0) -> bool:
+    """Working set: A + L + U diagonal frames, x/r/z/q vector frames, the
+    halo-padded p frame, the shared trisolve staging frame, and the two
+    inverse-diagonal frames."""
+    frame = R * LANES * 4
+    vec_frames = 8.25 + 2 * halo_rows / max(R, 1)
+    return (nd_a + nd_l + nd_u) * R * LANES * itemsize + (
+        vec_frames * frame
+    ) <= cg_vmem_budget_bytes()
+
+
+def _cg_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl, invdu,
+                   r0_hbm, x0_hbm, x_hbm, r_hbm, stats, x_s, r_s, z_s,
+                   q_s, p_s, w_s, sems, *, qs_a, pad_a, qs_l, pad_l,
+                   qs_u, pad_u, R, sweeps_l, sweeps_u, use_implicit):
+    """pad_* = (pad_lo, pad_hi) per operator; w_s is the shared trisolve
+    staging buffer sized for max(pad_l, pad_u); p_s is halo-padded for A.
+    stats out: [iterations, monitored_sq, converged]."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(R)
+    n_chunks = R // C
+    pa_lo, pa_hi = pad_a
+    plo_l, phi_l = pad_l
+    plo_u, phi_u = pad_u
+    w_lo = max(plo_l, plo_u)
+    w_hi = max(phi_l, phi_u)
+    Rw = R + w_lo + w_hi
+    Rp = R + pa_lo + pa_hi
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    if pa_lo:
+        p_s[0:pa_lo] = jnp.zeros((pa_lo, LANES), jnp.float32)
+    if pa_hi:
+        p_s[Rp - pa_hi:Rp] = jnp.zeros((pa_hi, LANES), jnp.float32)
+    if w_lo:
+        w_s[0:w_lo] = jnp.zeros((w_lo, LANES), jnp.float32)
+    if w_hi:
+        w_s[Rw - w_hi:Rw] = jnp.zeros((w_hi, LANES), jnp.float32)
+
+    def _tri_sweeps(rhs_read, diags, invd, qs, stage_lo, sweeps, out_s):
+        """out = approx T^{-1} rhs via Jacobi-Richardson sweeps.
+
+        rhs_read(c0) yields the (C,128) rhs chunk; out_s holds the
+        iterate; w_s stages the previous iterate for the banded SpMV.
+        x0 = D^{-1} rhs, then `sweeps` corrections (triangular.py
+        _solve_sweeps semantics, diag folded as inverse)."""
+        off = w_lo  # stage at the shared buffer's frame-row origin
+
+        def init_chunk(c, _):
+            c0 = c * C
+            out_s[pl.ds(c0, C), :] = (
+                rhs_read(c0) * invd[pl.ds(c0, C), :].astype(jnp.float32)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, init_chunk, 0)
+
+        def sweep(s, _):
+            def stage_chunk(c, _):
+                c0 = c * C
+                w_s[pl.ds(off + c0, C), :] = out_s[pl.ds(c0, C), :]
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, stage_chunk, 0)
+
+            def upd_chunk(c, _):
+                c0 = c * C
+                tv = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=off)
+                out_s[pl.ds(c0, C), :] = (
+                    (rhs_read(c0) - tv)
+                    * invd[pl.ds(c0, C), :].astype(jnp.float32)
+                )
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, upd_chunk, 0)
+            return 0
+
+        jax.lax.fori_loop(0, sweeps, sweep, 0)
+
+    def precondition():
+        """z_s = U^{-1} L^{-1} r_s (q_s holds the intermediate y)."""
+        _tri_sweeps(
+            lambda c0: r_s[pl.ds(c0, C), :], l_diags, invdl, qs_l,
+            plo_l, sweeps_l, q_s,
+        )
+        _tri_sweeps(
+            lambda c0: q_s[pl.ds(c0, C), :], u_diags, invdu, qs_u,
+            plo_u, sweeps_u, z_s,
+        )
+
+    # ---- init: z = M r0; p = z; rho = r.z; rr = r.r -------------------
+    precondition()
+
+    def init_chunk(c, carry):
+        rho, rr = carry
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        z_c = z_s[pl.ds(c0, C), :]
+        p_s[pl.ds(pa_lo + c0, C), :] = z_c
+        return (rho + jnp.sum(r_c * z_c), rr + jnp.sum(r_c * r_c))
+
+    rho0, rr0 = jax.lax.fori_loop(
+        0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
+    )
+
+    def cond(st):
+        it, rho, rr, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho, rr, _ = st
+
+        # pass 1: q = A p, pq
+        def spmv_chunk_fn(c, pq):
+            c0 = c * C
+            q_c = _spmv_chunk(a_diags, p_s, c0, C, qs=qs_a, pad_lo=pa_lo)
+            q_s[pl.ds(c0, C), :] = q_c
+            p_c = p_s[pl.ds(pa_lo + c0, C), :]
+            return pq + jnp.sum(p_c * q_c)
+
+        pq = jax.lax.fori_loop(0, n_chunks, spmv_chunk_fn, jnp.float32(0))
+        alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
+
+        # pass 2: x += alpha p, r -= alpha q, rr_new
+        def update_chunk(c, rr_n):
+            c0 = c * C
+            p_c = p_s[pl.ds(pa_lo + c0, C), :]
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
+            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return rr_n + jnp.sum(r_c * r_c)
+
+        rr_new = jax.lax.fori_loop(0, n_chunks, update_chunk,
+                                   jnp.float32(0))
+
+        # z = M r (q_s free after pass 2 — reused as trisolve scratch)
+        precondition()
+
+        def rho_chunk(c, acc):
+            c0 = c * C
+            return acc + jnp.sum(
+                r_s[pl.ds(c0, C), :] * z_s[pl.ds(c0, C), :]
+            )
+
+        rho_new = jax.lax.fori_loop(0, n_chunks, rho_chunk,
+                                    jnp.float32(0))
+        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+                         0.0)
+
+        def pdir_chunk(c, _):
+            c0 = c * C
+            p_s[pl.ds(pa_lo + c0, C), :] = (
+                z_s[pl.ds(c0, C), :]
+                + beta * p_s[pl.ds(pa_lo + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pdir_chunk, 0)
+        stop_mon = jnp.abs(rho) if use_implicit else rr_new
+        return (it + 1, rho_new, rr_new, stop_mon)
+
+    it, rho, rr, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), rho0, rr0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def cg_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2, x0_2,
+                      *, sweeps_l, sweeps_u, tol_sq_eff, max_iters,
+                      use_implicit=False, interpret=False):
+    """Run ILU-preconditioned CG to convergence in one Pallas kernel.
+
+    A_dia / Tl_dia / Tu_dia: matrix.dia.Dia operators (A, strict lower
+    triangle of L, strict upper triangle of U); invdl2/invdu2: (R, 128)
+    inverse-diagonal frames of the factors; r0_2/x0_2: (R, 128) f32
+    frames.  Returns (x2, iterations, monitored_sq, converged)."""
+    a_diags = A_dia.diags
+    nd, R, lanes = a_diags.shape
+    assert lanes == LANES
+    qs_a, _, _, pa_lo, pa_hi = _plan(A_dia.offsets, R)
+    qs_l, _, _, pl_lo, pl_hi = _plan(Tl_dia.offsets, R)
+    qs_u, _, _, pu_lo, pu_hi = _plan(Tu_dia.offsets, R)
+    kernel = functools.partial(
+        _cg_ilu_kernel, qs_a=qs_a, pad_a=(pa_lo, pa_hi), qs_l=qs_l,
+        pad_l=(pl_lo, pl_hi), qs_u=qs_u, pad_u=(pu_lo, pu_hi), R=R,
+        sweeps_l=int(sweeps_l), sweeps_u=int(sweeps_u),
+        use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, a_diags, Tl_dia.diags, Tu_dia.diags, invdl2,
+            invdu2, r0_2, x0_2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    Rp = R + pa_lo + pa_hi
+    Rw = R + max(pl_lo, pu_lo) + max(pl_hi, pu_hi)
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.float32),   # x
+            pltpu.VMEM((R, LANES), jnp.float32),   # r
+            pltpu.VMEM((R, LANES), jnp.float32),   # z
+            pltpu.VMEM((R, LANES), jnp.float32),   # q / trisolve y
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # p (A-halo-padded)
+            pltpu.VMEM((Rw, LANES), jnp.float32),  # trisolve staging
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nd + 8) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + 6) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

@@ -93,9 +93,17 @@ class IcPreconditionerFactory:
         else:
             fact = self.ff.generate(op)
         lt = fact.get_l_factor()
+        # the reference Ic uses ONE solver type for both L and L^H
+        # (ic.hpp:107) — mirror the lower factory's algorithm/sweeps on
+        # the upper side so e.g. a sweeps-configured IC stays fusable
+        uf = UpperTrsFactory(
+            algorithm=getattr(self.lf, "algorithm", "block_scan"),
+            block=getattr(self.lf, "block", 64),
+            sweeps=getattr(self.lf, "sweeps", None),
+        )
         return IluPreconditioner(
             l_solver=self.lf.generate(lt),
-            u_solver=UpperTrsFactory().generate(lt.conj_transpose()),
+            u_solver=uf.generate(lt.conj_transpose()),
             reverse_apply=False,
         )
 

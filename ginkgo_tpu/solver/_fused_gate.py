@@ -32,13 +32,11 @@ def _flags_allow_fused():
     return {"interpret": not on_tpu}
 
 
-def _prepare_fused_common(solver, b):
-    """Operator-independent checks shared by the Dia and Pell fused
-    paths: single f32 RHS, no SPMD axis / history tracking, env flags,
-    diagonal (Identity/Diagonal/scalar-Jacobi) preconditioner, plain
-    Iteration/ResidualNorm criterion.  Returns None or a partial ctx."""
-    from ..matrix.diagonal import Diagonal, Identity
-    from ..preconditioner.jacobi import Jacobi
+def _common_checks(solver, b):
+    """Preconditioner-independent checks shared by every fused path:
+    single f32 RHS, no SPMD axis / history tracking, env flags, plain
+    Iteration/ResidualNorm criterion.  Returns None or a partial ctx
+    (no preconditioner fields)."""
     from ..stop.criterion import analyze_simple_residual
     from .solver_base import extract_max_iters
 
@@ -49,6 +47,31 @@ def _prepare_fused_common(solver, b):
     flags = _flags_allow_fused()
     if flags is None:
         return None
+    simple = analyze_simple_residual(solver.criterion)
+    if simple is None:
+        return None
+    tol, baseline, implicit, has_res = simple
+    return {
+        "A": solver.A,
+        "tol": tol,
+        "baseline": baseline,
+        "implicit": implicit,
+        "has_res": has_res,
+        "cap": extract_max_iters(solver.criterion),
+        "interpret": flags["interpret"],
+    }
+
+
+def _prepare_fused_common(solver, b):
+    """Operator-independent checks shared by the Dia and Pell fused
+    paths: _common_checks + diagonal (Identity/Diagonal/scalar-Jacobi)
+    preconditioner.  Returns None or a partial ctx."""
+    from ..matrix.diagonal import Diagonal, Identity
+    from ..preconditioner.jacobi import Jacobi
+
+    ctx = _common_checks(solver, b)
+    if ctx is None:
+        return None
     M = solver.preconditioner
     if isinstance(M, Identity):
         minv_flat = None
@@ -58,20 +81,8 @@ def _prepare_fused_common(solver, b):
         minv_flat = M.inv_diag
     else:
         return None
-    simple = analyze_simple_residual(solver.criterion)
-    if simple is None:
-        return None
-    tol, baseline, implicit, has_res = simple
-    return {
-        "A": solver.A,
-        "minv_flat": minv_flat,
-        "tol": tol,
-        "baseline": baseline,
-        "implicit": implicit,
-        "has_res": has_res,
-        "cap": extract_max_iters(solver.criterion),
-        "interpret": flags["interpret"],
-    }
+    ctx["minv_flat"] = minv_flat
+    return ctx
 
 
 def prepare_fused_dia(solver, b, fits_fn):
@@ -128,6 +139,59 @@ def prepare_fused_pell(solver, b, fits_fn=None):
     ):
         return None
     ctx.update(Rf=A.NT * 8)
+    return ctx
+
+
+_MAX_FUSED_TRI_SWEEPS = 8
+
+
+def prepare_fused_dia_ilu(solver, b):
+    """Gate for the ILU/IC-preconditioned fused CG
+    (ops/pallas_cg_ilu.py): Dia operator + IluPreconditioner whose two
+    TriangularSolvers use the 'sweeps' algorithm with small static
+    sweep counts and Dia strict triangles (banded factors of banded
+    operators — the choose_format path in solver/triangular._build).
+    Returns None or a ctx with A / l_solver / u_solver / Rf."""
+    from ..matrix.dia import Dia
+    from ..ops.pallas_dia import _plan
+    from ..ops.pallas_cg_ilu import cg_ilu_vmem_fits
+    from ..preconditioner.ilu import IluPreconditioner
+    from ..solver.triangular import TriangularSolver
+
+    A = solver.A
+    if not isinstance(A, Dia) or A.shape[0] != A.shape[1]:
+        return None
+    nd, R, _ = A.diags.shape
+    if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    M = solver.preconditioner
+    if not isinstance(M, IluPreconditioner) or M.reverse_apply:
+        return None
+    lt, ut = M.l_solver, M.u_solver
+    for t in (lt, ut):
+        if not isinstance(t, TriangularSolver):
+            return None
+        if t.algorithm != "sweeps" or not isinstance(t.off_csr, Dia):
+            return None
+        if not (0 <= t.sweeps <= _MAX_FUSED_TRI_SWEEPS):
+            return None
+        if t.off_csr.diags.shape[1] != R:
+            return None
+        if t.off_csr.diags.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+    ctx = _common_checks(solver, b)
+    if ctx is None:
+        return None
+    halo = 0
+    for op in (A, lt.off_csr, ut.off_csr):
+        _, _, _, lo, hi = _plan(op.offsets, R)
+        halo = max(halo, lo + hi)
+    nd_l = lt.off_csr.diags.shape[0]
+    nd_u = ut.off_csr.diags.shape[0]
+    if not cg_ilu_vmem_fits(nd, nd_l, nd_u, R,
+                            A.diags.dtype.itemsize, halo_rows=halo):
+        return None
+    ctx.update(l_solver=lt, u_solver=ut, R=R)
     return ctx
 
 

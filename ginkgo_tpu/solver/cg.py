@@ -62,6 +62,9 @@ class Cg(IterativeSolverMixin, LinOp):
         fast = self._try_vmem_fused_pell(b, x0)
         if fast is not None:
             return fast
+        fast = self._try_vmem_fused_ilu(b, x0)
+        if fast is not None:
+            return fast
 
         store_q_pick = []
 
@@ -140,6 +143,51 @@ class Cg(IterativeSolverMixin, LinOp):
             frame(r0, Rf),
             frame(x0, Rf),
             minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+        return x, info
+
+    def _try_vmem_fused_ilu(self, b, x0):
+        """Whole-solve-in-VMEM CG with IN-KERNEL ILU/IC preconditioning
+        (ops/pallas_cg_ilu.py): the two triangular solves run as
+        Jacobi-Richardson sweeps over Dia-banded factor triangles inside
+        the same kernel — the production incomplete-factorization
+        workflow (ilu.hpp:114 / ic.hpp:107 + Chow-Patel iterative
+        trisolves) with zero per-iteration HBM traffic.  Returns
+        (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia_ilu, tol_sq_eff
+        from ..ops.pallas_cg_ilu import cg_ilu_vmem_solve
+
+        ctx = prepare_fused_dia_ilu(self, b)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        lt, ut = ctx["l_solver"], ctx["u_solver"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        invdl2 = frame(
+            (1.0 / lt.diag)[:, None].astype(jnp.float32), R
+        )
+        invdu2 = frame(
+            (1.0 / ut.diag)[:, None].astype(jnp.float32), R
+        )
+        x2, it, mon, conv = cg_ilu_vmem_solve(
+            A, lt.off_csr, ut.off_csr, invdl2, invdu2,
+            frame(r0, R), frame(x0, R),
+            sweeps_l=lt.sweeps, sweeps_u=ut.sweeps,
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
             use_implicit=ctx["implicit"],
