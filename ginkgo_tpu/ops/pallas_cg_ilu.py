@@ -46,6 +46,48 @@ def cg_ilu_vmem_fits(nd_a: int, nd_l: int, nd_u: int, R: int,
     ) <= cg_vmem_budget_bytes()
 
 
+def _tri_sweeps(rhs_read, diags, invd, qs, sweeps, out_s, w_s, w_lo, C,
+                n_chunks):
+    """out = approx T^{-1} rhs via Jacobi-Richardson sweeps.
+
+    rhs_read(c0) yields the (C,128) rhs chunk; out_s holds the iterate;
+    w_s stages the previous iterate for the banded SpMV (frame row 0 at
+    buffer row w_lo; halo rows zeroed by the caller).  x0 = D^{-1} rhs,
+    then `sweeps` corrections (triangular.py _solve_sweeps semantics,
+    diag folded as inverse)."""
+
+    def init_chunk(c, _):
+        c0 = c * C
+        out_s[pl.ds(c0, C), :] = (
+            rhs_read(c0) * invd[pl.ds(c0, C), :].astype(jnp.float32)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, init_chunk, 0)
+
+    def sweep(s, _):
+        def stage_chunk(c, _):
+            c0 = c * C
+            w_s[pl.ds(w_lo + c0, C), :] = out_s[pl.ds(c0, C), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, stage_chunk, 0)
+
+        def upd_chunk(c, _):
+            c0 = c * C
+            tv = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=w_lo)
+            out_s[pl.ds(c0, C), :] = (
+                (rhs_read(c0) - tv)
+                * invd[pl.ds(c0, C), :].astype(jnp.float32)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, upd_chunk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, sweeps, sweep, 0)
+
+
 def _cg_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl, invdu,
                    r0_hbm, x0_hbm, x_hbm, r_hbm, stats, x_s, r_s, z_s,
                    q_s, p_s, w_s, sems, *, qs_a, pad_a, qs_l, pad_l,
@@ -81,55 +123,15 @@ def _cg_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl, invdu,
     if w_hi:
         w_s[Rw - w_hi:Rw] = jnp.zeros((w_hi, LANES), jnp.float32)
 
-    def _tri_sweeps(rhs_read, diags, invd, qs, stage_lo, sweeps, out_s):
-        """out = approx T^{-1} rhs via Jacobi-Richardson sweeps.
-
-        rhs_read(c0) yields the (C,128) rhs chunk; out_s holds the
-        iterate; w_s stages the previous iterate for the banded SpMV.
-        x0 = D^{-1} rhs, then `sweeps` corrections (triangular.py
-        _solve_sweeps semantics, diag folded as inverse)."""
-        off = w_lo  # stage at the shared buffer's frame-row origin
-
-        def init_chunk(c, _):
-            c0 = c * C
-            out_s[pl.ds(c0, C), :] = (
-                rhs_read(c0) * invd[pl.ds(c0, C), :].astype(jnp.float32)
-            )
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, init_chunk, 0)
-
-        def sweep(s, _):
-            def stage_chunk(c, _):
-                c0 = c * C
-                w_s[pl.ds(off + c0, C), :] = out_s[pl.ds(c0, C), :]
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, stage_chunk, 0)
-
-            def upd_chunk(c, _):
-                c0 = c * C
-                tv = _spmv_chunk(diags, w_s, c0, C, qs=qs, pad_lo=off)
-                out_s[pl.ds(c0, C), :] = (
-                    (rhs_read(c0) - tv)
-                    * invd[pl.ds(c0, C), :].astype(jnp.float32)
-                )
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, upd_chunk, 0)
-            return 0
-
-        jax.lax.fori_loop(0, sweeps, sweep, 0)
-
     def precondition():
         """z_s = U^{-1} L^{-1} r_s (q_s holds the intermediate y)."""
         _tri_sweeps(
             lambda c0: r_s[pl.ds(c0, C), :], l_diags, invdl, qs_l,
-            plo_l, sweeps_l, q_s,
+            sweeps_l, q_s, w_s, w_lo, C, n_chunks,
         )
         _tri_sweeps(
             lambda c0: q_s[pl.ds(c0, C), :], u_diags, invdu, qs_u,
-            plo_u, sweeps_u, z_s,
+            sweeps_u, z_s, w_s, w_lo, C, n_chunks,
         )
 
     # ---- init: z = M r0; p = z; rho = r.z; rr = r.r -------------------
@@ -285,6 +287,259 @@ def cg_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2, x0_2,
         cost_estimate=pl.CostEstimate(
             flops=2 * (nd + 8) * R * LANES * int(max_iters),
             bytes_accessed=(nd + 6) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0
+
+
+# -- fused ILU-preconditioned BiCGSTAB ----------------------------------------
+
+
+def bicgstab_ilu_vmem_fits(nd_a: int, nd_l: int, nd_u: int, R: int,
+                           itemsize: int = 4, halo_rows: int = 0) -> bool:
+    """x, r, rr, p, v, t, s, u1 frames + the shared staging frame + the
+    two inverse-diagonal frames + A/L/U diagonal frames."""
+    frame = R * LANES * 4
+    vec_frames = 10.25 + halo_rows / max(R, 1)
+    return (nd_a + nd_l + nd_u) * R * LANES * itemsize + (
+        vec_frames * frame
+    ) <= cg_vmem_budget_bytes()
+
+
+def _sdiv(num, den):
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+
+
+def _bicgstab_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl,
+                         invdu, r0_hbm, x0_hbm, x_hbm, r_hbm, stats, x_s,
+                         r_s, rr_s, p_s, v_s, t_s, s_s, u1_s, w_s, sems,
+                         *, qs_a, pad_a, qs_l, qs_u, pads, R, sweeps_l,
+                         sweeps_u, use_implicit):
+    """Right-preconditioned BiCGSTAB (solver/bicgstab.py semantics:
+    y = M p, v = A y, half-step check on s, z = M s, t = A z,
+    x += alpha y + omega z) with M = ILU sweep trisolves, all in-kernel.
+    All frames unpadded; SpMV sources stage through the shared w_s at
+    offset w_lo (pads = (w_lo, w_hi) covering A, L and U halos)."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(R)
+    n_chunks = R // C
+    w_lo, w_hi = pads
+    Rw = R + w_lo + w_hi
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    if w_lo:
+        w_s[0:w_lo] = jnp.zeros((w_lo, LANES), jnp.float32)
+    if w_hi:
+        w_s[Rw - w_hi:Rw] = jnp.zeros((w_hi, LANES), jnp.float32)
+
+    def stage(src_s):
+        def cp(c, _):
+            c0 = c * C
+            w_s[pl.ds(w_lo + c0, C), :] = src_s[pl.ds(c0, C), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, cp, 0)
+
+    def m_apply(rhs_s, out_s):
+        """out = U^{-1} L^{-1} rhs (t_s holds the L intermediate)."""
+        _tri_sweeps(
+            lambda c0: rhs_s[pl.ds(c0, C), :], l_diags, invdl, qs_l,
+            sweeps_l, t_s, w_s, w_lo, C, n_chunks,
+        )
+        _tri_sweeps(
+            lambda c0: t_s[pl.ds(c0, C), :], u_diags, invdu, qs_u,
+            sweeps_u, out_s, w_s, w_lo, C, n_chunks,
+        )
+
+    def init_chunk(c, rho):
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        rr_s[pl.ds(c0, C), :] = r_c
+        v_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        p_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        return rho + jnp.sum(r_c * r_c)
+
+    rho0 = jax.lax.fori_loop(0, n_chunks, init_chunk, jnp.float32(0))
+
+    def cond(st):
+        it, rho_old, alpha, omega, rho_new, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho_old, alpha, omega, rho_new, _ = st
+        beta = _sdiv(rho_new * alpha, rho_old * omega)
+
+        # p = r + beta (p - omega v)
+        def p_chunk(c, _):
+            c0 = c * C
+            p_s[pl.ds(c0, C), :] = (
+                r_s[pl.ds(c0, C), :]
+                + beta * (p_s[pl.ds(c0, C), :]
+                          - omega * v_s[pl.ds(c0, C), :])
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, p_chunk, 0)
+
+        # y = M p (u1); v = A y; <rr, v>
+        m_apply(p_s, u1_s)
+        stage(u1_s)
+
+        def v_chunk(c, rv):
+            c0 = c * C
+            v_c = _spmv_chunk(a_diags, w_s, c0, C, qs=qs_a, pad_lo=w_lo)
+            v_s[pl.ds(c0, C), :] = v_c
+            return rv + jnp.sum(rr_s[pl.ds(c0, C), :] * v_c)
+
+        rv = jax.lax.fori_loop(0, n_chunks, v_chunk, jnp.float32(0))
+        alpha_new = _sdiv(rho_new, rv)
+
+        # x += alpha y; s = r - alpha v; s.s (half-step check)
+        def s_chunk(c, ss):
+            c0 = c * C
+            x_s[pl.ds(c0, C), :] = (
+                x_s[pl.ds(c0, C), :] + alpha_new * u1_s[pl.ds(c0, C), :]
+            )
+            s_c = r_s[pl.ds(c0, C), :] - alpha_new * v_s[pl.ds(c0, C), :]
+            s_s[pl.ds(c0, C), :] = s_c
+            return ss + jnp.sum(s_c * s_c)
+
+        ss = jax.lax.fori_loop(0, n_chunks, s_chunk, jnp.float32(0))
+        mon_half = jnp.abs(rho_new) if use_implicit else ss
+        half_done = mon_half <= tol_sq
+
+        # z = M s (u1); t = A z; <t, s>, <t, t>
+        m_apply(s_s, u1_s)
+        stage(u1_s)
+
+        def t_chunk(c, carry):
+            ts, tt = carry
+            c0 = c * C
+            t_c = _spmv_chunk(a_diags, w_s, c0, C, qs=qs_a, pad_lo=w_lo)
+            t_s[pl.ds(c0, C), :] = t_c
+            s_c = s_s[pl.ds(c0, C), :]
+            return (ts + jnp.sum(t_c * s_c), tt + jnp.sum(t_c * t_c))
+
+        ts, tt = jax.lax.fori_loop(
+            0, n_chunks, t_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        omega_new = jnp.where(half_done, 0.0, _sdiv(ts, tt))
+
+        # x += omega z; r = s - omega t; rho_next, r.r
+        def upd_chunk(c, carry):
+            rr_dot, rnorm = carry
+            c0 = c * C
+            x_s[pl.ds(c0, C), :] = (
+                x_s[pl.ds(c0, C), :] + omega_new * u1_s[pl.ds(c0, C), :]
+            )
+            r_c = s_s[pl.ds(c0, C), :] - omega_new * t_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return (
+                rr_dot + jnp.sum(rr_s[pl.ds(c0, C), :] * r_c),
+                rnorm + jnp.sum(r_c * r_c),
+            )
+
+        rho_next, rr_new = jax.lax.fori_loop(
+            0, n_chunks, upd_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        stop_mon = jnp.abs(rho_new) if use_implicit else rr_new
+        omega_carry = jnp.where(half_done, 1.0, omega_new)
+        return (it + 1, rho_new, alpha_new, omega_carry, rho_next,
+                stop_mon)
+
+    it, rho_old, alpha, omega, rho_new, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.float32(1), jnp.float32(1),
+         jnp.float32(1), rho0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def bicgstab_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2,
+                            x0_2, *, sweeps_l, sweeps_u, tol_sq_eff,
+                            max_iters, use_implicit=False,
+                            interpret=False):
+    """Run ILU-preconditioned BiCGSTAB to convergence in one Pallas
+    kernel (operands as cg_ilu_vmem_solve)."""
+    a_diags = A_dia.diags
+    nd, R, lanes = a_diags.shape
+    assert lanes == LANES
+    qs_a, _, _, pa_lo, pa_hi = _plan(A_dia.offsets, R)
+    qs_l, _, _, pl_lo, pl_hi = _plan(Tl_dia.offsets, R)
+    qs_u, _, _, pu_lo, pu_hi = _plan(Tu_dia.offsets, R)
+    w_lo = max(pa_lo, pl_lo, pu_lo)
+    w_hi = max(pa_hi, pl_hi, pu_hi)
+    kernel = functools.partial(
+        _bicgstab_ilu_kernel, qs_a=qs_a, pad_a=(pa_lo, pa_hi), qs_l=qs_l,
+        qs_u=qs_u, pads=(w_lo, w_hi), R=R, sweeps_l=int(sweeps_l),
+        sweeps_u=int(sweeps_u), use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, a_diags, Tl_dia.diags, Tu_dia.diags, invdl2,
+            invdu2, r0_2, x0_2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    Rw = R + w_lo + w_hi
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.float32),   # x
+            pltpu.VMEM((R, LANES), jnp.float32),   # r
+            pltpu.VMEM((R, LANES), jnp.float32),   # rr (shadow)
+            pltpu.VMEM((R, LANES), jnp.float32),   # p
+            pltpu.VMEM((R, LANES), jnp.float32),   # v
+            pltpu.VMEM((R, LANES), jnp.float32),   # t / tri intermediate
+            pltpu.VMEM((R, LANES), jnp.float32),   # s
+            pltpu.VMEM((R, LANES), jnp.float32),   # u1 (M-apply result)
+            pltpu.VMEM((Rw, LANES), jnp.float32),  # shared staging
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (nd + 10) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + 8) * R * LANES * 4,
             transcendentals=0,
         ),
         interpret=interpret,

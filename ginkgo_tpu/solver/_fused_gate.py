@@ -145,7 +145,7 @@ def prepare_fused_pell(solver, b, fits_fn=None):
 _MAX_FUSED_TRI_SWEEPS = 8
 
 
-def prepare_fused_dia_ilu(solver, b):
+def prepare_fused_dia_ilu(solver, b, fits_fn=None):
     """Gate for the ILU/IC-preconditioned fused CG
     (ops/pallas_cg_ilu.py): Dia operator + IluPreconditioner whose two
     TriangularSolvers use the 'sweeps' algorithm with small static
@@ -188,8 +188,9 @@ def prepare_fused_dia_ilu(solver, b):
         halo = max(halo, lo + hi)
     nd_l = lt.off_csr.diags.shape[0]
     nd_u = ut.off_csr.diags.shape[0]
-    if not cg_ilu_vmem_fits(nd, nd_l, nd_u, R,
-                            A.diags.dtype.itemsize, halo_rows=halo):
+    fits = fits_fn if fits_fn is not None else cg_ilu_vmem_fits
+    if not fits(nd, nd_l, nd_u, R,
+                A.diags.dtype.itemsize, halo_rows=halo):
         return None
     ctx.update(l_solver=lt, u_solver=ut, R=R)
     return ctx

@@ -52,6 +52,9 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         fast = self._try_vmem_fused_pell(b, x0)
         if fast is not None:
             return fast
+        fast = self._try_vmem_fused_ilu(b, x0)
+        if fast is not None:
+            return fast
 
         ctx = prepare_fused_dia(self, b, bicgstab_vmem_fits)
         if ctx is None:
@@ -94,6 +97,49 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
         return x, SolveInfo(
             iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
+    def _try_vmem_fused_ilu(self, b, x0):
+        """Whole-solve-in-VMEM BiCGSTAB with IN-KERNEL ILU/IC
+        preconditioning (ops/pallas_cg_ilu.bicgstab_ilu_vmem_solve):
+        right preconditioning exactly as the generic loop (y = M p,
+        v = A y, z = M s, t = A z), with M's two triangular solves as
+        Jacobi-Richardson sweeps over Dia factor triangles in-kernel.
+        Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia_ilu, tol_sq_eff
+        from ..ops.pallas_cg_ilu import (
+            bicgstab_ilu_vmem_fits,
+            bicgstab_ilu_vmem_solve,
+        )
+
+        ctx = prepare_fused_dia_ilu(self, b, bicgstab_ilu_vmem_fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        lt, ut = ctx["l_solver"], ctx["u_solver"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        invdl2 = frame((1.0 / lt.diag)[:, None].astype(jnp.float32), R)
+        invdu2 = frame((1.0 / ut.diag)[:, None].astype(jnp.float32), R)
+        x2, it, mon, conv = bicgstab_ilu_vmem_solve(
+            A, lt.off_csr, ut.off_csr, invdl2, invdu2,
+            frame(r0, R), frame(x0, R),
+            sweeps_l=lt.sweeps, sweeps_u=ut.sweeps,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
         )
 
     def _try_vmem_fused_pell(self, b, x0):

@@ -117,3 +117,55 @@ def test_fused_ilu_iteration_only(system, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
     )
+
+
+def _convection_diffusion(n_side, eps=0.3):
+    """Nonsymmetric banded system (convection-diffusion stencil)."""
+    import scipy.sparse as sps
+
+    n = n_side * n_side
+    I = sps.eye(n_side)
+    T = sps.diags([-1 - eps, 2.0, -1 + eps], [-1, 0, 1],
+                  shape=(n_side, n_side))
+    S = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n_side, n_side))
+    A = (sps.kron(I, T) + sps.kron(S, I)).tocsr()
+    co = A.tocoo()
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    return A, MatrixData.from_coo(
+        A.shape, co.row, co.col, co.data.astype(np.float32)
+    )
+
+
+def test_fused_ilu_bicgstab_matches_generic(monkeypatch):
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+
+    sp, data = _convection_diffusion(16)
+    A = Dia.from_matrix_data(data)
+    A_csr = Csr.from_matrix_data(data)
+    b = jnp.ones((sp.shape[0], 1), jnp.float32)
+    M = _ilu_sweeps_precond(A_csr)
+    crit = [stop.Iteration(300), stop.ResidualNorm(1e-6)]
+
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Bicgstab.build(criteria=crit, preconditioner=M).generate(A)
+    assert s._try_vmem_fused_ilu(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Bicgstab.build(
+        criteria=crit, preconditioner=M
+    ).generate(A).solve(b)
+    _, inf_plain = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    rf = np.asarray(b).ravel() - sp @ np.asarray(xf).ravel()
+    # recurrence residual met 1e-6; the TRUE residual drifts ~5x in f32
+    # BiCGSTAB (generic loop shows the same drift)
+    assert np.linalg.norm(rf) / np.linalg.norm(np.asarray(b)) < 2e-5
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert int(inf_f.iterations) < int(inf_plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-3, atol=1e-3
+    )
