@@ -177,3 +177,106 @@ def write_binary_native(path: str, data: MatrixData) -> None:
     )
     if rc != 0:
         raise IOError(f"native binary write failed: {path}")
+
+
+# -- PELL plan builder (native/pell_plan.cpp) ---------------------------------
+
+
+def _bind_pell(lib):
+    if getattr(lib, "_pell_bound", False):
+        return True
+    try:
+        lib.gko_pell_plan_build.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.gko_pell_plan_build.restype = ctypes.c_int
+        lib.gko_pell_plan_sizes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.gko_pell_plan_sizes.restype = None
+        lib.gko_pell_plan_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gko_pell_plan_fill.restype = ctypes.c_int
+        lib.gko_pell_plan_free.argtypes = [ctypes.c_void_p]
+        lib.gko_pell_plan_free.restype = None
+        lib._pell_bound = True
+        return True
+    except AttributeError:
+        return False
+
+
+def pell_plan_native(indptr, indices, n_cols: int, G: int, S: int, *,
+                     stats_only: bool = False):
+    """Native PELL layout planning (native/pell_plan.cpp): fused decode
+    + one index sort instead of ~20 numpy passes.  Returns None when the
+    native library is unavailable, else a dict with NT/NP/total_slots/
+    n_steps (+ per-nnz gslot/srow/lane/q, bases, tile_of_step when not
+    stats_only)."""
+    lib = load()
+    if lib is None or not _bind_pell(lib):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    n_rows = len(indptr) - 1
+
+    def pp(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    handle = ctypes.c_void_p()
+    rc = lib.gko_pell_plan_build(
+        pp(indptr, ctypes.c_int64), pp(indices, ctypes.c_int64),
+        ctypes.c_int64(n_rows), ctypes.c_int64(int(n_cols)),
+        ctypes.c_int32(G), ctypes.c_int32(S), ctypes.byref(handle),
+    )
+    if rc != 0:
+        return None
+    try:
+        ts = ctypes.c_int64()
+        ns = ctypes.c_int64()
+        nt = ctypes.c_int64()
+        npn = ctypes.c_int64()
+        lib.gko_pell_plan_sizes(handle, ctypes.byref(ts), ctypes.byref(ns),
+                                ctypes.byref(nt), ctypes.byref(npn))
+        out = dict(total_slots=ts.value, n_steps=ns.value, NT=nt.value,
+                   NP=npn.value)
+        if stats_only:
+            return out
+        nnz = len(indices)
+        gslot = np.empty(nnz, np.int64)
+        srow = np.empty(nnz, np.int32)
+        lane = np.empty(nnz, np.int32)
+        q = np.empty(nnz, np.int32)
+        bases = np.empty(max(ts.value, 1), np.int32)
+        tile_of_step = np.empty(max(ns.value, 1), np.int32)
+        rc = lib.gko_pell_plan_fill(
+            handle, pp(indptr, ctypes.c_int64),
+            pp(indices, ctypes.c_int64), pp(gslot, ctypes.c_int64),
+            pp(srow, ctypes.c_int32), pp(lane, ctypes.c_int32),
+            pp(q, ctypes.c_int32), pp(bases, ctypes.c_int32),
+            pp(tile_of_step, ctypes.c_int32),
+        )
+        if rc != 0:
+            return None
+        out.update(gslot=gslot, srow=srow, lane=lane, q=q,
+                   bases=bases[:ts.value],
+                   tile_of_step=tile_of_step[:ns.value])
+        return out
+    finally:
+        lib.gko_pell_plan_free(handle)

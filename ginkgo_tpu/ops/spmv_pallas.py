@@ -94,6 +94,47 @@ class PellPlan:
         self.NT, self.NP = NT, NP
         self.nnz = nnz
 
+        # native fused planner (native/pell_plan.cpp): one decode pass +
+        # one index sort replace the ~20 numpy passes below — decisive on
+        # hosts with degraded memory bandwidth (the fallback produces an
+        # identical layout; tests assert parity)
+        nat = None
+        if nnz:
+            try:
+                from ..io.native import pell_plan_native
+
+                nat = pell_plan_native(
+                    indptr, indices, n_cols, G, self.S,
+                    stats_only=not materialize,
+                )
+            except Exception:
+                nat = None
+        if nat is not None:
+            assert nat["NT"] == NT and nat["NP"] == NP
+            self.n_steps = int(nat["n_steps"])
+            total_slots = int(nat["total_slots"])
+            self.total_cells = total_slots * tile_rows
+            self.inflation = self.total_cells / max(nnz, 1)
+            self.val_dtype = values.dtype
+            self.q_dtype = np.dtype(q_dtype)
+            self.too_large = (
+                max_cells is not None and self.total_cells > max_cells
+            )
+            if not materialize or self.too_large:
+                self.values = self.qidx = None
+                self.bases = self.tile_of_step = None
+                return
+            vals_arr = np.zeros((total_slots, self.S, LANES), values.dtype)
+            q_arr = np.zeros((total_slots, self.S, LANES), q_dtype)
+            gs, sr, ln = nat["gslot"], nat["srow"], nat["lane"]
+            vals_arr[gs, sr, ln] = values
+            q_arr[gs, sr, ln] = nat["q"]
+            self.values = jnp.asarray(vals_arr)
+            self.qidx = jnp.asarray(q_arr)
+            self.bases = jnp.asarray(nat["bases"])
+            self.tile_of_step = jnp.asarray(nat["tile_of_step"])
+            return
+
         rows = np.repeat(
             np.arange(n_rows, dtype=np.int64), np.diff(indptr)
         )

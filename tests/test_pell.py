@@ -341,3 +341,55 @@ def test_fused_gate_declines_non_s8_pell(monkeypatch):
     monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
     s = Cg.build(criteria=[stop.Iteration(max_iters=5)]).generate(A)
     assert s._try_vmem_fused_pell(b, jnp.zeros_like(b)) is None
+
+
+def test_native_plan_parity(monkeypatch, rng):
+    """The native C++ plan builder (native/pell_plan.cpp) must produce
+    the IDENTICAL layout to the numpy fallback — same slot assignment,
+    bases, step map, padded arrays."""
+    from ginkgo_tpu.io import native as gko_native
+
+    if not gko_native.available():
+        pytest.skip("native library unavailable")
+    sp = _random_csr(900, 700, 0.015, seed=21)
+    args = (sp.indptr, sp.indices, sp.data, sp.shape)
+    p_nat = PellPlan(*args)
+    # force the numpy fallback
+    monkeypatch.setattr(gko_native, "pell_plan_native",
+                        lambda *a, **k: None)
+    p_np = PellPlan(*args)
+    assert p_nat.n_steps == p_np.n_steps
+    assert p_nat.total_cells == p_np.total_cells
+    np.testing.assert_array_equal(np.asarray(p_nat.tile_of_step),
+                                  np.asarray(p_np.tile_of_step))
+    np.testing.assert_array_equal(np.asarray(p_nat.bases),
+                                  np.asarray(p_np.bases))
+    np.testing.assert_array_equal(np.asarray(p_nat.qidx),
+                                  np.asarray(p_np.qidx))
+    np.testing.assert_array_equal(np.asarray(p_nat.values),
+                                  np.asarray(p_np.values))
+    # stats-only native agrees too
+    p_stats = PellPlan(*args, materialize=False)
+    assert p_stats.total_cells == p_np.total_cells
+    assert p_stats.n_steps == p_np.n_steps
+
+
+@pytest.mark.parametrize("S", [8, 16])
+def test_native_plan_parity_v5(monkeypatch, rng, S):
+    from ginkgo_tpu.io import native as gko_native
+
+    if not gko_native.available():
+        pytest.skip("native library unavailable")
+    sp = _random_csr(500, 500, 0.02, seed=33)
+    p_nat = PellPlan(sp.indptr, sp.indices, sp.data, sp.shape, S=S,
+                     q_dtype=np.int8)
+    monkeypatch.setattr(gko_native, "pell_plan_native",
+                        lambda *a, **k: None)
+    p_np = PellPlan(sp.indptr, sp.indices, sp.data, sp.shape, S=S,
+                    q_dtype=np.int8)
+    np.testing.assert_array_equal(np.asarray(p_nat.values),
+                                  np.asarray(p_np.values))
+    np.testing.assert_array_equal(np.asarray(p_nat.qidx),
+                                  np.asarray(p_np.qidx))
+    np.testing.assert_array_equal(np.asarray(p_nat.bases),
+                                  np.asarray(p_np.bases))
