@@ -1,5 +1,5 @@
 from .partition import Partition
-from .matrix import DistCsr
+from .matrix import DistCsr, read_distributed
 from .pell import DistPell
 from .dia import DistDia, build_banded_partition
 from .vector import DistVector

@@ -259,3 +259,60 @@ class DistCsr(LinOp):
             num_segments=L,
         )
         return jnp.where(self._sq(self.row_valid) > 0, diag, 1)
+
+
+def read_distributed(data, partition, col_partition=None, axis_name="rows",
+                     halo="auto", max_pell_inflation=16.0):
+    """Distributed `read_distributed` with automatic operator choice —
+    the distributed analog of matrix/auto.choose_format (reference:
+    core/distributed/matrix.cpp:142-225 assembles exactly the format the
+    user instantiated; here the TPU-relevant decision is which streaming
+    kernel the local shards run).
+
+    Preference: DistDia (banded data on a contiguous equal-block
+    partition — gather-free shift SpMV per shard) > DistPell (general
+    unstructured streaming slots) > DistCsr (gather fallback, with a
+    PerformanceHint).  Returns the assembled operator."""
+    from ..matrix.dia import suitable_for_dia
+    from ..ops.spmv_pallas import PellPlan
+    from .dia import DistDia
+    from .pell import DistPell
+
+    n, m = data.shape
+    if (
+        n == m and col_partition is None
+        and suitable_for_dia(data, max_diags=64)
+    ):
+        try:
+            return DistDia.from_matrix_data(data, partition,
+                                            axis_name=axis_name)
+        except ValueError:  # partition not contiguous equal blocks
+            pass
+    stats = None
+    if data.nnz:
+        order = np.lexsort((data.cols, data.rows))
+        rows_s = np.asarray(data.rows)[order]
+        cols_s = np.asarray(data.cols)[order]
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows_s, minlength=n))]
+        )
+        stats = PellPlan(indptr, cols_s, np.ones(len(cols_s), np.float32),
+                         (n, m), materialize=False)
+    if stats is not None and stats.inflation <= max_pell_inflation:
+        return DistPell.from_matrix_data(
+            data, partition, col_partition=col_partition,
+            axis_name=axis_name, halo=halo,
+        )
+    import warnings
+
+    warnings.warn(
+        "[PerformanceHint] read_distributed: pattern unsuitable for "
+        "DistDia/DistPell (inflation "
+        f"{getattr(stats, 'inflation', float('inf')):.1f}) - DistCsr "
+        "local SpMV runs at gather speed on TPU",
+        stacklevel=2,
+    )
+    return DistCsr.from_matrix_data(
+        data, partition, col_partition=col_partition, axis_name=axis_name,
+        halo=halo,
+    )

@@ -427,3 +427,50 @@ def test_dist_pell_solve_and_diagonal(rng):
     )
     r = data.to_dense() @ np.asarray(x) - b
     assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b)
+
+
+def test_read_distributed_auto_choice():
+    """read_distributed picks the fastest suitable distributed operator:
+    DistDia for banded data on a block partition, DistPell for general
+    unstructured, DistCsr for hopeless patterns (with a hint)."""
+    import warnings
+
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.distributed import Partition, read_distributed
+    from ginkgo_tpu.distributed.dia import DistDia, build_banded_partition
+    from ginkgo_tpu.distributed.pell import DistPell
+    from ginkgo_tpu.distributed.matrix import DistCsr
+    from ginkgo_tpu.utils import generators
+
+    # banded + block partition -> DistDia
+    data = generators.poisson_2d(16, dtype=np.float32)
+    part = build_banded_partition(data.shape[0], 4)
+    A = read_distributed(data, part)
+    assert isinstance(A, DistDia)
+
+    # unstructured with locality -> DistPell
+    rng = np.random.default_rng(0)
+    n = 512
+    rows = np.repeat(np.arange(n), 6)
+    cols = np.clip(rows + rng.integers(-40, 41, size=rows.size), 0, n - 1)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    d2 = MatrixData.from_coo((n, n), rows, cols, vals).sum_duplicates()
+    p2 = Partition.build_from_contiguous(np.asarray([0, 128, 256, 384, 512]))
+    B = read_distributed(d2, p2)
+    assert isinstance(B, DistPell)
+
+    # pathological scatter -> DistCsr + PerformanceHint
+    nb = 4096
+    rows3 = rng.integers(0, nb, size=3 * nb)
+    cols3 = rng.integers(0, nb, size=3 * nb)
+    d3 = MatrixData.from_coo(
+        (nb, nb), rows3, cols3, np.ones(3 * nb, np.float32)
+    ).sum_duplicates()
+    p3 = Partition.build_from_contiguous(
+        np.asarray([0, 1024, 2048, 3072, 4096])
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C = read_distributed(d3, p3, max_pell_inflation=4.0)
+    assert isinstance(C, DistCsr) and not isinstance(C, DistPell)
+    assert any("PerformanceHint" in str(x.message) for x in w)
