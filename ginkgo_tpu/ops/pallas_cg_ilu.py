@@ -32,18 +32,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
 from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_bicgstab import _sdiv
 
 
 def cg_ilu_vmem_fits(nd_a: int, nd_l: int, nd_u: int, R: int,
-                     itemsize: int = 4, halo_rows: int = 0) -> bool:
-    """Working set: A + L + U diagonal frames, x/r/z/q vector frames, the
-    halo-padded p frame, the shared trisolve staging frame, and the two
-    inverse-diagonal frames."""
+                     a_itemsize: int = 4, lu_itemsize: int = 4,
+                     halo_rows: int = 0) -> bool:
+    """Working set: A + L + U diagonal frames (at their own storage
+    widths), x/r/z/q vector frames, the halo-padded p frame, the shared
+    trisolve staging frame, and the two inverse-diagonal frames."""
     frame = R * LANES * 4
     vec_frames = 8.25 + 2 * halo_rows / max(R, 1)
-    return (nd_a + nd_l + nd_u) * R * LANES * itemsize + (
-        vec_frames * frame
-    ) <= cg_vmem_budget_bytes()
+    diag_bytes = (nd_a * a_itemsize + (nd_l + nd_u) * lu_itemsize) * (
+        R * LANES
+    )
+    return diag_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
 
 
 def _tri_sweeps(rhs_read, diags, invd, qs, sweeps, out_s, w_s, w_lo, C,
@@ -299,24 +302,23 @@ def cg_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2, x0_2,
 
 
 def bicgstab_ilu_vmem_fits(nd_a: int, nd_l: int, nd_u: int, R: int,
-                           itemsize: int = 4, halo_rows: int = 0) -> bool:
-    """x, r, rr, p, v, t, s, u1 frames + the shared staging frame + the
-    two inverse-diagonal frames + A/L/U diagonal frames."""
+                           a_itemsize: int = 4, lu_itemsize: int = 4,
+                           halo_rows: int = 0) -> bool:
+    """x, r, rr, p, v, t, s, u1 frames (8) + the shared staging frame +
+    the two inverse-diagonal frames + A/L/U diagonal frames at their own
+    storage widths."""
     frame = R * LANES * 4
-    vec_frames = 10.25 + halo_rows / max(R, 1)
-    return (nd_a + nd_l + nd_u) * R * LANES * itemsize + (
-        vec_frames * frame
-    ) <= cg_vmem_budget_bytes()
-
-
-def _sdiv(num, den):
-    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+    vec_frames = 11.25 + halo_rows / max(R, 1)
+    diag_bytes = (nd_a * a_itemsize + (nd_l + nd_u) * lu_itemsize) * (
+        R * LANES
+    )
+    return diag_bytes + vec_frames * frame <= cg_vmem_budget_bytes()
 
 
 def _bicgstab_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl,
                          invdu, r0_hbm, x0_hbm, x_hbm, r_hbm, stats, x_s,
                          r_s, rr_s, p_s, v_s, t_s, s_s, u1_s, w_s, sems,
-                         *, qs_a, pad_a, qs_l, qs_u, pads, R, sweeps_l,
+                         *, qs_a, qs_l, qs_u, pads, R, sweeps_l,
                          sweeps_u, use_implicit):
     """Right-preconditioned BiCGSTAB (solver/bicgstab.py semantics:
     y = M p, v = A y, half-step check on s, z = M s, t = A z,
@@ -489,7 +491,7 @@ def bicgstab_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2,
     w_lo = max(pa_lo, pl_lo, pu_lo)
     w_hi = max(pa_hi, pl_hi, pu_hi)
     kernel = functools.partial(
-        _bicgstab_ilu_kernel, qs_a=qs_a, pad_a=(pa_lo, pa_hi), qs_l=qs_l,
+        _bicgstab_ilu_kernel, qs_a=qs_a, qs_l=qs_l,
         qs_u=qs_u, pads=(w_lo, w_hi), R=R, sweeps_l=int(sweeps_l),
         sweeps_u=int(sweeps_u), use_implicit=use_implicit,
     )

@@ -109,8 +109,9 @@ class PellPlan:
                 )
             except Exception:
                 nat = None
+        if nat is not None and (nat["NT"] != NT or nat["NP"] != NP):
+            nat = None  # stale/skewed native library: numpy fallback
         if nat is not None:
-            assert nat["NT"] == NT and nat["NP"] == NP
             self.n_steps = int(nat["n_steps"])
             total_slots = int(nat["total_slots"])
             self.total_cells = total_slots * tile_rows

@@ -100,6 +100,7 @@ class IcPreconditionerFactory:
             algorithm=getattr(self.lf, "algorithm", "block_scan"),
             block=getattr(self.lf, "block", 64),
             sweeps=getattr(self.lf, "sweeps", None),
+            unit_diagonal=getattr(self.lf, "unit_diagonal", False),
         )
         return IluPreconditioner(
             l_solver=self.lf.generate(lt),

@@ -189,8 +189,12 @@ def prepare_fused_dia_ilu(solver, b, fits_fn=None):
     nd_l = lt.off_csr.diags.shape[0]
     nd_u = ut.off_csr.diags.shape[0]
     fits = fits_fn if fits_fn is not None else cg_ilu_vmem_fits
+    lu_itemsize = max(
+        lt.off_csr.diags.dtype.itemsize, ut.off_csr.diags.dtype.itemsize
+    )
     if not fits(nd, nd_l, nd_u, R,
-                A.diags.dtype.itemsize, halo_rows=halo):
+                a_itemsize=A.diags.dtype.itemsize,
+                lu_itemsize=lu_itemsize, halo_rows=halo):
         return None
     ctx.update(l_solver=lt, u_solver=ut, R=R)
     return ctx
