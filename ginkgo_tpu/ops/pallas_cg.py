@@ -87,7 +87,7 @@ def _spmv_chunk(diags, p_s, c0, C, *, qs, pad_lo):
 
 def _cg_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
                x_s, r_s, q_s, p_s, sems, *, qs, pad_lo, pad_hi, R,
-               use_minv, use_implicit, store_q):
+               use_minv, use_implicit, store_q, flexible=False):
     """scal: SMEM (1,) [tol_sq_eff]; iscal: SMEM int32 (1,) [max_iters]
     (kept integral end-to-end so caps above 2^24 are exact).  stats out:
     SMEM (3,) [iterations, monitored_sq, converged]."""
@@ -153,8 +153,10 @@ def _cg_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
         alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
 
         # pass 2: x += alpha p, r -= alpha q, accumulate rho_new / rr_new
+        # (+ the FCG Polak-Ribiere numerator (r_new - r_old).z_new — the
+        # pre-update r is in hand in this very pass, no extra frame)
         def update_chunk(c, carry):
-            rho_n, rr_n = carry
+            rho_n, rr_n, rho_t = carry
             c0 = c * C
             p_c = p_s[pl.ds(pad_lo + c0, C), :]
             x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
@@ -162,15 +164,22 @@ def _cg_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
                 q_s[pl.ds(c0, C), :] if store_q
                 else _spmv_chunk(diags, p_s, c0, C, qs=qs, pad_lo=pad_lo)
             )
-            r_c = r_s[pl.ds(c0, C), :] - alpha * q_c
+            r_old_c = r_s[pl.ds(c0, C), :]
+            r_c = r_old_c - alpha * q_c
             r_s[pl.ds(c0, C), :] = r_c
             z_c = mchunk(c0, C) * r_c if use_minv else r_c
-            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c))
+            rho_t = rho_t + (
+                jnp.sum((r_c - r_old_c) * z_c) if flexible else 0.0
+            )
+            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c),
+                    rho_t)
 
-        rho_new, rr_new = jax.lax.fori_loop(
-            0, n_chunks, update_chunk, (jnp.float32(0), jnp.float32(0))
+        rho_new, rr_new, rho_t = jax.lax.fori_loop(
+            0, n_chunks, update_chunk,
+            (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
         )
-        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0), 0.0)
+        num = rho_t if flexible else rho_new
+        beta = jnp.where(rho != 0, num / jnp.where(rho != 0, rho, 1.0), 0.0)
 
         # pass 3: p = z + beta p (z recomputed from r — a multiply, cheaper
         # than a third state frame)
@@ -233,7 +242,7 @@ def cg_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
 
 def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
                   max_iters, use_implicit=False, store_q=True,
-                  interpret=False):
+                  flexible=False, interpret=False):
     """Run CG to convergence in one Pallas kernel.
 
     diags: (nd, R, 128) f32/bf16; r0_2/x0_2: (R, 128) f32 initial residual
@@ -249,6 +258,7 @@ def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     kernel = functools.partial(
         _cg_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi, R=R,
         use_minv=use_minv, use_implicit=use_implicit, store_q=store_q,
+        flexible=flexible,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))

@@ -99,7 +99,8 @@ def _make_pell_spmv(tiles, bases, vals, qidx, *, G, n_steps, C, n_chunks):
 
 def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
                     minv, x_hbm, r_hbm, stats, x_s, r_s, q_s, p_s, sems, *,
-                    G, n_steps, Rf, use_minv, use_implicit):
+                    G, n_steps, Rf, use_minv, use_implicit,
+                    flexible=False):
     """scal: SMEM (1,) [tol_sq_eff]; iscal: SMEM int32 (1,) [max_iters];
     tiles/bases: SMEM int32 scalar maps; vals/qidx: VMEM-resident slot
     arrays; p_s: (Rf + 2*PAD_PANELS + 1, 128) panel-padded scratch with
@@ -164,19 +165,26 @@ def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
         alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
 
         def update_chunk(c, carry):
-            rho_n, rr_n = carry
+            rho_n, rr_n, rho_t = carry
             c0 = c * C
             p_c = p_s[pl.ds(PAD_PANELS + c0, C), :]
             x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
-            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_old_c = r_s[pl.ds(c0, C), :]
+            r_c = r_old_c - alpha * q_s[pl.ds(c0, C), :]
             r_s[pl.ds(c0, C), :] = r_c
             z_c = mchunk(c0, C) * r_c if use_minv else r_c
-            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c))
+            rho_t = rho_t + (
+                jnp.sum((r_c - r_old_c) * z_c) if flexible else 0.0
+            )
+            return (rho_n + jnp.sum(r_c * z_c), rr_n + jnp.sum(r_c * r_c),
+                    rho_t)
 
-        rho_new, rr_new = jax.lax.fori_loop(
-            0, n_chunks, update_chunk, (jnp.float32(0), jnp.float32(0))
+        rho_new, rr_new, rho_t = jax.lax.fori_loop(
+            0, n_chunks, update_chunk,
+            (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
         )
-        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+        num = rho_t if flexible else rho_new
+        beta = jnp.where(rho != 0, num / jnp.where(rho != 0, rho, 1.0),
                          0.0)
 
         def pdir_chunk(c, _):
@@ -209,7 +217,8 @@ def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
 
 
 def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
-                       use_implicit=False, interpret=False):
+                       use_implicit=False, flexible=False,
+                       interpret=False):
     """Run CG to convergence in one Pallas kernel on a Pell operator.
 
     A: matrix.pell.Pell (or any object with values/qidx/bases/
@@ -221,7 +230,7 @@ def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
     use_minv = minv2 is not None
     kernel = functools.partial(
         _pell_cg_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf,
-        use_minv=use_minv, use_implicit=use_implicit,
+        use_minv=use_minv, use_implicit=use_implicit, flexible=flexible,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))

@@ -45,7 +45,7 @@ class Cg(IterativeSolverMixin, LinOp):
         x, info, _ = self._solve_with_state(b, x0, None)
         return x, info
 
-    def _try_vmem_fused(self, b, x0):
+    def _try_vmem_fused(self, b, x0, flexible=False):
         """Whole-solve-in-VMEM fast path (ops/pallas_cg.py): the entire CG
         loop runs inside ONE Pallas kernel when A is a Dia whose diagonals
         and the Krylov vectors fit in VMEM, the preconditioner is diagonal
@@ -59,12 +59,13 @@ class Cg(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve
 
-        fast = self._try_vmem_fused_pell(b, x0)
+        fast = Cg._try_vmem_fused_pell(self, b, x0, flexible=flexible)
         if fast is not None:
             return fast
-        fast = self._try_vmem_fused_ilu(b, x0)
-        if fast is not None:
-            return fast
+        if not flexible:  # the ILU trisolve kernel is plain-CG only
+            fast = self._try_vmem_fused_ilu(b, x0)
+            if fast is not None:
+                return fast
 
         store_q_pick = []
 
@@ -101,6 +102,7 @@ class Cg(IterativeSolverMixin, LinOp):
             max_iters=ctx["cap"],
             use_implicit=ctx["implicit"],
             store_q=store_q_pick[0],
+            flexible=flexible,
             interpret=ctx["interpret"],
         )
         x = x2.reshape(-1, 1)[:n]
@@ -116,7 +118,7 @@ class Cg(IterativeSolverMixin, LinOp):
         )
         return x, info
 
-    def _try_vmem_fused_pell(self, b, x0):
+    def _try_vmem_fused_pell(self, b, x0, flexible=False):
         """Whole-solve-in-VMEM CG for GENERAL unstructured operators
         (ops/pallas_pell_cg.py): when A is a Pell whose slot arrays +
         vectors fit VMEM, the entire CG loop — including the
@@ -146,6 +148,7 @@ class Cg(IterativeSolverMixin, LinOp):
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
             use_implicit=ctx["implicit"],
+            flexible=flexible,
             interpret=ctx["interpret"],
         )
         x = x2.reshape(-1, 1)[:n]
@@ -289,6 +292,14 @@ class Fcg(IterativeSolverMixin, LinOp):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
     def _solve_impl(self, b, x0):
+        # the fused CG kernels carry the FCG Polak-Ribiere numerator as a
+        # third reduction in the update pass (flexible=True) — same gate
+        # as Cg's (a frozen diagonal M makes FCG == CG in exact
+        # arithmetic, but the recurrences must match the generic FCG
+        # loop iteration-for-iteration, which flexible=True does)
+        fast = Cg._try_vmem_fused(self, b, x0, flexible=True)
+        if fast is not None:
+            return fast
         A, M = self.A, self.preconditioner
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]

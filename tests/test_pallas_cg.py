@@ -203,3 +203,47 @@ def test_vmem_bicgstab_iteration_only(poisson_dia, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
     )
+
+
+def test_vmem_fcg_matches_generic(poisson_dia, monkeypatch):
+    """FCG rides the fused CG kernel with flexible=True (the
+    Polak-Ribiere numerator as a third reduction in the update pass) and
+    must match the generic Fcg loop iteration-for-iteration."""
+    from ginkgo_tpu.solver.cg import Fcg
+
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Fcg.build(criteria=crit).generate(A)
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Fcg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_vmem_fcg_pell(monkeypatch):
+    from ginkgo_tpu.solver.cg import Fcg
+    from ginkgo_tpu.matrix.pell import Pell
+    from ginkgo_tpu.utils import generators as gen
+
+    data = gen.poisson_2d(16, dtype=np.float32)
+    A = Pell.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Fcg.build(criteria=crit).generate(A)
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Fcg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
