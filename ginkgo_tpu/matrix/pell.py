@@ -110,7 +110,7 @@ class Pell(LinOp):
             os.environ.get("GINKGO_TPU_NO_PALLAS")
         )
         step_cap = max(_MAX_PREFETCH_INTS // (self.G + 1), 1)
-        if k > 1 and self.n_steps <= step_cap and self.S == 8:
+        if k > 1 and self.n_steps <= step_cap:
             # multi-RHS kernel: the matrix streams once for all k columns
             out = pell_spmm(self, arr, interpret=interpret)
         else:
@@ -140,6 +140,15 @@ class Pell(LinOp):
 
     def astype(self, dtype) -> "Pell":
         return self.replace(values=self.values.astype(dtype))
+
+    def reduce_storage(self, dtype=jnp.bfloat16) -> "Pell":
+        """bf16 slot values + int8 packed lane indices: halves BOTH
+        streams of the kernel (value + index) while it accumulates in
+        f32 regardless — mirrors Dia.reduce_storage."""
+        return self.replace(
+            values=self.values.astype(dtype),
+            qidx=self.qidx.astype(jnp.int8),
+        )
 
     def transpose(self):
         return Pell.from_csr(self.to_csr().transpose(), G=self.G, S=self.S,

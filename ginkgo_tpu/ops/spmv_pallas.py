@@ -334,7 +334,7 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
 
 
 def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
-                      out_ref, *, G, k):
+                      out_ref, *, G, k, S=SUBLANES):
     i = pl.program_id(0)
     prev = tiles_ref[jnp.maximum(i - 1, 0)]
     cur = tiles_ref[i]
@@ -350,7 +350,7 @@ def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
         if qp.dtype != jnp.int32:
             qp = qp.astype(jnp.int32)  # int8 storage widens in-register
         for j in range(k):
-            W = x_ref[j, pl.ds(b, SUBLANES), :]
+            W = x_ref[j, pl.ds(b, S), :]
             gth = jnp.take_along_axis(
                 W.astype(jnp.float32), qp, axis=1,
                 mode="promise_in_bounds",
@@ -366,12 +366,11 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
     k = X.shape[1]
     G = plan.G
     NP = plan.NP
-    assert getattr(plan, "S", SUBLANES) == SUBLANES, (
-        "pell_spmm supports the S=8 layout; use pell_spmv per column"
-    )
-    n_pan = NP + 2 * PAD_PANELS + 1
+    S = getattr(plan, "S", SUBLANES)
+    pad = S - 1
+    n_pan = NP + 2 * pad + 1
     Xp = jnp.zeros((k, n_pan * LANES), X.dtype)
-    Xp = Xp.at[:, PAD_PANELS * LANES: PAD_PANELS * LANES + n_cols].set(X.T)
+    Xp = Xp.at[:, pad * LANES: pad * LANES + n_cols].set(X.T)
     x_panels = Xp.reshape(k, n_pan, LANES)
 
     step_cap = max(_MAX_PREFETCH_INTS // (G + 1), 1)
@@ -383,26 +382,26 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
         grid=(plan.n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                (G, S, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, SUBLANES, LANES), lambda i, tiles, bs: (i, 0, 0),
+                (G, S, LANES), lambda i, tiles, bs: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # X resident (k, pan, 128)
         ],
         out_specs=pl.BlockSpec(
-            (1, k, SUBLANES, LANES),
+            (1, k, S, LANES),
             lambda i, tiles, bs: (tiles[i], 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_pell_spmm_kernel, G=G, k=k),
+        functools.partial(_pell_spmm_kernel, G=G, k=k, S=S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (plan.NT, k, SUBLANES, LANES), X.dtype
+            (plan.NT, k, S, LANES), X.dtype
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * plan.values.size * k,

@@ -328,6 +328,18 @@ def test_pell_v5_tile_variants(S, q_dtype, rng):
     np.testing.assert_allclose(
         np.asarray(y2), sp @ x, rtol=1e-5, atol=1e-5
     )
+    # multi-RHS SpMM kernel handles every S (and reduce_storage halves
+    # both streams with f32 accumulation)
+    X = np.random.default_rng(5).standard_normal((900, 3))
+    Y = A.apply(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(Y), sp @ X, rtol=1e-4, atol=1e-5)
+    A16 = A.astype(jnp.float32).reduce_storage()
+    assert A16.values.dtype == jnp.bfloat16
+    assert A16.qidx.dtype == jnp.int8
+    y3 = A16.apply(jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(y3, np.float64), sp @ x, rtol=2e-2, atol=2e-2
+    )
 
 
 def test_fused_gate_declines_non_s8_pell(monkeypatch):
