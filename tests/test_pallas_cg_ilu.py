@@ -169,3 +169,23 @@ def test_fused_ilu_bicgstab_matches_generic(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=1e-3, atol=1e-3
     )
+
+
+def test_fused_ilu_cg_multichunk(system, monkeypatch):
+    """Multi-chunk coverage for the trisolve staging + sweep loops."""
+    A, A_csr, b = system
+    M = _ilu_sweeps_precond(A_csr)
+    crit = [stop.Iteration(300), stop.ResidualNorm(1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_CG_CHUNK", "2")
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Cg.build(criteria=crit, preconditioner=M).generate(A)
+    assert s._try_vmem_fused_ilu(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.delenv("GINKGO_TPU_CG_CHUNK")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, _ = Cg.build(criteria=crit, preconditioner=M).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )

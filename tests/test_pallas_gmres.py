@@ -161,3 +161,14 @@ def test_vmem_gmres_pell(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=5e-3, atol=5e-4
     )
+
+
+def test_vmem_gmres_multichunk(poisson_dia, monkeypatch):
+    """GINKGO_TPU_CG_CHUNK forces multiple row chunks through every
+    chunked loop of the GMRES core (dots, axpys, staging, SpMV)."""
+    A, b = poisson_dia
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-5)]
+    monkeypatch.setenv("GINKGO_TPU_CG_CHUNK", "2")
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert bool(inf_f.converged[0])
+    assert _relres(A, xf, b) < 1e-5
