@@ -80,6 +80,9 @@ class TriangularSolver(LinOp):
     solve = apply
 
     def _solve_sweeps(self, arr):
+        out = self._try_fused_sweeps(arr)
+        if out is not None:
+            return out
         T = self.off_csr  # here: full strict triangle (built accordingly)
         d = self.diag[:, None]
 
@@ -88,6 +91,50 @@ class TriangularSolver(LinOp):
 
         x0 = arr / d
         return jax.lax.fori_loop(0, self.sweeps, body, x0)
+
+    def _try_fused_sweeps(self, arr):
+        """Whole-solve fused sweeps (ops/pallas_trs.py): all
+        Jacobi-Richardson sweeps in one kernel with the iterate
+        VMEM-resident, when the strict triangle is a Dia and the state
+        fits.  Gate consults only env flags already in
+        solver_base._env_trace_key.  Returns the solution or None."""
+        import os
+
+        from ..matrix.dia import Dia
+
+        if self.algorithm != "sweeps" or not isinstance(self.off_csr, Dia):
+            return None
+        if arr.dtype != jnp.float32 or self.sweeps < 1:
+            return None
+        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+            return None
+        force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+        on_tpu = jax.default_backend() == "tpu"
+        if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+            return None
+        if not (force or on_tpu):
+            return None
+        T = self.off_csr
+        nd, R, _ = T.diags.shape
+        if nd == 0 or T.diags.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        from ..ops.pallas_dia import _plan
+        from ..ops.pallas_trs import trs_vmem_fits, trs_vmem_solve
+        from ._fused_gate import frame
+
+        _, _, _, p_lo, p_hi = _plan(T.offsets, R)
+        if not trs_vmem_fits(nd, R, T.diags.dtype.itemsize,
+                             halo_rows=p_lo + p_hi):
+            return None
+        invd2 = frame((1.0 / self.diag)[:, None].astype(jnp.float32), R)
+        cols = []
+        for j in range(arr.shape[1]):
+            x2 = trs_vmem_solve(
+                T, invd2, frame(arr[:, j:j + 1].astype(jnp.float32), R),
+                sweeps=self.sweeps, interpret=not on_tpu,
+            )
+            cols.append(x2.reshape(-1)[: self.n])
+        return jnp.stack(cols, axis=1).astype(arr.dtype)
 
     def _solve_block_scan(self, arr):
         B = self.block

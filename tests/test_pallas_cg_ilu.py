@@ -189,3 +189,30 @@ def test_fused_ilu_cg_multichunk(system, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
     )
+
+
+def test_fused_trs_sweeps_matches_streaming(system, monkeypatch):
+    """Standalone fused trisolve (ops/pallas_trs.py): identical result to
+    the streaming sweeps loop, on both factors of an ILU."""
+    A, A_csr, b = system
+    fact = IluFactory().generate(A_csr)
+    for factory, factor in (
+        (LowerTrsFactory(algorithm="sweeps", sweeps=4), fact.get_l_factor()),
+        (UpperTrsFactory(algorithm="sweeps", sweeps=4), fact.get_u_factor()),
+    ):
+        ts = factory.generate(factor)
+        rhs = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (A.shape[0], 2)
+            ), jnp.float32
+        )
+        monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+        fused = ts._try_fused_sweeps(rhs)
+        monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+        assert fused is not None
+        monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+        stream = ts.apply(rhs)
+        monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(stream), rtol=2e-5, atol=2e-5
+        )
