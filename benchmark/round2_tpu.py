@@ -1,0 +1,272 @@
+"""Round-2 TPU measurement session: every new kernel, interleaved A/B.
+
+One long-lived process (amortizes the 90-230 s first-op tunnel stall);
+all comparisons interleaved in-process (chip clock drifts between
+sessions); slope timing between two trip counts (cancels the ~25 ms
+dispatch/fence overhead).  Prints one JSON line per row.
+
+Rows:
+  pell_v4_vs_v5      PELL SpMV S/q_dtype grid on an unstructured matrix
+  formats_streaming  per-format streaming vs gather (Ell example)
+  gmres_fused_ab     fused vs streaming GMRES(30), Dia 262k
+  ilu_cg_ab          fused ILU-CG vs streaming ILU-CG, Dia 262k
+  trs_fused_ab       fused vs streaming sweep trisolve
+  pell_fused_cg      fused PELL CG at 131k (bench.py cross-check)
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fence(x):
+    return float(jnp.sum(x))
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+
+
+def chain_seconds(apply_fn, x0, trips, trials=3):
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, trips, lambda i, v: apply_fn(v), x)
+
+    fence(run(x0))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fence(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope(apply_fn, x0, trips):
+    t1 = chain_seconds(apply_fn, x0, trips)
+    t2 = chain_seconds(apply_fn, x0, 2 * trips)
+    return max((t2 - t1) / trips, 1e-9)
+
+
+def main():
+    import os
+
+    import ginkgo_tpu as gko
+    from ginkgo_tpu import stop
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.matrix.dia import Dia
+    from ginkgo_tpu.matrix.ell import Ell
+    from ginkgo_tpu.matrix.pell import Pell
+    from ginkgo_tpu.utils import generators
+
+    small = bool(os.environ.get("ROUND2_SMALL"))  # CPU smoke mode
+    if not small:
+        assert jax.default_backend() == "tpu", "run on the TPU"
+    dev = str(jax.devices()[0])
+
+    # ---- unstructured matrix with column locality (bench.py profile) --
+    rng = np.random.default_rng(11)
+    n_u = 1 << (13 if small else 20)
+    per_row = 9
+    rows_u = np.repeat(np.arange(n_u, dtype=np.int64), per_row)
+    cols_u = rows_u + rng.integers(-256, 257, size=rows_u.size)
+    np.clip(cols_u, 0, n_u - 1, out=cols_u)
+    data_u = MatrixData.from_coo(
+        (n_u, n_u),
+        np.concatenate([rows_u, np.arange(n_u)]),
+        np.concatenate([cols_u, np.arange(n_u)]),
+        np.concatenate([
+            (rng.random(rows_u.size).astype(np.float32) - 0.5) * 1e-2,
+            np.full(n_u, 4.0, np.float32),
+        ]),
+    ).sum_duplicates()
+    xu = jnp.ones((n_u,), jnp.float32)
+    nnz_u = data_u.nnz
+
+    # PELL v4 vs v5 grid, interleaved
+    variants = [
+        ("v4_S8_i32", dict(S=8, q_dtype=np.int32)),
+        ("v5_S8_i8", dict(S=8, q_dtype=np.int8)),
+        ("v5_S16_i8", dict(S=16, q_dtype=np.int8)),
+        ("v5_S32_i8", dict(S=32, q_dtype=np.int8)),
+    ]
+    ops = {}
+    for name, kw in variants:
+        ops[name] = Pell.from_matrix_data(data_u, **kw).scale(0.2)
+    # bf16 reduce_storage on the best-guess layout
+    ops["v5_S8_bf16_i8"] = ops["v4_S8_i32"].reduce_storage()
+    results = {}
+    for name, A in ops.items():
+        t = slope(lambda v, A=A: A.apply(v), xu, trips=40)
+        results[name] = {
+            "seconds": t,
+            "gnnz_per_s": round(nnz_u / t / 1e9, 2),
+            "inflation": round(float(A.inflation), 2),
+        }
+    emit({"row": "pell_v4_vs_v5", "n": n_u, "nnz": nnz_u,
+          "variants": results, "device": dev})
+
+    # ---- per-format streaming vs gather (Ell) --------------------------
+    n_e = 1 << (12 if small else 17)
+    rows_e = np.repeat(np.arange(n_e, dtype=np.int64), per_row)
+    cols_e = np.clip(
+        rows_e + rng.integers(-256, 257, size=rows_e.size), 0, n_e - 1
+    )
+    data_e = MatrixData.from_coo(
+        (n_e, n_e), rows_e, cols_e,
+        rng.random(rows_e.size).astype(np.float32) * 1e-2,
+    ).sum_duplicates()
+    E = Ell.from_matrix_data(data_e)
+    xe = jnp.ones((n_e,), jnp.float32)
+    t_stream = slope(lambda v: E.apply(v) * 0.2, xe, trips=40)
+    os.environ["GINKGO_TPU_NO_PALLAS"] = "1"
+    t_gather = chain_seconds(lambda v: E.apply(v) * 0.2, xe, trips=2) / 2
+    del os.environ["GINKGO_TPU_NO_PALLAS"]
+    emit({"row": "formats_streaming", "format": "Ell", "n": n_e,
+          "nnz": data_e.nnz, "stream_seconds": t_stream,
+          "stream_gnnz_per_s": round(data_e.nnz / t_stream / 1e9, 2),
+          "gather_seconds": t_gather,
+          "speedup": round(t_gather / t_stream, 1)})
+
+    # ---- fused vs streaming GMRES(30), Dia 262k ------------------------
+    data_g = generators.poisson_2d(32 if small else 512, dtype=np.float32)
+    Dg = Dia.from_matrix_data(data_g).scale(0.125)
+    bg = jnp.ones((data_g.shape[0], 1), jnp.float32)
+
+    # env flag is read at TRACE time; solver_base._env_trace_key keeps
+    # the two paths distinct in the jit cache
+    def gmres_total(iters, fused):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = gko.Gmres.build(
+                criteria=[stop.Iteration(max_iters=iters)], krylov_dim=30
+            ).generate(Dg)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bg))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bg))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    g = {}
+    for fused in (True, False):
+        lo = gmres_total(10 if small else 60, fused)
+        hi = gmres_total(40 if small else 240, fused)
+        g["fused" if fused else "stream"] = max(
+            (hi - lo) / (30 if small else 180), 1e-9
+        )
+    emit({"row": "gmres_fused_ab", "n": data_g.shape[0],
+          "fused_us_per_iter": round(g["fused"] * 1e6, 1),
+          "stream_us_per_iter": round(g["stream"] * 1e6, 1),
+          "speedup": round(g["stream"] / g["fused"], 2)})
+
+    # ---- fused ILU-CG vs streaming ILU-CG, Dia 262k --------------------
+    from ginkgo_tpu.factorization.ilu import IluFactory
+    from ginkgo_tpu.preconditioner.ilu import IluPreconditionerFactory
+    from ginkgo_tpu.solver.triangular import (
+        LowerTrsFactory, UpperTrsFactory,
+    )
+
+    A_csr = gko.Csr.from_matrix_data(data_g)
+    fact = IluFactory().generate(A_csr)
+    M = IluPreconditionerFactory(
+        l_solver_factory=LowerTrsFactory(algorithm="sweeps", sweeps=3),
+        u_solver_factory=UpperTrsFactory(algorithm="sweeps", sweeps=3),
+    ).generate(fact)
+
+    def ilu_total(iters, fused):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = gko.Cg.build(
+                criteria=[stop.Iteration(max_iters=iters)],
+                preconditioner=M,
+            ).generate(Dg)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bg))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bg))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    ic = {}
+    for fused in (True, False):
+        lo = ilu_total(20 if small else 100, fused)
+        hi = ilu_total(80 if small else 400, fused)
+        ic["fused" if fused else "stream"] = max(
+            (hi - lo) / (60 if small else 300), 1e-9
+        )
+    emit({"row": "ilu_cg_ab", "n": data_g.shape[0],
+          "fused_us_per_iter": round(ic["fused"] * 1e6, 1),
+          "stream_us_per_iter": round(ic["stream"] * 1e6, 1),
+          "speedup": round(ic["stream"] / ic["fused"], 2)})
+
+    # ---- fused PELL CG (bench.py cross-check at 131k) ------------------
+    n_c = 1 << (12 if small else 17)
+    rows_c = np.repeat(np.arange(n_c, dtype=np.int64), per_row)
+    cols_c = np.clip(
+        rows_c + rng.integers(-256, 257, size=rows_c.size), 0, n_c - 1
+    )
+    data_c = MatrixData.from_coo(
+        (n_c, n_c),
+        np.concatenate([rows_c, np.arange(n_c)]),
+        np.concatenate([cols_c, np.arange(n_c)]),
+        np.concatenate([
+            (rng.random(rows_c.size).astype(np.float32) - 0.5) * 1e-2,
+            np.full(n_c, 4.0, np.float32),
+        ]),
+    ).sum_duplicates()
+    Au = Pell.from_matrix_data(data_c).scale(0.2)
+    bu = jnp.ones((n_c, 1), jnp.float32)
+
+    def pell_total(iters):
+        s = gko.Cg.build(
+            criteria=[stop.Iteration(max_iters=iters)]
+        ).generate(Au)
+
+        @jax.jit
+        def run(rhs):
+            x, _ = s.solve(rhs)
+            return x
+
+        fence(run(bu))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(run(bu))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_pc = max(
+        (pell_total(120 if small else 600) - pell_total(
+            20 if small else 100
+        )) / (100 if small else 500),
+        1e-9,
+    )
+    emit({"row": "pell_fused_cg", "n": n_c,
+          "us_per_iter": round(t_pc * 1e6, 2)})
+
+
+if __name__ == "__main__":
+    main()

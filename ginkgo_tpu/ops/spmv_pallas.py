@@ -130,10 +130,13 @@ class PellPlan:
             gs, sr, ln = nat["gslot"], nat["srow"], nat["lane"]
             vals_arr[gs, sr, ln] = values
             q_arr[gs, sr, ln] = nat["q"]
-            self.values = jnp.asarray(vals_arr)
-            self.qidx = jnp.asarray(q_arr)
-            self.bases = jnp.asarray(nat["bases"])
-            self.tile_of_step = jnp.asarray(nat["tile_of_step"])
+            # concrete even when a plan is (cache-)built during an outer
+            # trace: a traced constant would leak out of that trace
+            with jax.ensure_compile_time_eval():
+                self.values = jnp.asarray(vals_arr)
+                self.qidx = jnp.asarray(q_arr)
+                self.bases = jnp.asarray(nat["bases"])
+                self.tile_of_step = jnp.asarray(nat["tile_of_step"])
             return
 
         rows = np.repeat(
@@ -202,10 +205,11 @@ class PellPlan:
             bases[slot_of_pair] = u_base.astype(np.int32)
         tile_of_step = np.repeat(np.arange(NT, dtype=np.int32), steps_t)
 
-        self.values = jnp.asarray(vals_arr)
-        self.qidx = jnp.asarray(q_arr)
-        self.bases = jnp.asarray(bases)
-        self.tile_of_step = jnp.asarray(tile_of_step)
+        with jax.ensure_compile_time_eval():
+            self.values = jnp.asarray(vals_arr)
+            self.qidx = jnp.asarray(q_arr)
+            self.bases = jnp.asarray(bases)
+            self.tile_of_step = jnp.asarray(tile_of_step)
 
 
 def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
@@ -524,7 +528,11 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
     ):
         plan = hit[1]  # None = cached decline
     else:
-        csr = op.to_csr()
+        # the leaves are concrete, but under an ACTIVE outer trace the
+        # jnp ops inside to_csr would stage and return tracers;
+        # compile-time eval keeps the whole conversion concrete
+        with jax.ensure_compile_time_eval():
+            csr = op.to_csr()
         ip = np.asarray(csr.row_ptrs)
         ci = np.asarray(csr.col_idxs)
         vv = np.asarray(csr.values)

@@ -119,3 +119,29 @@ def test_streaming_gate_declines(monkeypatch, rng):
     # declined applies still produce correct results through the fallback
     y = np.asarray(A.apply(x), np.float64)
     np.testing.assert_allclose(y, sp @ np.asarray(x), rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_inside_user_jit(monkeypatch, rng):
+    """Chained applies of a closure-captured format inside a user jit:
+    the plan must build concretely at trace time (ensure_compile_time_
+    eval) — regression for a TracerArrayConversionError + a cached-plan
+    tracer leak found by the round-2 bench smoke run."""
+    import jax
+
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    sp = _rand(300, 300, 0.03, seed=17)
+    A = Ell.from_matrix_data(_data(sp))
+    x = jnp.asarray(rng.standard_normal(300))
+
+    @jax.jit
+    def run(v):
+        return jax.lax.fori_loop(0, 3, lambda i, u: A.apply(u) * 0.5, v)
+
+    y = np.asarray(run(x), np.float64)
+    ref = np.asarray(x, np.float64)
+    for _ in range(3):
+        ref = (sp @ ref) * 0.5
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-6)
+    # the cached plan must remain usable AFTER the trace that built it
+    y2 = np.asarray(A.apply(x), np.float64)
+    np.testing.assert_allclose(y2, sp @ np.asarray(x), rtol=1e-4, atol=1e-6)
