@@ -15,7 +15,11 @@ Rows:
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -51,8 +55,6 @@ def slope(apply_fn, x0, trips):
 
 
 def main():
-    import os
-
     import ginkgo_tpu as gko
     from ginkgo_tpu import stop
     from ginkgo_tpu.base.matrix_data import MatrixData
@@ -62,7 +64,10 @@ def main():
     from ginkgo_tpu.utils import generators
 
     small = bool(os.environ.get("ROUND2_SMALL"))  # CPU smoke mode
-    if not small:
+    if small:
+        # JAX_PLATFORMS=cpu alone does not switch off the axon TPU plugin
+        jax.config.update("jax_platforms", "cpu")
+    else:
         assert jax.default_backend() == "tpu", "run on the TPU"
     dev = str(jax.devices()[0])
 
@@ -221,6 +226,34 @@ def main():
           "fused_us_per_iter": round(ic["fused"] * 1e6, 1),
           "stream_us_per_iter": round(ic["stream"] * 1e6, 1),
           "speedup": round(ic["stream"] / ic["fused"], 2)})
+
+    # ---- fused vs streaming sweep trisolve (standalone apply) ----------
+    # The ILU L factor of the banded Poisson operator lands in Dia, so the
+    # sweeps TriangularSolver rides ops/pallas_trs.py when fused paths are
+    # on; GINKGO_TPU_NO_FUSED_CG=1 falls back to the fori_loop of Dia SpMVs.
+    nsw = 6
+
+    def trs_seconds(fused, trips):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            ltrs = LowerTrsFactory(
+                algorithm="sweeps", sweeps=nsw
+            ).generate(fact.get_l_factor())
+            return chain_seconds(lambda v: ltrs.apply(v) * 0.5,
+                                 bg[:, 0], trips)
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    trs = {}
+    for fused in (True, False):
+        t1 = trs_seconds(fused, 10)
+        t2 = trs_seconds(fused, 20)
+        trs["fused" if fused else "stream"] = max((t2 - t1) / 10, 1e-9)
+    emit({"row": "trs_fused_ab", "n": data_g.shape[0], "sweeps": nsw,
+          "fused_us_per_solve": round(trs["fused"] * 1e6, 1),
+          "stream_us_per_solve": round(trs["stream"] * 1e6, 1),
+          "speedup": round(trs["stream"] / trs["fused"], 2)})
 
     # ---- fused PELL CG (bench.py cross-check at 131k) ------------------
     n_c = 1 << (12 if small else 17)

@@ -1,0 +1,445 @@
+"""Fused AMG V-cycle: the ENTIRE multigrid cycle in one Pallas kernel.
+
+Reference role: core/solver/multigrid.cpp:269-489 (MultigridState::
+run_cycle) — there, every level's smoother / residual / restrict /
+prolong is a separate kernel launch reading and writing HBM.  Here the
+whole hierarchy lives in VMEM for the duration of the cycle: per-level
+Dia diagonals and inverse-diagonal frames are kernel operands, all
+vectors (x/b/r per level + SpMV staging) are VMEM scratch, the banded
+PGM transfers (multigrid/pgm.py BandedRestriction/BandedProlongation)
+are lowered to in-register sublane gathers + constant MXU matmuls, and
+the coarsest solve is a dense-inverse matmul.  HBM traffic per cycle is
+exactly: b in, x out, one read of each level's diagonals per SpMV pass.
+
+Geometry (matches pgm.py's pure-stride transfers, deltas == (0,)):
+- stride 1 ("lane"):  coarse[c] = fine[2c] + fine[2c+1].  Per coarse
+  frame row rc this reads fine rows 2rc / 2rc+1 (sublane dynamic_gather
+  with a static index pattern) and compacts lanes with the constant
+  0/1 pair matrices (_lane_pair_mats) on the MXU.
+- stride S = Sr*128 ("rows"): coarse frame row (g*Sr + t) = fine rows
+  (g*2Sr + t) + (g*2Sr + Sr + t) — pure affine row slices, no gather.
+
+All loop offsets are affine in fori indices (no device integer
+division); every overrun read/write lands in explicitly zeroed frame
+padding, so partial frames need no masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_dia import _plan
+
+
+def _lane_mats_inkernel(S: int):
+    """In-kernel (128, 128) pair-compaction matrices for stride-S pairing
+    with 2S | 128 (generalizes pgm._lane_pair_mats, the S=1 case):
+    pairing (i, i+S) stays inside one 128-lane frame row, so coarse frame
+    row rc = fine rows 2rc/2rc+1 lane-compacted.  Coarse lane m sums fine
+    lanes (m//S)*2S + m%S and that + S.  Built from iota (Pallas kernels
+    cannot capture array constants); S is a power of two, so the integer
+    division lowers to shifts."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    h = LANES // 2
+
+    def mat(mm, valid):
+        base = (mm // S) * (2 * S) + mm % S
+        hit = (a == base) | (a == base + S)
+        return jnp.where(hit & valid, 1.0, 0.0).astype(jnp.float32)
+
+    return mat(m, m < h), mat(m - h, m >= h)
+
+
+def _roundup(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _even_chunk(R: int) -> int:
+    """Even chunk size dividing R (prolong 'lane' needs Cf/2 integral)."""
+    c = _chunk_rows(R)
+    if c % 2:
+        c = 2 * c if (2 * c <= R and R % (2 * c) == 0) else c
+    return c if c % 2 == 0 else R if R % 2 == 0 else 2 * R
+
+
+def _row_sub(Sr: int) -> int:
+    """Subchunk for 'rows' transfers: largest divisor of Sr <= 512."""
+    for c in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if Sr % c == 0:
+            return c
+    return 1
+
+
+def build_vcycle_plan(levels_meta):
+    """Static kernel plan from per-level metadata.
+
+    levels_meta: list of dicts with keys
+      nd, R, offsets (tuple), itemsize, iters_pre, relax_pre, iters_post,
+      relax_post, stride (transfer TO the next level; absent on the last
+      entry which describes the coarsest operator frame R only as 'Rc').
+    The last element must carry {'Rc': coarsest frame rows}.
+    Returns (plan, vmem_bytes)."""
+    L = len(levels_meta) - 1
+    Rc_last = levels_meta[-1]["Rc"]
+    lv = []
+    for l in range(L):
+        m = levels_meta[l]
+        qs, _, _, pad_lo, pad_hi = _plan(m["offsets"], m["R"])
+        lv.append(
+            dict(
+                nd=m["nd"],
+                R=m["R"],
+                qs=qs,
+                pad_lo=pad_lo,
+                pad_hi=pad_hi,
+                C=_chunk_rows(m["R"]),
+                itemsize=m["itemsize"],
+                itp=m["iters_pre"],
+                rp=float(m["relax_pre"]),
+                ito=m["iters_post"],
+                ro=float(m["relax_post"]),
+                stride=m["stride"],
+            )
+        )
+    # frame geometry: coverage of each transfer (writes land in zeroed pad)
+    R_next = [lv[l + 1]["R"] if l + 1 < L else Rc_last for l in range(L)]
+    for l in range(L):
+        e = lv[l]
+        S = e["stride"]
+        if S < LANES:
+            assert LANES % (2 * S) == 0
+            Cc = _chunk_rows(max(R_next[l], 8))
+            wcov = _roundup(R_next[l], Cc)  # coarse b rows written
+            e["tr"] = dict(kind="lane", S=S, Cc=Cc, wcov=wcov,
+                           rcov=2 * wcov)
+            Cf = _even_chunk(e["R"])
+            fcov = _roundup(e["R"], Cf)  # fine x rows written by prolong
+            e["pr"] = dict(kind="lane", S=S, Cf=Cf, fcov=fcov,
+                           ccov=fcov // 2)
+        else:
+            Sr = S // LANES
+            Sc = _row_sub(Sr)
+            ng = -(-R_next[l] // Sr)
+            e["tr"] = dict(kind="rows", Sr=Sr, Sc=Sc, ng=ng,
+                           wcov=ng * Sr, rcov=2 * ng * Sr)
+            ngp = -(-e["R"] // (2 * Sr))
+            e["pr"] = dict(kind="rows", Sr=Sr, Sc=Sc, ng=ngp,
+                           fcov=ngp * 2 * Sr, ccov=ngp * Sr)
+    # allocated frame rows per level 0..L (level L = coarsest)
+    RVx = [0] * (L + 1)
+    RVb = [0] * (L + 1)
+    RVr = [0] * L
+    for l in range(L):
+        RVx[l] = max(RVx[l], lv[l]["R"], lv[l]["pr"]["fcov"])
+        RVr[l] = max(lv[l]["R"], lv[l]["tr"]["rcov"])
+        RVb[l] = max(RVb[l], lv[l]["R"])
+        RVb[l + 1] = max(RVb[l + 1], lv[l]["tr"]["wcov"])
+        RVx[l + 1] = max(RVx[l + 1], lv[l]["pr"]["ccov"])
+    RVx[L] = max(RVx[L], Rc_last)
+    RVb[L] = max(RVb[L], Rc_last)
+    plan = dict(L=L, lv=lv, RVx=RVx, RVb=RVb, RVr=RVr, Rc=Rc_last)
+    frame = LANES * 4
+    vmem = 0
+    for l in range(L):
+        e = lv[l]
+        vmem += e["nd"] * e["R"] * LANES * e["itemsize"]  # diags
+        vmem += e["R"] * frame  # dinv
+        vmem += (e["R"] + e["pad_lo"] + e["pad_hi"]) * frame  # w
+        vmem += RVr[l] * frame
+    for l in range(L + 1):
+        vmem += (RVx[l] + RVb[l]) * frame
+    vmem += (Rc_last * LANES) ** 2 * 4  # Minv
+    vmem += lv[0]["R"] * frame * 2 if L else 0  # in/out DMA landing slack
+    plan["vmem"] = vmem
+    return plan
+
+
+def vcycle_vmem_fits(plan) -> bool:
+    return plan["vmem"] <= cg_vmem_budget_bytes()
+
+
+def _zero(ref, rows):
+    C = _chunk_rows(rows) if rows % 8 == 0 else rows
+
+    def body(i, _):
+        ref[pl.ds(i * C, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        return 0
+
+    if rows % C == 0 and rows // C > 1:
+        jax.lax.fori_loop(0, rows // C, body, 0)
+    else:
+        ref[pl.ds(0, rows), :] = jnp.zeros((rows, LANES), jnp.float32)
+
+
+def _stage(x_ref, w_ref, w_lo, C, n_chunks):
+    def body(c, _):
+        c0 = c * C
+        w_ref[pl.ds(w_lo + c0, C), :] = x_ref[pl.ds(c0, C), :]
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _mg_kernel(*refs, plan, use_x0):
+    L = plan["L"]
+    lv = plan["lv"]
+    # ---- unpack refs --------------------------------------------------
+    i = 0
+    diags = refs[i:i + L]; i += L
+    dinv = refs[i:i + L]; i += L
+    minv = refs[i]; i += 1
+    b_hbm = refs[i]; i += 1
+    x0_hbm = None
+    if use_x0:
+        x0_hbm = refs[i]; i += 1
+    xout_hbm = refs[i]; i += 1
+    xs = refs[i:i + L + 1]; i += L + 1
+    bs = refs[i:i + L + 1]; i += L + 1
+    rs = refs[i:i + L]; i += L
+    ws = refs[i:i + L]; i += L
+    sems = refs[i]
+
+    # ---- one-time zero init (pads must read as zero) ------------------
+    for l in range(L + 1):
+        _zero(xs[l], plan["RVx"][l])
+        if l > 0:
+            _zero(bs[l], plan["RVb"][l])
+    for l in range(L):
+        _zero(rs[l], plan["RVr"][l])
+        e = lv[l]
+        Rw = e["R"] + e["pad_lo"] + e["pad_hi"]
+        if e["pad_lo"]:
+            ws[l][pl.ds(0, e["pad_lo"]), :] = jnp.zeros(
+                (e["pad_lo"], LANES), jnp.float32)
+        if e["pad_hi"]:
+            ws[l][pl.ds(Rw - e["pad_hi"], e["pad_hi"]), :] = jnp.zeros(
+                (e["pad_hi"], LANES), jnp.float32)
+
+    # ---- DMA in --------------------------------------------------------
+    R0 = lv[0]["R"]
+    cp_b = pltpu.make_async_copy(b_hbm, bs[0].at[pl.ds(0, R0)], sems.at[0])
+    cp_b.start()
+    if use_x0:
+        cp_x = pltpu.make_async_copy(
+            x0_hbm, xs[0].at[pl.ds(0, R0)], sems.at[1])
+        cp_x.start()
+        cp_x.wait()
+    cp_b.wait()
+
+    # ---- per-level primitive passes ------------------------------------
+    def smooth_update(l, relax):
+        e = lv[l]
+        C, n_chunks = e["C"], e["R"] // e["C"]
+        _stage(xs[l], ws[l], e["pad_lo"], C, n_chunks)
+
+        def body(c, _):
+            c0 = c * C
+            t = _spmv_chunk(diags[l], ws[l], c0, C, qs=e["qs"],
+                            pad_lo=e["pad_lo"])
+            xs[l][pl.ds(c0, C), :] = xs[l][pl.ds(c0, C), :] + relax * (
+                dinv[l][pl.ds(c0, C), :].astype(jnp.float32)
+                * (bs[l][pl.ds(c0, C), :] - t)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    def smooth_from_zero(l, relax):
+        e = lv[l]
+        C, n_chunks = e["C"], e["R"] // e["C"]
+
+        def body(c, _):
+            c0 = c * C
+            xs[l][pl.ds(c0, C), :] = relax * (
+                dinv[l][pl.ds(c0, C), :].astype(jnp.float32)
+                * bs[l][pl.ds(c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    def residual(l):
+        e = lv[l]
+        C, n_chunks = e["C"], e["R"] // e["C"]
+        _stage(xs[l], ws[l], e["pad_lo"], C, n_chunks)
+
+        def body(c, _):
+            c0 = c * C
+            t = _spmv_chunk(diags[l], ws[l], c0, C, qs=e["qs"],
+                            pad_lo=e["pad_lo"])
+            rs[l][pl.ds(c0, C), :] = bs[l][pl.ds(c0, C), :] - t
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    def restrict(l):
+        tr = lv[l]["tr"]
+        if tr["kind"] == "lane":
+            m0, m1 = _lane_mats_inkernel(tr["S"])
+            Cc = tr["Cc"]
+            r_ = jax.lax.broadcasted_iota(jnp.int32, (2 * Cc, LANES), 0)
+            idx_e = jnp.minimum(2 * r_, 2 * Cc - 2)
+
+            def body(c, _):
+                c0 = c * Cc
+                fb = rs[l][pl.ds(2 * c0, 2 * Cc), :]
+                fe = jnp.take_along_axis(fb, idx_e, axis=0)[:Cc]
+                fo = jnp.take_along_axis(fb, idx_e + 1, axis=0)[:Cc]
+                t = jax.lax.dot_general(
+                    fe, m0, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    fo, m1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                bs[l + 1][pl.ds(c0, Cc), :] = t
+                return 0
+
+            jax.lax.fori_loop(0, tr["wcov"] // Cc, body, 0)
+        else:
+            Sr, Sc = tr["Sr"], tr["Sc"]
+
+            def body(g, _):
+                for j in range(Sr // Sc):
+                    c0 = g * Sr + j * Sc
+                    f0 = g * 2 * Sr + j * Sc
+                    bs[l + 1][pl.ds(c0, Sc), :] = (
+                        rs[l][pl.ds(f0, Sc), :]
+                        + rs[l][pl.ds(f0 + Sr, Sc), :]
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, tr["ng"], body, 0)
+
+    def prolong_add(l):
+        pr = lv[l]["pr"]
+        if pr["kind"] == "lane":
+            m0, m1 = _lane_mats_inkernel(pr["S"])
+            Cf = pr["Cf"]
+            h = Cf // 2
+            r_ = jax.lax.broadcasted_iota(jnp.int32, (Cf, LANES), 0)
+            idx = r_ // 2 + (r_ % 2) * h
+
+            def body(c, _):
+                f0 = c * Cf
+                cb = xs[l + 1][pl.ds(c * h, h), :]
+                ge = jax.lax.dot_general(
+                    cb, m0, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                go = jax.lax.dot_general(
+                    cb, m1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cat = jnp.concatenate([ge, go], axis=0)
+                add = jnp.take_along_axis(cat, idx, axis=0)
+                xs[l][pl.ds(f0, Cf), :] = xs[l][pl.ds(f0, Cf), :] + add
+                return 0
+
+            jax.lax.fori_loop(0, pr["fcov"] // Cf, body, 0)
+        else:
+            Sr, Sc = pr["Sr"], pr["Sc"]
+
+            def body(g, _):
+                for h_ in range(2):
+                    for j in range(Sr // Sc):
+                        f0 = g * 2 * Sr + h_ * Sr + j * Sc
+                        c0 = g * Sr + j * Sc
+                        xs[l][pl.ds(f0, Sc), :] = (
+                            xs[l][pl.ds(f0, Sc), :]
+                            + xs[l + 1][pl.ds(c0, Sc), :]
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, pr["ng"], body, 0)
+
+    # ---- V-cycle --------------------------------------------------------
+    for l in range(L):
+        e = lv[l]
+        if l == 0 and use_x0:
+            for _ in range(e["itp"]):
+                smooth_update(l, e["rp"])
+        else:
+            smooth_from_zero(l, e["rp"])
+            for _ in range(e["itp"] - 1):
+                smooth_update(l, e["rp"])
+        residual(l)
+        restrict(l)
+
+    # coarsest: x_L = Minv @ b_L (dense, exact)
+    Rc = plan["Rc"]
+    acc = jnp.zeros((1, Rc * LANES), jnp.float32)
+    for rp_ in range(Rc):
+        row = bs[L][pl.ds(rp_, 1), :]
+        acc = acc + jax.lax.dot_general(
+            row, minv[pl.ds(rp_ * LANES, LANES), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    for rr in range(Rc):
+        xs[L][pl.ds(rr, 1), :] = acc[:, rr * LANES:(rr + 1) * LANES]
+
+    for l in range(L - 1, -1, -1):
+        e = lv[l]
+        prolong_add(l)
+        for _ in range(e["ito"]):
+            smooth_update(l, e["ro"])
+
+    # ---- DMA out --------------------------------------------------------
+    cp_o = pltpu.make_async_copy(xs[0].at[pl.ds(0, R0)], xout_hbm, sems.at[2])
+    cp_o.start()
+    cp_o.wait()
+
+
+def mg_vmem_vcycle(plan, diags_list, dinv2_list, minv2, b2, x02=None,
+                   interpret=False):
+    """One V-cycle, whole hierarchy VMEM-resident.
+
+    diags_list[l]: (nd_l, R_l, 128); dinv2_list[l]: (R_l, 128) f32 frames;
+    minv2: (Rc*128, Rc*128) f32 dense inverse of the coarsest operator;
+    b2 / x02: (R_0, 128) f32 frames.  Returns the (R_0, 128) result."""
+    L = plan["L"]
+    use_x0 = x02 is not None
+    kernel = functools.partial(_mg_kernel, plan=plan, use_x0=use_x0)
+    R0 = plan["lv"][0]["R"]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # minv
+        + [pl.BlockSpec(memory_space=pl.ANY)]  # b
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if use_x0 else [])
+    )
+    scratch = []
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVx"][l], LANES), jnp.float32))
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVb"][l], LANES), jnp.float32))
+    for l in range(L):
+        scratch.append(pltpu.VMEM((plan["RVr"][l], LANES), jnp.float32))
+    for l in range(L):
+        e = plan["lv"][l]
+        scratch.append(
+            pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
+                       jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+    args = list(diags_list) + list(dinv2_list) + [minv2, b2]
+    if use_x0:
+        args.append(x02)
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((R0, LANES), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)

@@ -34,7 +34,9 @@ def trs_vmem_fits(nd: int, R: int, itemsize: int = 4,
                   halo_rows: int = 0) -> bool:
     """b + iterate + staged frames + inverse diagonal + triangle diags."""
     frame = R * LANES * 4
-    vec_frames = 3.25 + halo_rows / max(R, 1)
+    # 4 full f32 frames live in VMEM: b_s, out_s (iterate), w_s (staged
+    # source, + halo rows), invd; diags ride in_specs VMEM at itemsize
+    vec_frames = 4.0 + halo_rows / max(R, 1)
     return nd * R * LANES * itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
     )

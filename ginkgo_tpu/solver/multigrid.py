@@ -150,6 +150,10 @@ class Multigrid(LinOp):
     mid_smoothers: tuple
     coarse_solver: Any
     criterion: Any
+    #: (Rc*128, Rc*128) f32 dense inverse of the coarsest operator, built
+    #: at generate time when the coarse solver is the default exact Direct
+    #: solve — feeds the fused whole-V-cycle kernel (ops/pallas_mg.py)
+    coarse_dense_inv: Any = None
     cycle: str = static_field(default="v")  # 'v' | 'w' | 'f' (multigrid.hpp:79)
     axis_name: Any = static_field(default=None)
 
@@ -198,8 +202,122 @@ class Multigrid(LinOp):
         x = self.post_smoothers[lvl].solve(b, x0=x)[0]
         return x
 
-    def cycle_apply(self, b, x):
+    def _try_fused_vcycle(self, arr, x_arr):
+        """Whole-V-cycle-in-one-kernel fast path (ops/pallas_mg.py): every
+        level's smoothers, residual, banded transfers and the dense coarse
+        solve run inside ONE Pallas kernel with the full hierarchy
+        VMEM-resident (the reference launches separate kernels per step,
+        multigrid.cpp:269-489).  Gate: cycle 'v', single f32 RHS, all-Dia
+        hierarchy with pure-stride banded transfers, FixedSmoothers with
+        shared pre/post objects, default Direct coarse solver (replaced by
+        the generate-time dense inverse), VMEM fits.  Consults only env
+        flags already in solver_base._env_trace_key.  x_arr None means a
+        zero initial guess (skips the initial-residual work).  Returns the
+        cycle result or None."""
+        import os
+
+        from ..matrix.dia import Dia
+        from ..multigrid.pgm import BandedProlongation, BandedRestriction
+        from .direct import Direct
+
+        if arr.ndim != 2 or arr.shape[1] != 1 or arr.dtype != jnp.float32:
+            return None
+        if self.coarse_dense_inv is None or not isinstance(
+            self.coarse_solver, Direct
+        ):
+            return None
+        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+            return None
+        force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+        on_tpu = jax.default_backend() == "tpu"
+        if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+            return None
+        if not (force or on_tpu):
+            return None
+        meta = []
+        for l, level in enumerate(self.levels):
+            A = level.fine_op
+            pre = self.pre_smoothers[l]
+            post = self.post_smoothers[l]
+            if not (isinstance(A, Dia) and isinstance(pre, FixedSmoother)):
+                return None
+            if post is not pre and not (
+                isinstance(post, FixedSmoother)
+                and post.iters == pre.iters
+                and post.relax == pre.relax
+            ):
+                return None
+            if A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+                return None
+            R_ = level.restrict_op
+            P_ = level.prolong_op
+            if not (
+                isinstance(R_, BandedRestriction)
+                and isinstance(P_, BandedProlongation)
+                and R_.deltas == (0,)
+                and P_.deltas == (0,)
+                and R_.stride == P_.stride
+                and (128 % (2 * R_.stride) == 0 or R_.stride % 128 == 0)
+            ):
+                return None
+            nd, Rl, _ = A.diags.shape
+            if nd == 0:
+                return None
+            meta.append(
+                dict(
+                    nd=nd,
+                    R=Rl,
+                    offsets=A.offsets,
+                    itemsize=A.diags.dtype.itemsize,
+                    iters_pre=pre.iters,
+                    relax_pre=pre.relax,
+                    iters_post=pre.iters,
+                    relax_post=pre.relax,
+                    stride=R_.stride,
+                )
+            )
+        from ..ops.pallas_mg import (
+            build_vcycle_plan, mg_vmem_vcycle, vcycle_vmem_fits,
+        )
+        from ._fused_gate import frame
+
+        nc = self.levels[-1].coarse_op.shape[0]
+        Rc = -(-nc // 128)
+        if self.coarse_dense_inv.shape != (Rc * 128, Rc * 128):
+            return None
+        meta.append(dict(Rc=Rc))
+        plan = build_vcycle_plan(meta)
+        if not vcycle_vmem_fits(plan):
+            return None
+        n = self.shape[0]
+        R0 = meta[0]["R"]
+        diags_list = [lv.fine_op.diags for lv in self.levels]
+        dinv2 = [
+            frame(
+                self.pre_smoothers[l].dinv[:, None].astype(jnp.float32),
+                meta[l]["R"],
+            )
+            for l in range(len(self.levels))
+        ]
+        x2 = mg_vmem_vcycle(
+            plan,
+            diags_list,
+            dinv2,
+            self.coarse_dense_inv.astype(jnp.float32),
+            frame(arr.astype(jnp.float32), R0),
+            None if x_arr is None else frame(
+                x_arr.astype(jnp.float32), R0
+            ),
+            interpret=not on_tpu,
+        )
+        return x2.reshape(-1, 1)[:n].astype(arr.dtype)
+
+    def cycle_apply(self, b, x, x_is_zero=False):
         """One full multigrid cycle from initial guess x."""
+        if self.cycle == "v":
+            fast = self._try_fused_vcycle(b, None if x_is_zero else x)
+            if fast is not None:
+                return fast
         return self._run_cycle(0, b, x, self.cycle)
 
     # -- LinOp / solver surface ---------------------------------------------------
@@ -207,7 +325,7 @@ class Multigrid(LinOp):
     def apply(self, b):
         """Preconditioner-style apply: one cycle from zero."""
         arr, was_1d = as_2d(b)
-        out = self.cycle_apply(arr, jnp.zeros_like(arr))
+        out = self.cycle_apply(arr, jnp.zeros_like(arr), x_is_zero=True)
         return restore_1d(out, was_1d)
 
     def solve(self, b, x0=None):
@@ -346,5 +464,31 @@ class MultigridFactory:
             mid_smoothers=mid,
             coarse_solver=coarse,
             criterion=crit,
+            coarse_dense_inv=self._coarse_inverse(op, coarse),
             cycle=self.cycle,
         )
+
+    @staticmethod
+    def _coarse_inverse(op, coarse):
+        """(Rc*128, Rc*128) f32 padded dense inverse of the coarsest
+        operator when the coarse solver is the default exact Direct solve
+        — the fused V-cycle kernel (ops/pallas_mg.py) applies it as one
+        MXU matmul instead of the LU trisolves."""
+        from .direct import Direct
+
+        nc = op.shape[0]
+        if not isinstance(coarse, Direct) or nc > 1536:
+            return None
+        try:
+            if hasattr(op, "to_scipy"):
+                dense = np.asarray(op.to_scipy().todense())
+            else:
+                dense = np.asarray(op.to_dense())
+            inv = np.linalg.inv(dense.astype(np.float64))
+        except Exception:
+            return None
+        Rc = -(-nc // 128)
+        M = np.zeros((Rc * 128, Rc * 128), np.float32)
+        # transposed: the kernel computes x_j = sum_i b_i M[i, j]
+        M[:nc, :nc] = inv.T
+        return jnp.asarray(M)

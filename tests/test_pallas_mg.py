@@ -1,0 +1,123 @@
+"""Fused whole-V-cycle kernel (ops/pallas_mg.py) vs the generic cycle.
+
+Oracle tier: interpret-mode kernel (GINKGO_TPU_FORCE_VMEM_CG=1) against
+the all-XLA cycle (GINKGO_TPU_NO_PALLAS=1).  The fused path replaces the
+Direct-LU coarse solve with the generate-time dense inverse, so parity
+is to f32 roundoff, not bitwise."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ginkgo_tpu import Cg, stop
+from ginkgo_tpu.matrix.dia import Dia
+from ginkgo_tpu.solver.multigrid import Multigrid
+from ginkgo_tpu.utils import generators
+
+
+def _mk(n_side, max_levels=6, min_coarse=32, iters=1, relax=0.9):
+    data = generators.poisson_2d(n_side, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    mg = Multigrid.build(
+        criteria=[stop.Iteration(max_iters=30),
+                  stop.ResidualNorm(tolerance=1e-6)],
+        max_levels=max_levels,
+        min_coarse_rows=min_coarse,
+        smoother_iters=iters,
+        smoother_relax=relax,
+    ).generate(A)
+    b = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (data.shape[0], 1)
+        ).astype(np.float32)
+    )
+    return A, mg, b
+
+
+def _gate_ok(mg, b):
+    # caller has already set GINKGO_TPU_FORCE_VMEM_CG
+    return mg._try_fused_vcycle(b, None) is not None
+
+
+@pytest.mark.parametrize("n_side,iters", [(32, 1), (32, 2), (48, 1)])
+def test_vcycle_apply_parity(monkeypatch, n_side, iters):
+    # n_side=48: width 48 strides (48, 24, ...) are not 2S|128 — the gate
+    # must decline and fall back, still producing the generic result
+    A, mg, b = _mk(n_side, iters=iters)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    if n_side == 48:
+        assert mg._try_fused_vcycle(b, None) is None
+    else:
+        assert mg._try_fused_vcycle(b, None) is not None
+    xf = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_vcycle_x0_parity(monkeypatch):
+    A, mg, b = _mk(32)
+    x0 = jnp.asarray(
+        np.random.default_rng(7).standard_normal(b.shape).astype(np.float32)
+    )
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf = mg.cycle_apply(b, x0)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg = mg.cycle_apply(b, x0)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_vcycle_solve_parity(monkeypatch):
+    A, mg, b = _mk(32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mg_preconditioned_cg(monkeypatch):
+    A, mg, b = _mk(32)
+    crit = [stop.Iteration(max_iters=60), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert _gate_ok(mg, b)
+    sf = Cg.build(criteria=crit, preconditioner=mg).generate(A)
+    xf, inf_f = sf.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    sg = Cg.build(criteria=crit, preconditioner=mg).generate(A)
+    xg, inf_g = sg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_vcycle_multichunk(monkeypatch):
+    # force tiny chunks so the in-kernel fori paths cover >1 chunk
+    monkeypatch.setenv("GINKGO_TPU_CG_CHUNK", "4")
+    A, mg, b = _mk(32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert mg._try_fused_vcycle(b, None) is not None
+    xf = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg = mg.apply(b)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
+    )
