@@ -227,6 +227,51 @@ def main():
           "stream_us_per_iter": round(ic["stream"] * 1e6, 1),
           "speedup": round(ic["stream"] / ic["fused"], 2)})
 
+    # ---- fused MG-CG (whole AMG-preconditioned solve in one kernel) ----
+    # vs the generic composition (separate V-cycle kernels per apply)
+    from ginkgo_tpu.solver.multigrid import Multigrid
+
+    mgp = Multigrid.build(
+        criteria=[stop.Iteration(max_iters=1)],
+        max_levels=10,
+    ).generate(Dg)
+
+    def mgcg_total(iters, fused):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = gko.Cg.build(
+                criteria=[stop.Iteration(max_iters=iters)],
+                preconditioner=mgp,
+            ).generate(Dg)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bg))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bg))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    mc = {}
+    for fused in (True, False):
+        lo = mgcg_total(5 if small else 20, fused)
+        hi = mgcg_total(20 if small else 80, fused)
+        mc["fused" if fused else "stream"] = max(
+            (hi - lo) / (15 if small else 60), 1e-9
+        )
+    emit({"row": "mg_cg_fused_ab", "n": data_g.shape[0],
+          "fused_us_per_iter": round(mc["fused"] * 1e6, 1),
+          "stream_us_per_iter": round(mc["stream"] * 1e6, 1),
+          "speedup": round(mc["stream"] / mc["fused"], 2)})
+
     # ---- fused vs streaming sweep trisolve (standalone apply) ----------
     # The ILU L factor of the banded Poisson operator lands in Dia, so the
     # sweeps TriangularSolver rides ops/pallas_trs.py when fused paths are

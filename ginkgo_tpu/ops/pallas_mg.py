@@ -188,26 +188,13 @@ def _stage(x_ref, w_ref, w_lo, C, n_chunks):
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _mg_kernel(*refs, plan, use_x0):
+def _vcycle_zero_init(plan, xs, bs, rs, ws):
+    """One-time frame zeroing: all pad regions the cycle reads must be
+    zero.  Idempotent across repeated _vcycle_refs calls on the same
+    scratch — the cycle never writes the regions it relies on being zero
+    (rs tails, xs[l+1] read-overrun tails stay tail-only by geometry)."""
     L = plan["L"]
     lv = plan["lv"]
-    # ---- unpack refs --------------------------------------------------
-    i = 0
-    diags = refs[i:i + L]; i += L
-    dinv = refs[i:i + L]; i += L
-    minv = refs[i]; i += 1
-    b_hbm = refs[i]; i += 1
-    x0_hbm = None
-    if use_x0:
-        x0_hbm = refs[i]; i += 1
-    xout_hbm = refs[i]; i += 1
-    xs = refs[i:i + L + 1]; i += L + 1
-    bs = refs[i:i + L + 1]; i += L + 1
-    rs = refs[i:i + L]; i += L
-    ws = refs[i:i + L]; i += L
-    sems = refs[i]
-
-    # ---- one-time zero init (pads must read as zero) ------------------
     for l in range(L + 1):
         _zero(xs[l], plan["RVx"][l])
         if l > 0:
@@ -223,16 +210,15 @@ def _mg_kernel(*refs, plan, use_x0):
             ws[l][pl.ds(Rw - e["pad_hi"], e["pad_hi"]), :] = jnp.zeros(
                 (e["pad_hi"], LANES), jnp.float32)
 
-    # ---- DMA in --------------------------------------------------------
-    R0 = lv[0]["R"]
-    cp_b = pltpu.make_async_copy(b_hbm, bs[0].at[pl.ds(0, R0)], sems.at[0])
-    cp_b.start()
-    if use_x0:
-        cp_x = pltpu.make_async_copy(
-            x0_hbm, xs[0].at[pl.ds(0, R0)], sems.at[1])
-        cp_x.start()
-        cp_x.wait()
-    cp_b.wait()
+
+def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
+    """One V-cycle on VMEM refs: reads bs[0] (rows [0, R0) valid), writes
+    the result into xs[0].  With use_x0 False the level-0 pre-smooth
+    starts from zero (xs[0] need not be initialized); with True it
+    smooths from the current xs[0].  Caller guarantees
+    _vcycle_zero_init ran once on this scratch."""
+    L = plan["L"]
+    lv = plan["lv"]
 
     # ---- per-level primitive passes ------------------------------------
     def smooth_update(l, relax):
@@ -392,6 +378,40 @@ def _mg_kernel(*refs, plan, use_x0):
         for _ in range(e["ito"]):
             smooth_update(l, e["ro"])
 
+
+def _mg_kernel(*refs, plan, use_x0):
+    L = plan["L"]
+    # ---- unpack refs --------------------------------------------------
+    i = 0
+    diags = refs[i:i + L]; i += L
+    dinv = refs[i:i + L]; i += L
+    minv = refs[i]; i += 1
+    b_hbm = refs[i]; i += 1
+    x0_hbm = None
+    if use_x0:
+        x0_hbm = refs[i]; i += 1
+    xout_hbm = refs[i]; i += 1
+    xs = refs[i:i + L + 1]; i += L + 1
+    bs = refs[i:i + L + 1]; i += L + 1
+    rs = refs[i:i + L]; i += L
+    ws = refs[i:i + L]; i += L
+    sems = refs[i]
+
+    _vcycle_zero_init(plan, xs, bs, rs, ws)
+
+    # ---- DMA in --------------------------------------------------------
+    R0 = plan["lv"][0]["R"]
+    cp_b = pltpu.make_async_copy(b_hbm, bs[0].at[pl.ds(0, R0)], sems.at[0])
+    cp_b.start()
+    if use_x0:
+        cp_x = pltpu.make_async_copy(
+            x0_hbm, xs[0].at[pl.ds(0, R0)], sems.at[1])
+        cp_x.start()
+        cp_x.wait()
+    cp_b.wait()
+
+    _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=use_x0)
+
     # ---- DMA out --------------------------------------------------------
     cp_o = pltpu.make_async_copy(xs[0].at[pl.ds(0, R0)], xout_hbm, sems.at[2])
     cp_o.start()
@@ -443,3 +463,369 @@ def mg_vmem_vcycle(plan, diags_list, dinv2_list, minv2, b2, x02=None,
         ),
         interpret=interpret,
     )(*args)
+
+
+# -- fused AMG-preconditioned CG ----------------------------------------------
+
+
+def mg_cg_vmem_fits(plan, nd_a: int, R: int, a_itemsize: int = 4,
+                    halo_a: int = 0) -> bool:
+    """CG working set (A diags + x/r/q + halo-padded p) plus the V-cycle
+    hierarchy (plan['vmem'] minus the standalone kernel's bs[0] frame and
+    in/out DMA slack — r0/x0 land directly in the CG frames and bs[0]
+    aliases the CG residual)."""
+    frame = R * LANES * 4
+    cg_bytes = nd_a * R * LANES * a_itemsize + (
+        3 + (R + halo_a) / max(R, 1)
+    ) * frame
+    return cg_bytes + plan["vmem"] - 3 * frame <= cg_vmem_budget_bytes()
+
+
+def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
+    """Whole-solve fused AMG-preconditioned CG: the CG loop of
+    ops/pallas_cg_ilu._cg_ilu_kernel with precondition() = one full
+    V-cycle on the VMEM-resident hierarchy (z = M r, M = one multigrid
+    cycle from zero).  bs[0] of the cycle aliases the CG residual frame;
+    z is the cycle's xs[0].  stats out: [iterations, monitored_sq,
+    converged]."""
+    L = plan["L"]
+    i = 0
+    scal = refs[i]; i += 1
+    iscal = refs[i]; i += 1
+    a_diags = refs[i]; i += 1
+    diags = refs[i:i + L]; i += L
+    dinv = refs[i:i + L]; i += L
+    minv = refs[i]; i += 1
+    r0_hbm = refs[i]; i += 1
+    x0_hbm = refs[i]; i += 1
+    x_hbm = refs[i]; i += 1
+    r_hbm = refs[i]; i += 1
+    stats = refs[i]; i += 1
+    x_s = refs[i]; i += 1
+    r_s = refs[i]; i += 1
+    q_s = refs[i]; i += 1
+    p_s = refs[i]; i += 1
+    xs = refs[i:i + L + 1]; i += L + 1
+    bs_rest = refs[i:i + L]; i += L
+    rs = refs[i:i + L]; i += L
+    ws = refs[i:i + L]; i += L
+    sems = refs[i]
+
+    bs = (r_s,) + tuple(bs_rest)
+    z_s = xs[0]
+
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(R)
+    n_chunks = R // C
+    pa_lo, pa_hi = pad_a
+    Rp = R + pa_lo + pa_hi
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    if pa_lo:
+        p_s[0:pa_lo] = jnp.zeros((pa_lo, LANES), jnp.float32)
+    if pa_hi:
+        p_s[Rp - pa_hi:Rp] = jnp.zeros((pa_hi, LANES), jnp.float32)
+    _vcycle_zero_init(plan, xs, bs, rs, ws)
+
+    def precondition():
+        """z_s (= xs[0]) = one V-cycle from zero on b = r_s (= bs[0])."""
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws)
+
+    # ---- init: z = M r0; p = z; rho = r.z; rr = r.r -------------------
+    precondition()
+
+    def init_chunk(c, carry):
+        rho, rr = carry
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        z_c = z_s[pl.ds(c0, C), :]
+        p_s[pl.ds(pa_lo + c0, C), :] = z_c
+        return (rho + jnp.sum(r_c * z_c), rr + jnp.sum(r_c * r_c))
+
+    rho0, rr0 = jax.lax.fori_loop(
+        0, n_chunks, init_chunk, (jnp.float32(0), jnp.float32(0))
+    )
+
+    def cond(st):
+        it, rho, rr, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho, rr, _ = st
+
+        def spmv_chunk_fn(c, pq):
+            c0 = c * C
+            q_c = _spmv_chunk(a_diags, p_s, c0, C, qs=qs_a, pad_lo=pa_lo)
+            q_s[pl.ds(c0, C), :] = q_c
+            p_c = p_s[pl.ds(pa_lo + c0, C), :]
+            return pq + jnp.sum(p_c * q_c)
+
+        pq = jax.lax.fori_loop(0, n_chunks, spmv_chunk_fn, jnp.float32(0))
+        alpha = jnp.where(pq != 0, rho / jnp.where(pq != 0, pq, 1.0), 0.0)
+
+        def update_chunk(c, rr_n):
+            c0 = c * C
+            p_c = p_s[pl.ds(pa_lo + c0, C), :]
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
+            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return rr_n + jnp.sum(r_c * r_c)
+
+        rr_new = jax.lax.fori_loop(0, n_chunks, update_chunk,
+                                   jnp.float32(0))
+
+        precondition()
+
+        def rho_chunk(c, acc):
+            c0 = c * C
+            return acc + jnp.sum(
+                r_s[pl.ds(c0, C), :] * z_s[pl.ds(c0, C), :]
+            )
+
+        rho_new = jax.lax.fori_loop(0, n_chunks, rho_chunk,
+                                    jnp.float32(0))
+        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+                         0.0)
+
+        def pdir_chunk(c, _):
+            c0 = c * C
+            p_s[pl.ds(pa_lo + c0, C), :] = (
+                z_s[pl.ds(c0, C), :]
+                + beta * p_s[pl.ds(pa_lo + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pdir_chunk, 0)
+        stop_mon = jnp.abs(rho) if use_implicit else rr_new
+        return (it + 1, rho_new, rr_new, stop_mon)
+
+    it, rho, rr, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), rho0, rr0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def mg_cg_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2, r0_2,
+                     x0_2, *, tol_sq_eff, max_iters, use_implicit=False,
+                     interpret=False):
+    """Run AMG-preconditioned CG to convergence in one Pallas kernel.
+
+    A_dia: the fine operator (matrix.dia.Dia); plan/diags/dinv/minv:
+    the V-cycle hierarchy (build_vcycle_plan; plan.lv[0].R must equal
+    A's frame rows); r0_2/x0_2: (R, 128) f32 frames.  Returns
+    (x2, iterations, monitored_sq, converged)."""
+    a_diags = A_dia.diags
+    nd, R, lanes = a_diags.shape
+    assert lanes == LANES and plan["lv"][0]["R"] == R
+    L = plan["L"]
+    qs_a, _, _, pa_lo, pa_hi = _plan(A_dia.offsets, R)
+    kernel = functools.partial(
+        _mg_cg_kernel, plan=plan, qs_a=qs_a, pad_a=(pa_lo, pa_hi), R=R,
+        use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, a_diags] + list(diags_list) + list(dinv2_list) + [
+        minv2, r0_2, x0_2,
+    ]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * L + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    )
+    Rp = R + pa_lo + pa_hi
+    scratch = [
+        pltpu.VMEM((R, LANES), jnp.float32),   # x
+        pltpu.VMEM((R, LANES), jnp.float32),   # r (= V-cycle bs[0])
+        pltpu.VMEM((R, LANES), jnp.float32),   # q
+        pltpu.VMEM((Rp, LANES), jnp.float32),  # p (A-halo-padded)
+    ]
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVx"][l], LANES), jnp.float32))
+    for l in range(1, L + 1):
+        scratch.append(pltpu.VMEM((plan["RVb"][l], LANES), jnp.float32))
+    for l in range(L):
+        scratch.append(pltpu.VMEM((plan["RVr"][l], LANES), jnp.float32))
+    for l in range(L):
+        e = plan["lv"][l]
+        scratch.append(
+            pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
+                       jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nd * 5 + 8) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + 6) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0
+
+
+# -- whole-solve fused multigrid (criteria-driven cycles in one kernel) --------
+
+
+def mg_solve_vmem_fits(plan) -> bool:
+    """The standalone-solve kernel adds one stop-test pass but no frames
+    beyond the single-cycle kernel's."""
+    return plan["vmem"] <= cg_vmem_budget_bytes()
+
+
+def _mg_solve_kernel(*refs, plan):
+    """Criteria-driven multigrid SOLVE in one kernel: lax.while_loop of
+    full V-cycles over the VMEM-resident hierarchy with the true-residual
+    stop test evaluated in-kernel (the generic Multigrid._solve_impl
+    dispatches one cycle kernel + an XLA residual SpMV per iteration; it
+    also monitors the true residual, so implicit/true modes coincide).
+    x persists in xs[0] across cycles (use_x0 smoothing).  stats out:
+    [iterations, monitored_sq, converged]."""
+    L = plan["L"]
+    i = 0
+    scal = refs[i]; i += 1
+    iscal = refs[i]; i += 1
+    diags = refs[i:i + L]; i += L
+    dinv = refs[i:i + L]; i += L
+    minv = refs[i]; i += 1
+    b_hbm = refs[i]; i += 1
+    x0_hbm = refs[i]; i += 1
+    x_hbm = refs[i]; i += 1
+    stats = refs[i]; i += 1
+    xs = refs[i:i + L + 1]; i += L + 1
+    bs = refs[i:i + L + 1]; i += L + 1
+    rs = refs[i:i + L]; i += L
+    ws = refs[i:i + L]; i += L
+    sems = refs[i]
+
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    e0 = plan["lv"][0]
+    R0, C = e0["R"], e0["C"]
+    n_chunks = R0 // C
+
+    _vcycle_zero_init(plan, xs, bs, rs, ws)
+    cp_b = pltpu.make_async_copy(b_hbm, bs[0].at[pl.ds(0, R0)], sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, xs[0].at[pl.ds(0, R0)], sems.at[1])
+    cp_b.start()
+    cp_x.start()
+    cp_b.wait()
+    cp_x.wait()
+
+    def true_rr():
+        _stage(xs[0], ws[0], e0["pad_lo"], C, n_chunks)
+
+        def body(c, acc):
+            c0 = c * C
+            t = _spmv_chunk(diags[0], ws[0], c0, C, qs=e0["qs"],
+                            pad_lo=e0["pad_lo"])
+            r_c = bs[0][pl.ds(c0, C), :] - t
+            return acc + jnp.sum(r_c * r_c)
+
+        return jax.lax.fori_loop(0, n_chunks, body, jnp.float32(0))
+
+    def cond(st):
+        it, rr = st
+        return (it < max_iters) & (rr > tol_sq)
+
+    def body(st):
+        it, _ = st
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=True)
+        return (it + 1, true_rr())
+
+    it, rr = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), jnp.float32(jnp.inf))
+    )
+
+    cp_o = pltpu.make_async_copy(xs[0].at[pl.ds(0, R0)], x_hbm, sems.at[2])
+    cp_o.start()
+    cp_o.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = rr
+    stats[2] = (rr <= tol_sq).astype(jnp.float32)
+
+
+def mg_vmem_solve(plan, diags_list, dinv2_list, minv2, b2, x02, *,
+                  tol_sq_eff, max_iters, interpret=False):
+    """Run the criteria-driven multigrid solve in one Pallas kernel.
+    Returns (x2, iterations, monitored_sq, converged)."""
+    L = plan["L"]
+    R0 = plan["lv"][0]["R"]
+    kernel = functools.partial(_mg_solve_kernel, plan=plan)
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal] + list(diags_list) + list(dinv2_list) + [
+        minv2, b2, x02,
+    ]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    )
+    scratch = []
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVx"][l], LANES), jnp.float32))
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVb"][l], LANES), jnp.float32))
+    for l in range(L):
+        scratch.append(pltpu.VMEM((plan["RVr"][l], LANES), jnp.float32))
+    for l in range(L):
+        e = plan["lv"][l]
+        scratch.append(
+            pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
+                       jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+    x2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R0, LANES), b2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

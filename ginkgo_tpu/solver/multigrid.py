@@ -216,15 +216,7 @@ class Multigrid(LinOp):
         cycle result or None."""
         import os
 
-        from ..matrix.dia import Dia
-        from ..multigrid.pgm import BandedProlongation, BandedRestriction
-        from .direct import Direct
-
         if arr.ndim != 2 or arr.shape[1] != 1 or arr.dtype != jnp.float32:
-            return None
-        if self.coarse_dense_inv is None or not isinstance(
-            self.coarse_solver, Direct
-        ):
             return None
         if os.environ.get("GINKGO_TPU_NO_PALLAS"):
             return None
@@ -233,6 +225,45 @@ class Multigrid(LinOp):
         if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
             return None
         if not (force or on_tpu):
+            return None
+        parts = self._fused_vcycle_parts()
+        if parts is None:
+            return None
+        from ..ops.pallas_mg import mg_vmem_vcycle, vcycle_vmem_fits
+        from ._fused_gate import frame
+
+        plan = parts["plan"]
+        if not vcycle_vmem_fits(plan):
+            return None
+        n = self.shape[0]
+        R0 = plan["lv"][0]["R"]
+        x2 = mg_vmem_vcycle(
+            plan,
+            parts["diags"],
+            parts["dinv2"],
+            parts["minv2"],
+            frame(arr.astype(jnp.float32), R0),
+            None if x_arr is None else frame(
+                x_arr.astype(jnp.float32), R0
+            ),
+            interpret=not on_tpu,
+        )
+        return x2.reshape(-1, 1)[:n].astype(arr.dtype)
+
+    def _fused_vcycle_parts(self):
+        """Structural half of the fused-V-cycle gate: all-Dia hierarchy,
+        pure-stride banded transfers, FixedSmoothers, generate-time coarse
+        dense inverse.  No env / RHS / VMEM checks (callers do those).
+        Returns None or {plan, diags, dinv2, minv2}."""
+        from ..matrix.dia import Dia
+        from ..multigrid.pgm import BandedProlongation, BandedRestriction
+        from .direct import Direct
+
+        if self.cycle != "v":
+            return None
+        if self.coarse_dense_inv is None or not isinstance(
+            self.coarse_solver, Direct
+        ):
             return None
         meta = []
         for l, level in enumerate(self.levels):
@@ -276,9 +307,7 @@ class Multigrid(LinOp):
                     stride=R_.stride,
                 )
             )
-        from ..ops.pallas_mg import (
-            build_vcycle_plan, mg_vmem_vcycle, vcycle_vmem_fits,
-        )
+        from ..ops.pallas_mg import build_vcycle_plan
         from ._fused_gate import frame
 
         nc = self.levels[-1].coarse_op.shape[0]
@@ -287,11 +316,6 @@ class Multigrid(LinOp):
             return None
         meta.append(dict(Rc=Rc))
         plan = build_vcycle_plan(meta)
-        if not vcycle_vmem_fits(plan):
-            return None
-        n = self.shape[0]
-        R0 = meta[0]["R"]
-        diags_list = [lv.fine_op.diags for lv in self.levels]
         dinv2 = [
             frame(
                 self.pre_smoothers[l].dinv[:, None].astype(jnp.float32),
@@ -299,18 +323,12 @@ class Multigrid(LinOp):
             )
             for l in range(len(self.levels))
         ]
-        x2 = mg_vmem_vcycle(
-            plan,
-            diags_list,
-            dinv2,
-            self.coarse_dense_inv.astype(jnp.float32),
-            frame(arr.astype(jnp.float32), R0),
-            None if x_arr is None else frame(
-                x_arr.astype(jnp.float32), R0
-            ),
-            interpret=not on_tpu,
+        return dict(
+            plan=plan,
+            diags=[lv.fine_op.diags for lv in self.levels],
+            dinv2=dinv2,
+            minv2=self.coarse_dense_inv.astype(jnp.float32),
         )
-        return x2.reshape(-1, 1)[:n].astype(arr.dtype)
 
     def cycle_apply(self, b, x, x_is_zero=False):
         """One full multigrid cycle from initial guess x."""
@@ -339,7 +357,70 @@ class Multigrid(LinOp):
         xr, info = self._solve_impl(arr, x)
         return restore_1d(xr, was_1d), info
 
+    def _try_fused_solve(self, arr, x):
+        """Whole-solve fused multigrid (ops/pallas_mg.mg_vmem_solve): the
+        criteria-driven lax.while_loop of V-cycles runs INSIDE one Pallas
+        kernel, true-residual stop test included — vs one cycle kernel +
+        an XLA residual SpMV per iteration on the generic path.  Same
+        structural gate as the fused V-cycle, plus a simple
+        Iteration/ResidualNorm criterion.  Returns (x, SolveInfo) or
+        None."""
+        import os
+
+        from ..stop.criterion import analyze_simple_residual
+        from ._fused_gate import frame, tol_sq_eff
+
+        if self.axis_name is not None:
+            return None
+        if arr.ndim != 2 or arr.shape[1] != 1 or arr.dtype != jnp.float32:
+            return None
+        if os.environ.get("GINKGO_TPU_NO_PALLAS"):
+            return None
+        force = bool(os.environ.get("GINKGO_TPU_FORCE_VMEM_CG"))
+        on_tpu = jax.default_backend() == "tpu"
+        if os.environ.get("GINKGO_TPU_NO_FUSED_CG") and not force:
+            return None
+        if not (force or on_tpu):
+            return None
+        simple = analyze_simple_residual(self.criterion)
+        if simple is None:
+            return None
+        tol, baseline, implicit, has_res = simple
+        parts = self._fused_vcycle_parts()
+        if parts is None:
+            return None
+        from ..ops.pallas_mg import mg_solve_vmem_fits, mg_vmem_solve
+
+        plan = parts["plan"]
+        if not mg_solve_vmem_fits(plan):
+            return None
+        A = self.levels[0].fine_op
+        n = self.shape[0]
+        R0 = plan["lv"][0]["R"]
+        r0 = arr - as_2d(A.apply(x))[0]
+        tol_sq = tol_sq_eff(
+            {"has_res": has_res, "baseline": baseline, "tol": tol}, arr, r0
+        )
+        x2, it, mon, conv = mg_vmem_solve(
+            plan, parts["diags"], parts["dinv2"], parts["minv2"],
+            frame(arr.astype(jnp.float32), R0),
+            frame(x.astype(jnp.float32), R0),
+            tol_sq_eff=tol_sq,
+            max_iters=extract_max_iters(self.criterion),
+            interpret=not on_tpu,
+        )
+        xr = x2.reshape(-1, 1)[:n].astype(arr.dtype)
+        rn = jnp.sqrt(mon)[None].astype(arr.dtype)
+        conv_mask = jnp.asarray(conv & has_res)[None]
+        return xr, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
+        )
+
     def _solve_impl(self, arr, x):
+        fast = self._try_fused_solve(arr, x)
+        if fast is not None:
+            return fast
         cap = extract_max_iters(self.criterion)
         A = self.levels[0].fine_op
         k = arr.shape[1]

@@ -95,6 +95,8 @@ def test_mg_preconditioned_cg(monkeypatch):
     monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
     assert _gate_ok(mg, b)
     sf = Cg.build(criteria=crit, preconditioner=mg).generate(A)
+    # the whole MG-CG solve must ride the single fused kernel
+    assert sf._try_vmem_fused_mg(b, jnp.zeros_like(b)) is not None
     xf, inf_f = sf.solve(b)
     monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
     monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
