@@ -34,6 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_bicgstab import _sdiv
 from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
 from .pallas_dia import _plan
 
@@ -824,6 +825,284 @@ def mg_vmem_solve(plan, diags_list, dinv2_list, minv2, b2, x02, *,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0
+
+
+# -- fused AMG-preconditioned BiCGSTAB ----------------------------------------
+
+
+def mg_bicgstab_vmem_fits(plan, nd_a: int, R: int, a_itemsize: int = 4,
+                          halo_a: int = 0) -> bool:
+    """BiCGSTAB working set (A diags + x/r/rr/p/v/t/s/u1 + halo-padded
+    staging + the dedicated V-cycle b0 frame) plus the hierarchy
+    (plan['vmem'] minus its bs[0] and DMA slack, both replaced by frames
+    counted here)."""
+    frame = R * LANES * 4
+    solver_bytes = nd_a * R * LANES * a_itemsize + (
+        9 + (R + halo_a) / max(R, 1)
+    ) * frame
+    return solver_bytes + plan["vmem"] - 3 * frame <= cg_vmem_budget_bytes()
+
+
+def _bicgstab_mg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
+    """Right-preconditioned BiCGSTAB (solver/bicgstab.py semantics:
+    y = M p, v = A y, half-step check on s, z = M s, t = A z,
+    x += alpha y + omega z) with M = one AMG V-cycle from zero over the
+    VMEM-resident hierarchy.  M applies to two different sources (p, s),
+    so the cycle's bs[0] is a dedicated frame the rhs is copied into;
+    the result is copied out of the cycle's xs[0]."""
+    L = plan["L"]
+    i = 0
+    scal = refs[i]; i += 1
+    iscal = refs[i]; i += 1
+    a_diags = refs[i]; i += 1
+    diags = refs[i:i + L]; i += L
+    dinv = refs[i:i + L]; i += L
+    minv = refs[i]; i += 1
+    r0_hbm = refs[i]; i += 1
+    x0_hbm = refs[i]; i += 1
+    x_hbm = refs[i]; i += 1
+    r_hbm = refs[i]; i += 1
+    stats = refs[i]; i += 1
+    x_s = refs[i]; i += 1
+    r_s = refs[i]; i += 1
+    rr_s = refs[i]; i += 1
+    p_s = refs[i]; i += 1
+    v_s = refs[i]; i += 1
+    t_s = refs[i]; i += 1
+    s_s = refs[i]; i += 1
+    u1_s = refs[i]; i += 1
+    w_s = refs[i]; i += 1
+    b0_s = refs[i]; i += 1
+    xs = refs[i:i + L + 1]; i += L + 1
+    bs_rest = refs[i:i + L]; i += L
+    rs = refs[i:i + L]; i += L
+    ws = refs[i:i + L]; i += L
+    sems = refs[i]
+
+    bs = (b0_s,) + tuple(bs_rest)
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(R)
+    n_chunks = R // C
+    pa_lo, pa_hi = pad_a
+    Rw = R + pa_lo + pa_hi
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    if pa_lo:
+        w_s[0:pa_lo] = jnp.zeros((pa_lo, LANES), jnp.float32)
+    if pa_hi:
+        w_s[Rw - pa_hi:Rw] = jnp.zeros((pa_hi, LANES), jnp.float32)
+    _vcycle_zero_init(plan, xs, bs, rs, ws)
+
+    def copy_rows(src_s, dst_s):
+        def cp(c, _):
+            c0 = c * C
+            dst_s[pl.ds(c0, C), :] = src_s[pl.ds(c0, C), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, cp, 0)
+
+    def stage(src_s):
+        def cp(c, _):
+            c0 = c * C
+            w_s[pl.ds(pa_lo + c0, C), :] = src_s[pl.ds(c0, C), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, cp, 0)
+
+    def m_apply(rhs_s, out_s):
+        """out = one V-cycle from zero on b = rhs."""
+        copy_rows(rhs_s, b0_s)
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws)
+        copy_rows(xs[0], out_s)
+
+    def init_chunk(c, rho):
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        rr_s[pl.ds(c0, C), :] = r_c
+        v_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        p_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        return rho + jnp.sum(r_c * r_c)
+
+    rho0 = jax.lax.fori_loop(0, n_chunks, init_chunk, jnp.float32(0))
+
+    def cond(st):
+        it, rho_old, alpha, omega, rho_new, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho_old, alpha, omega, rho_new, _ = st
+        beta = _sdiv(rho_new * alpha, rho_old * omega)
+
+        def p_chunk(c, _):
+            c0 = c * C
+            p_s[pl.ds(c0, C), :] = (
+                r_s[pl.ds(c0, C), :]
+                + beta * (p_s[pl.ds(c0, C), :]
+                          - omega * v_s[pl.ds(c0, C), :])
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, p_chunk, 0)
+
+        # y = M p (u1); v = A y; <rr, v>
+        m_apply(p_s, u1_s)
+        stage(u1_s)
+
+        def v_chunk(c, rv):
+            c0 = c * C
+            v_c = _spmv_chunk(a_diags, w_s, c0, C, qs=qs_a, pad_lo=pa_lo)
+            v_s[pl.ds(c0, C), :] = v_c
+            return rv + jnp.sum(rr_s[pl.ds(c0, C), :] * v_c)
+
+        rv = jax.lax.fori_loop(0, n_chunks, v_chunk, jnp.float32(0))
+        alpha_new = _sdiv(rho_new, rv)
+
+        def s_chunk(c, ss):
+            c0 = c * C
+            x_s[pl.ds(c0, C), :] = (
+                x_s[pl.ds(c0, C), :] + alpha_new * u1_s[pl.ds(c0, C), :]
+            )
+            s_c = r_s[pl.ds(c0, C), :] - alpha_new * v_s[pl.ds(c0, C), :]
+            s_s[pl.ds(c0, C), :] = s_c
+            return ss + jnp.sum(s_c * s_c)
+
+        ss = jax.lax.fori_loop(0, n_chunks, s_chunk, jnp.float32(0))
+        mon_half = jnp.abs(rho_new) if use_implicit else ss
+        half_done = mon_half <= tol_sq
+
+        # z = M s (u1); t = A z; <t, s>, <t, t>
+        m_apply(s_s, u1_s)
+        stage(u1_s)
+
+        def t_chunk(c, carry):
+            ts, tt = carry
+            c0 = c * C
+            t_c = _spmv_chunk(a_diags, w_s, c0, C, qs=qs_a, pad_lo=pa_lo)
+            t_s[pl.ds(c0, C), :] = t_c
+            s_c = s_s[pl.ds(c0, C), :]
+            return (ts + jnp.sum(t_c * s_c), tt + jnp.sum(t_c * t_c))
+
+        ts, tt = jax.lax.fori_loop(
+            0, n_chunks, t_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        omega_new = jnp.where(half_done, 0.0, _sdiv(ts, tt))
+
+        def upd_chunk(c, carry):
+            rr_dot, rnorm = carry
+            c0 = c * C
+            x_s[pl.ds(c0, C), :] = (
+                x_s[pl.ds(c0, C), :] + omega_new * u1_s[pl.ds(c0, C), :]
+            )
+            r_c = s_s[pl.ds(c0, C), :] - omega_new * t_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return (
+                rr_dot + jnp.sum(rr_s[pl.ds(c0, C), :] * r_c),
+                rnorm + jnp.sum(r_c * r_c),
+            )
+
+        rho_next, rr_new = jax.lax.fori_loop(
+            0, n_chunks, upd_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        stop_mon = jnp.abs(rho_new) if use_implicit else rr_new
+        omega_carry = jnp.where(half_done, 1.0, omega_new)
+        return (it + 1, rho_new, alpha_new, omega_carry, rho_next,
+                stop_mon)
+
+    it, rho_old, alpha, omega, rho_new, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.float32(1), jnp.float32(1),
+         jnp.float32(1), rho0, jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def mg_bicgstab_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2,
+                           r0_2, x0_2, *, tol_sq_eff, max_iters,
+                           use_implicit=False, interpret=False):
+    """Run AMG-preconditioned BiCGSTAB to convergence in one Pallas
+    kernel (operands as mg_cg_vmem_solve).  Returns
+    (x2, iterations, monitored_sq, converged)."""
+    a_diags = A_dia.diags
+    nd, R, lanes = a_diags.shape
+    assert lanes == LANES and plan["lv"][0]["R"] == R
+    L = plan["L"]
+    qs_a, _, _, pa_lo, pa_hi = _plan(A_dia.offsets, R)
+    kernel = functools.partial(
+        _bicgstab_mg_kernel, plan=plan, qs_a=qs_a, pad_a=(pa_lo, pa_hi),
+        R=R, use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, a_diags] + list(diags_list) + list(dinv2_list) + [
+        minv2, r0_2, x0_2,
+    ]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * L + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    )
+    Rw = R + pa_lo + pa_hi
+    scratch = [
+        pltpu.VMEM((R, LANES), jnp.float32)  # x r rr p v t s u1
+        for _ in range(8)
+    ]
+    scratch.append(pltpu.VMEM((Rw, LANES), jnp.float32))  # A staging
+    scratch.append(pltpu.VMEM((R, LANES), jnp.float32))   # V-cycle b0
+    for l in range(L + 1):
+        scratch.append(pltpu.VMEM((plan["RVx"][l], LANES), jnp.float32))
+    for l in range(1, L + 1):
+        scratch.append(pltpu.VMEM((plan["RVb"][l], LANES), jnp.float32))
+    for l in range(L):
+        scratch.append(pltpu.VMEM((plan["RVr"][l], LANES), jnp.float32))
+    for l in range(L):
+        e = plan["lv"][l]
+        scratch.append(
+            pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
+                       jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((R, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (nd * 5 + 10) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + 8) * R * LANES * 4,
+            transcendentals=0,
         ),
         interpret=interpret,
     )(*args)

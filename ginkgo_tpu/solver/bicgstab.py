@@ -55,6 +55,9 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         fast = self._try_vmem_fused_ilu(b, x0)
         if fast is not None:
             return fast
+        fast = self._try_vmem_fused_mg(b, x0)
+        if fast is not None:
+            return fast
 
         ctx = prepare_fused_dia(self, b, bicgstab_vmem_fits)
         if ctx is None:
@@ -126,6 +129,64 @@ class Bicgstab(IterativeSolverMixin, LinOp):
             A, lt.off_csr, ut.off_csr, invdl2, invdu2,
             frame(r0, R), frame(x0, R),
             sweeps_l=lt.sweeps, sweeps_u=ut.sweeps,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
+        )
+
+    def _try_vmem_fused_mg(self, b, x0):
+        """Whole-solve-in-VMEM BiCGSTAB with an IN-KERNEL AMG V-cycle
+        preconditioner (ops/pallas_mg.mg_bicgstab_vmem_solve): right
+        preconditioning exactly as the generic loop (y = M p, v = A y,
+        z = M s, t = A z) with M = one multigrid cycle from zero over
+        the VMEM-resident hierarchy.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import _common_checks, frame, tol_sq_eff
+        from ..matrix.dia import Dia
+        from ..ops.pallas_dia import _plan
+        from ..ops.pallas_mg import (
+            mg_bicgstab_vmem_fits,
+            mg_bicgstab_vmem_solve,
+        )
+        from .multigrid import Multigrid
+
+        A = self.A
+        M = self.preconditioner
+        if not isinstance(M, Multigrid) or not isinstance(A, Dia):
+            return None
+        if A.shape[0] != A.shape[1]:
+            return None
+        nd, R, _ = A.diags.shape
+        if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        ctx = _common_checks(self, b)
+        if ctx is None:
+            return None
+        parts = M._fused_vcycle_parts()
+        if parts is None or parts["plan"]["lv"][0]["R"] != R:
+            return None
+        plan = parts["plan"]
+        _, _, _, pa_lo, pa_hi = _plan(A.offsets, R)
+        if not mg_bicgstab_vmem_fits(plan, nd, R,
+                                     a_itemsize=A.diags.dtype.itemsize,
+                                     halo_a=pa_lo + pa_hi):
+            return None
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        x2, it, mon, conv = mg_bicgstab_vmem_solve(
+            A, plan, parts["diags"], parts["dinv2"], parts["minv2"],
+            frame(r0, R), frame(x0, R),
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
             use_implicit=ctx["implicit"],

@@ -123,3 +123,62 @@ def test_vcycle_multichunk(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
     )
+
+
+def test_mg_preconditioned_bicgstab(monkeypatch):
+    from ginkgo_tpu import Bicgstab
+
+    A, mg, b = _mk(32)
+    crit = [stop.Iteration(max_iters=60), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    sf = Bicgstab.build(criteria=crit, preconditioner=mg).generate(A)
+    assert sf._try_vmem_fused_mg(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = sf.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    sg = Bicgstab.build(criteria=crit, preconditioner=mg).generate(A)
+    xg, inf_g = sg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_mg_fused_solve_info(monkeypatch):
+    # whole-solve fused multigrid reports the same iterations/residual
+    # as the generic cycle-per-iteration driver
+    A, mg, b = _mk(32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert mg._try_fused_solve(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 1
+    np.testing.assert_allclose(
+        float(inf_f.residual_norm[0]), float(inf_g.residual_norm[0]),
+        rtol=1e-2,
+    )
+
+
+@pytest.mark.parametrize("n_side,levels", [(256, 6), (512, 8)])
+def test_vcycle_rows_transfer_parity(monkeypatch, n_side, levels):
+    # the y-pairing stride is n_side/2 (pairing happens on the renumbered
+    # post-x-coarsening indices), so n_side=256 gives S=128 (rows branch,
+    # Sr=1) and n_side=512 gives S=256 (Sr=2)
+    A, mg, b = _mk(n_side, max_levels=levels, min_coarse=64)
+    strides = {lvl.restrict_op.stride for lvl in mg.levels}
+    assert any(s >= 128 for s in strides)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert mg._try_fused_vcycle(b, None) is not None
+    xf = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
+    )
