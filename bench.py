@@ -276,6 +276,8 @@ def main():
     # a 262k-row Dia Poisson (basis 31 frames VMEM-resident)
     t_gmres_fused = float("nan")
     t_gmres_stream = float("nan")
+    t_mgcg_fused = float("nan")
+    t_mgcg_stream = float("nan")
     if on_tpu:
         from ginkgo_tpu import Gmres
 
@@ -316,6 +318,47 @@ def main():
         g_s2 = gmres_total(240, False)
         t_gmres_fused = max((g_f2 - g_f1) / 180, 1e-9)
         t_gmres_stream = max((g_s2 - g_s1) / 180, 1e-9)
+
+        # whole AMG-preconditioned CG solve in ONE kernel (ops/pallas_mg)
+        # vs the generic composition, same 262k operator
+        from ginkgo_tpu.solver.multigrid import Multigrid
+
+        mgp = Multigrid.build(
+            criteria=[stop.Iteration(max_iters=1)], max_levels=10
+        ).generate(Dg)
+
+        def mgcg_total(iters, fused):
+            import os as _os
+
+            if not fused:
+                _os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+            try:
+                s = Cg.build(
+                    criteria=[stop.Iteration(max_iters=iters)],
+                    preconditioner=mgp,
+                ).generate(Dg)
+
+                @jax.jit
+                def run(rhs):
+                    x, _ = s.solve(rhs)
+                    return x
+
+                float(jnp.sum(run(bg)))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(jnp.sum(run(bg)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+            finally:
+                _os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+        m_f1 = mgcg_total(20, True)
+        m_s1 = mgcg_total(20, False)
+        m_f2 = mgcg_total(80, True)
+        m_s2 = mgcg_total(80, False)
+        t_mgcg_fused = max((m_f2 - m_f1) / 60, 1e-9)
+        t_mgcg_stream = max((m_s2 - m_s1) / 60, 1e-9)
 
     out = {
         "metric": "spmv_roofline_frac",
@@ -361,6 +404,12 @@ def main():
             "gmres30_stream_seconds_per_iteration": (
                 None if t_gmres_stream != t_gmres_stream
                 else t_gmres_stream
+            ),
+            "mg_cg_fused_seconds_per_iteration": (
+                None if t_mgcg_fused != t_mgcg_fused else t_mgcg_fused
+            ),
+            "mg_cg_stream_seconds_per_iteration": (
+                None if t_mgcg_stream != t_mgcg_stream else t_mgcg_stream
             ),
             "hbm_gbs": hbm_bandwidth_gbs(),
             "note": "frac may exceed 1.0: loop-invariant diagonal blocks are "

@@ -79,15 +79,29 @@ def _row_sub(Sr: int) -> int:
     return 1
 
 
-def build_vcycle_plan(levels_meta):
+def _visit_count(L: int, mode: str) -> int:
+    """Level-visits of one unrolled cycle (W is exponential in depth)."""
+
+    def c(l, md):
+        if l == L:
+            return 1
+        n = 1 + c(l + 1, md)
+        if md in ("w", "f") and l + 1 < L:
+            n += c(l + 1, "v" if md == "f" else md)
+        return n
+
+    return c(0, mode)
+
+
+def build_vcycle_plan(levels_meta, mode="v"):
     """Static kernel plan from per-level metadata.
 
     levels_meta: list of dicts with keys
       nd, R, offsets (tuple), itemsize, iters_pre, relax_pre, iters_post,
-      relax_post, stride (transfer TO the next level; absent on the last
-      entry which describes the coarsest operator frame R only as 'Rc').
-    The last element must carry {'Rc': coarsest frame rows}.
-    Returns (plan, vmem_bytes)."""
+      relax_post, optional iters_mid/relax_mid, stride (transfer TO the
+      next level; absent on the last entry which describes the coarsest
+      operator frame R only as 'Rc').
+    The last element must carry {'Rc': coarsest frame rows}."""
     L = len(levels_meta) - 1
     Rc_last = levels_meta[-1]["Rc"]
     lv = []
@@ -107,6 +121,8 @@ def build_vcycle_plan(levels_meta):
                 rp=float(m["relax_pre"]),
                 ito=m["iters_post"],
                 ro=float(m["relax_post"]),
+                itm=m.get("iters_mid", m["iters_post"]),
+                rm=float(m.get("relax_mid", m["relax_post"])),
                 stride=m["stride"],
             )
         )
@@ -146,7 +162,8 @@ def build_vcycle_plan(levels_meta):
         RVx[l + 1] = max(RVx[l + 1], lv[l]["pr"]["ccov"])
     RVx[L] = max(RVx[L], Rc_last)
     RVb[L] = max(RVb[L], Rc_last)
-    plan = dict(L=L, lv=lv, RVx=RVx, RVb=RVb, RVr=RVr, Rc=Rc_last)
+    plan = dict(L=L, lv=lv, RVx=RVx, RVb=RVb, RVr=RVr, Rc=Rc_last,
+                mode=mode, visits=_visit_count(L, mode))
     frame = LANES * 4
     vmem = 0
     for l in range(L):
@@ -213,13 +230,16 @@ def _vcycle_zero_init(plan, xs, bs, rs, ws):
 
 
 def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
-    """One V-cycle on VMEM refs: reads bs[0] (rows [0, R0) valid), writes
-    the result into xs[0].  With use_x0 False the level-0 pre-smooth
-    starts from zero (xs[0] need not be initialized); with True it
-    smooths from the current xs[0].  Caller guarantees
-    _vcycle_zero_init ran once on this scratch."""
+    """One multigrid cycle on VMEM refs: reads bs[0] (rows [0, R0)
+    valid), writes the result into xs[0].  With use_x0 False the level-0
+    pre-smooth starts from zero (xs[0] need not be initialized); with
+    True it smooths from the current xs[0].  plan['mode'] 'v'/'w'/'f'
+    unrolls the reference recursion (multigrid.cpp:445-483: second
+    coarse visit after a mid-smooth; F drops to V on the second visit).
+    Caller guarantees _vcycle_zero_init ran once on this scratch."""
     L = plan["L"]
     lv = plan["lv"]
+    mode = plan.get("mode", "v")
 
     # ---- per-level primitive passes ------------------------------------
     def smooth_update(l, relax):
@@ -348,36 +368,50 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
 
             jax.lax.fori_loop(0, pr["ng"], body, 0)
 
-    # ---- V-cycle --------------------------------------------------------
-    for l in range(L):
+    def coarse_solve():
+        # x_L = Minv @ b_L (dense, exact; Minv stored transposed)
+        Rc = plan["Rc"]
+        acc = jnp.zeros((1, Rc * LANES), jnp.float32)
+        for rp_ in range(Rc):
+            row = bs[L][pl.ds(rp_, 1), :]
+            acc = acc + jax.lax.dot_general(
+                row, minv[pl.ds(rp_ * LANES, LANES), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        for rr in range(Rc):
+            xs[L][pl.ds(rr, 1), :] = acc[:, rr * LANES:(rr + 1) * LANES]
+
+    # ---- cycle recursion (trace-time static unroll) ---------------------
+    def visit(l, md, from_zero):
+        if l == L:
+            coarse_solve()
+            return
         e = lv[l]
-        if l == 0 and use_x0:
-            for _ in range(e["itp"]):
-                smooth_update(l, e["rp"])
-        else:
+        if from_zero:
             smooth_from_zero(l, e["rp"])
-            for _ in range(e["itp"] - 1):
-                smooth_update(l, e["rp"])
+            extra = e["itp"] - 1
+        else:
+            extra = e["itp"]
+        for _ in range(extra):
+            smooth_update(l, e["rp"])
         residual(l)
         restrict(l)
-
-    # coarsest: x_L = Minv @ b_L (dense, exact)
-    Rc = plan["Rc"]
-    acc = jnp.zeros((1, Rc * LANES), jnp.float32)
-    for rp_ in range(Rc):
-        row = bs[L][pl.ds(rp_, 1), :]
-        acc = acc + jax.lax.dot_general(
-            row, minv[pl.ds(rp_ * LANES, LANES), :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    for rr in range(Rc):
-        xs[L][pl.ds(rr, 1), :] = acc[:, rr * LANES:(rr + 1) * LANES]
-
-    for l in range(L - 1, -1, -1):
-        e = lv[l]
+        visit(l + 1, md, True)
         prolong_add(l)
+        if md in ("w", "f") and l + 1 < L:
+            # second coarse visit after a mid-smooth; F drops to V
+            # (multigrid.cpp:452-455)
+            for _ in range(e["itm"]):
+                smooth_update(l, e["rm"])
+            residual(l)
+            restrict(l)
+            visit(l + 1, "v" if md == "f" else md, True)
+            prolong_add(l)
         for _ in range(e["ito"]):
             smooth_update(l, e["ro"])
+
+    visit(0, mode, not use_x0)
 
 
 def _mg_kernel(*refs, plan, use_x0):

@@ -259,7 +259,7 @@ class Multigrid(LinOp):
         from ..multigrid.pgm import BandedProlongation, BandedRestriction
         from .direct import Direct
 
-        if self.cycle != "v":
+        if self.cycle not in ("v", "w", "f"):
             return None
         if self.coarse_dense_inv is None or not isinstance(
             self.coarse_solver, Direct
@@ -270,12 +270,19 @@ class Multigrid(LinOp):
             A = level.fine_op
             pre = self.pre_smoothers[l]
             post = self.post_smoothers[l]
+            mid = self.mid_smoothers[l]
             if not (isinstance(A, Dia) and isinstance(pre, FixedSmoother)):
                 return None
             if post is not pre and not (
                 isinstance(post, FixedSmoother)
                 and post.iters == pre.iters
                 and post.relax == pre.relax
+            ):
+                return None
+            if self.cycle != "v" and mid is not pre and not (
+                isinstance(mid, FixedSmoother)
+                and mid.iters == pre.iters
+                and mid.relax == pre.relax
             ):
                 return None
             if A.diags.dtype not in (jnp.float32, jnp.bfloat16):
@@ -304,6 +311,8 @@ class Multigrid(LinOp):
                     relax_pre=pre.relax,
                     iters_post=pre.iters,
                     relax_post=pre.relax,
+                    iters_mid=pre.iters,
+                    relax_mid=pre.relax,
                     stride=R_.stride,
                 )
             )
@@ -315,7 +324,9 @@ class Multigrid(LinOp):
         if self.coarse_dense_inv.shape != (Rc * 128, Rc * 128):
             return None
         meta.append(dict(Rc=Rc))
-        plan = build_vcycle_plan(meta)
+        plan = build_vcycle_plan(meta, mode=self.cycle)
+        if plan["visits"] > 96:  # W-cycle unroll is exponential in depth
+            return None
         dinv2 = [
             frame(
                 self.pre_smoothers[l].dinv[:, None].astype(jnp.float32),
@@ -332,10 +343,9 @@ class Multigrid(LinOp):
 
     def cycle_apply(self, b, x, x_is_zero=False):
         """One full multigrid cycle from initial guess x."""
-        if self.cycle == "v":
-            fast = self._try_fused_vcycle(b, None if x_is_zero else x)
-            if fast is not None:
-                return fast
+        fast = self._try_fused_vcycle(b, None if x_is_zero else x)
+        if fast is not None:
+            return fast
         return self._run_cycle(0, b, x, self.cycle)
 
     # -- LinOp / solver surface ---------------------------------------------------

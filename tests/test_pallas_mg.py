@@ -182,3 +182,30 @@ def test_vcycle_rows_transfer_parity(monkeypatch, n_side, levels):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("cycle", ["w", "f"])
+def test_wf_cycle_apply_parity(monkeypatch, cycle):
+    data = generators.poisson_2d(32, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    mg = Multigrid.build(
+        criteria=[stop.Iteration(max_iters=10)],
+        max_levels=4,
+        min_coarse_rows=32,
+        cycle=cycle,
+    ).generate(A)
+    b = jnp.asarray(
+        np.random.default_rng(5).standard_normal(
+            (data.shape[0], 1)
+        ).astype(np.float32)
+    )
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert mg._try_fused_vcycle(b, None) is not None
+    xf = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg = mg.apply(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
+    )
