@@ -93,7 +93,7 @@ def _visit_count(L: int, mode: str) -> int:
     return c(0, mode)
 
 
-def build_vcycle_plan(levels_meta, mode="v"):
+def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone"):
     """Static kernel plan from per-level metadata.
 
     levels_meta: list of dicts with keys
@@ -101,7 +101,9 @@ def build_vcycle_plan(levels_meta, mode="v"):
       relax_post, optional iters_mid/relax_mid, stride (transfer TO the
       next level; absent on the last entry which describes the coarsest
       operator frame R only as 'Rc').
-    The last element must carry {'Rc': coarsest frame rows}."""
+    The last element must carry {'Rc': coarsest frame rows}.
+    mid_case mirrors multigrid.hpp:95 mid_smooth_type
+    ('both' | 'post_smoother' | 'pre_smoother' | 'standalone')."""
     L = len(levels_meta) - 1
     Rc_last = levels_meta[-1]["Rc"]
     lv = []
@@ -163,7 +165,8 @@ def build_vcycle_plan(levels_meta, mode="v"):
     RVx[L] = max(RVx[L], Rc_last)
     RVb[L] = max(RVb[L], Rc_last)
     plan = dict(L=L, lv=lv, RVx=RVx, RVb=RVb, RVr=RVr, Rc=Rc_last,
-                mode=mode, visits=_visit_count(L, mode))
+                mode=mode, mid_case=mid_case,
+                visits=_visit_count(L, mode))
     frame = LANES * 4
     vmem = 0
     for l in range(L):
@@ -383,35 +386,46 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
             xs[L][pl.ds(rr, 1), :] = acc[:, rr * LANES:(rr + 1) * LANES]
 
     # ---- cycle recursion (trace-time static unroll) ---------------------
-    def visit(l, md, from_zero):
+    # Faithful to MultigridState::run_mg_cycle (multigrid.cpp:403-487):
+    # pre-smooth runs on first-of-cycle visits (or when mid_case routes
+    # the mid role through the pre smoother), the W/F second coarse visit
+    # re-enters level l+1 with the SAME restricted rhs and the current
+    # coarse solution (:452-461; F drops to V), prolongation happens once
+    # per parent visit, post-smooth runs on end-of-cycle visits (or when
+    # mid_case routes through the post smoother), and the standalone mid
+    # smoother fires at the end of non-final W/F visits (:478-485).
+    mid_case = plan.get("mid_case", "standalone")
+
+    def visit(l, cyc, first, end, zero):
         if l == L:
             coarse_solve()
             return
         e = lv[l]
-        if from_zero:
-            smooth_from_zero(l, e["rp"])
-            extra = e["itp"] - 1
-        else:
-            extra = e["itp"]
-        for _ in range(extra):
-            smooth_update(l, e["rp"])
+        use_pre = first or mid_case in ("both", "pre_smoother")
+        if use_pre:
+            if zero:
+                smooth_from_zero(l, e["rp"])
+                extra = e["itp"] - 1
+            else:
+                extra = e["itp"]
+            for _ in range(extra):
+                smooth_update(l, e["rp"])
         residual(l)
         restrict(l)
-        visit(l + 1, md, True)
+        visit(l + 1, cyc, True, cyc == "v", True)
+        if cyc in ("w", "f") and l + 1 < L:
+            # second coarse visit continues from the first visit's
+            # solution with the same rhs (multigrid.cpp:452-461)
+            visit(l + 1, "v" if cyc == "f" else cyc, False, True, False)
         prolong_add(l)
-        if md in ("w", "f") and l + 1 < L:
-            # second coarse visit after a mid-smooth; F drops to V
-            # (multigrid.cpp:452-455)
+        if end or mid_case in ("both", "post_smoother"):
+            for _ in range(e["ito"]):
+                smooth_update(l, e["ro"])
+        if cyc in ("w", "f") and not end and mid_case == "standalone":
             for _ in range(e["itm"]):
                 smooth_update(l, e["rm"])
-            residual(l)
-            restrict(l)
-            visit(l + 1, "v" if md == "f" else md, True)
-            prolong_add(l)
-        for _ in range(e["ito"]):
-            smooth_update(l, e["ro"])
 
-    visit(0, mode, not use_x0)
+    visit(0, mode, True, True, not use_x0)
 
 
 def _mg_kernel(*refs, plan, use_x0):

@@ -155,6 +155,10 @@ class Multigrid(LinOp):
     #: solve — feeds the fused whole-V-cycle kernel (ops/pallas_mg.py)
     coarse_dense_inv: Any = None
     cycle: str = static_field(default="v")  # 'v' | 'w' | 'f' (multigrid.hpp:79)
+    #: mid_smooth_type (multigrid.hpp:95): which smoother fires on the
+    #: non-first/non-end W/F visits — 'both' | 'post_smoother' |
+    #: 'pre_smoother' | 'standalone' (default, multigrid.hpp:306)
+    mid_case: str = static_field(default="standalone")
     axis_name: Any = static_field(default=None)
 
     @property
@@ -167,15 +171,30 @@ class Multigrid(LinOp):
 
     # -- one cycle (trace-time unrolled recursion) ------------------------------
 
-    def _run_cycle(self, lvl: int, b, x, mode: str):
+    def _run_cycle(self, lvl: int, b, x, mode: str,
+                   first: bool = True, end: bool = True):
+        """Faithful to MultigridState::run_mg_cycle (multigrid.cpp:
+        403-487): pre-smooth on first-of-cycle visits (or when mid_case
+        routes the mid role through the pre smoother), the W/F second
+        coarse visit re-enters level lvl+1 with the SAME restricted rhs
+        and the current coarse solution (:452-461; F drops to V), one
+        prolongation per parent visit, post-smooth on end-of-cycle
+        visits (or mid_case 'both'/'post_smoother'), and the standalone
+        mid smoother at the end of non-final W/F visits (:478-485)."""
         level = self.levels[lvl]
         A = level.fine_op
-        pre = self.pre_smoothers[lvl]
-        if hasattr(pre, "solve_with_residual"):
-            # fused smoother returns r = b - A x for free (pallas_ir)
-            x, r = pre.solve_with_residual(b, x0=x)
+        use_pre = first or self.mid_case in ("both", "pre_smoother")
+        if use_pre:
+            pre = self.pre_smoothers[lvl]
+            if hasattr(pre, "solve_with_residual"):
+                # fused smoother returns r = b - A x for free (pallas_ir)
+                x, r = pre.solve_with_residual(b, x0=x)
+            else:
+                x = pre.solve(b, x0=x)[0]
+                r = b - A.apply(x)
         else:
-            x = pre.solve(b, x0=x)[0]
+            if x is None:
+                x = jnp.zeros_like(b)
             r = b - A.apply(x)
         rc = level.restrict_op.apply(r)
         if lvl + 1 == len(self.levels):
@@ -183,23 +202,21 @@ class Multigrid(LinOp):
         else:
             # x=None marks a zero initial guess: the fused smoother then
             # skips its initial residual SpMV entirely (r0 = b)
-            ec = self._run_cycle(lvl + 1, rc, None, mode)
-        x = x + level.prolong_op.apply(ec)
-        if mode in ("w", "f") and lvl + 1 < len(self.levels):
-            # second visit: W recurses same mode, F drops to V
-            # (multigrid.cpp:452-455)
-            mid = self.mid_smoothers[lvl]
-            if hasattr(mid, "solve_with_residual"):
-                x, r2 = mid.solve_with_residual(b, x0=x)
-            else:
-                x = mid.solve(b, x0=x)[0]
-                r2 = b - A.apply(x)
-            rc2 = level.restrict_op.apply(r2)
-            ec2 = self._run_cycle(
-                lvl + 1, rc2, None, "v" if mode == "f" else mode
+            ec = self._run_cycle(
+                lvl + 1, rc, None, mode, first=True, end=(mode == "v")
             )
-            x = x + level.prolong_op.apply(ec2)
-        x = self.post_smoothers[lvl].solve(b, x0=x)[0]
+            if mode in ("w", "f"):
+                # second coarse visit continues from the first visit's
+                # solution with the same rhs (multigrid.cpp:452-461)
+                ec = self._run_cycle(
+                    lvl + 1, rc, ec, "v" if mode == "f" else mode,
+                    first=False, end=True,
+                )
+        x = x + level.prolong_op.apply(ec)
+        if end or self.mid_case in ("both", "post_smoother"):
+            x = self.post_smoothers[lvl].solve(b, x0=x)[0]
+        if mode in ("w", "f") and not end and self.mid_case == "standalone":
+            x = self.mid_smoothers[lvl].solve(b, x0=x)[0]
         return x
 
     def _try_fused_vcycle(self, arr, x_arr):
@@ -279,10 +296,15 @@ class Multigrid(LinOp):
                 and post.relax == pre.relax
             ):
                 return None
-            if self.cycle != "v" and mid is not pre and not (
+            mid_used = self.cycle != "v" and self.mid_case == "standalone"
+            if mid_used and mid is not pre and not (
                 isinstance(mid, FixedSmoother)
                 and mid.iters == pre.iters
                 and mid.relax == pre.relax
+            ):
+                return None
+            if self.mid_case not in (
+                "both", "post_smoother", "pre_smoother", "standalone"
             ):
                 return None
             if A.diags.dtype not in (jnp.float32, jnp.bfloat16):
@@ -324,7 +346,9 @@ class Multigrid(LinOp):
         if self.coarse_dense_inv.shape != (Rc * 128, Rc * 128):
             return None
         meta.append(dict(Rc=Rc))
-        plan = build_vcycle_plan(meta, mode=self.cycle)
+        plan = build_vcycle_plan(
+            meta, mode=self.cycle, mid_case=self.mid_case
+        )
         if plan["visits"] > 96:  # W-cycle unroll is exponential in depth
             return None
         dinv2 = [
@@ -488,6 +512,7 @@ class MultigridFactory:
         max_levels: int = 10,
         min_coarse_rows: int = 64,
         cycle: str = "v",
+        mid_case: str = "standalone",  # mid_smooth_type (multigrid.hpp:95)
         pre_smoother=None,  # callable A -> solver
         post_smoother=None,
         mid_smoother=None,
@@ -500,6 +525,7 @@ class MultigridFactory:
         self.max_levels = max_levels
         self.min_coarse_rows = min_coarse_rows
         self.cycle = cycle
+        self.mid_case = mid_case
         self.smoother_iters = smoother_iters
         self.smoother_relax = smoother_relax
         self.pre_smoother = pre_smoother
@@ -557,6 +583,7 @@ class MultigridFactory:
             criterion=crit,
             coarse_dense_inv=self._coarse_inverse(op, coarse),
             cycle=self.cycle,
+            mid_case=self.mid_case,
         )
 
     @staticmethod

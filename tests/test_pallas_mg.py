@@ -184,8 +184,17 @@ def test_vcycle_rows_transfer_parity(monkeypatch, n_side, levels):
     )
 
 
-@pytest.mark.parametrize("cycle", ["w", "f"])
-def test_wf_cycle_apply_parity(monkeypatch, cycle):
+@pytest.mark.parametrize(
+    "cycle,mid_case",
+    [
+        ("w", "standalone"),
+        ("f", "standalone"),
+        ("w", "both"),
+        ("f", "pre_smoother"),
+        ("w", "post_smoother"),
+    ],
+)
+def test_wf_cycle_apply_parity(monkeypatch, cycle, mid_case):
     data = generators.poisson_2d(32, dtype=np.float32)
     A = Dia.from_matrix_data(data)
     mg = Multigrid.build(
@@ -193,6 +202,7 @@ def test_wf_cycle_apply_parity(monkeypatch, cycle):
         max_levels=4,
         min_coarse_rows=32,
         cycle=cycle,
+        mid_case=mid_case,
     ).generate(A)
     b = jnp.asarray(
         np.random.default_rng(5).standard_normal(
