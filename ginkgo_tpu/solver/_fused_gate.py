@@ -32,17 +32,18 @@ def _flags_allow_fused():
     return {"interpret": not on_tpu}
 
 
-def _common_checks(solver, b):
+def _common_checks(solver, b, max_cols=1):
     """Preconditioner-independent checks shared by every fused path:
-    single f32 RHS, no SPMD axis / history tracking, env flags, plain
-    Iteration/ResidualNorm criterion.  Returns None or a partial ctx
-    (no preconditioner fields)."""
+    f32 RHS with at most max_cols columns (1 for the single-RHS kernels;
+    the k-RHS CG kernel passes 8), no SPMD axis / history tracking, env
+    flags, plain Iteration/ResidualNorm criterion.  Returns None or a
+    partial ctx (no preconditioner fields)."""
     from ..stop.criterion import analyze_simple_residual
     from .solver_base import extract_max_iters
 
     if solver.axis_name is not None or getattr(solver, "track_history", False):
         return None
-    if b.shape[1] != 1 or b.dtype != jnp.float32:
+    if not (1 <= b.shape[1] <= max_cols) or b.dtype != jnp.float32:
         return None
     flags = _flags_allow_fused()
     if flags is None:
@@ -62,14 +63,14 @@ def _common_checks(solver, b):
     }
 
 
-def _prepare_fused_common(solver, b):
+def _prepare_fused_common(solver, b, max_cols=1):
     """Operator-independent checks shared by the Dia and Pell fused
     paths: _common_checks + diagonal (Identity/Diagonal/scalar-Jacobi)
     preconditioner.  Returns None or a partial ctx."""
     from ..matrix.diagonal import Diagonal, Identity
     from ..preconditioner.jacobi import Jacobi
 
-    ctx = _common_checks(solver, b)
+    ctx = _common_checks(solver, b, max_cols=max_cols)
     if ctx is None:
         return None
     M = solver.preconditioner
@@ -85,7 +86,7 @@ def _prepare_fused_common(solver, b):
     return ctx
 
 
-def prepare_fused_dia(solver, b, fits_fn):
+def prepare_fused_dia(solver, b, fits_fn, max_cols=1):
     """Return None (fall back to the generic loop) or a dict with
     everything a fused kernel needs: A, frames for r0/x0 conversion,
     minv2, tol_sq, cap, implicit/has_res flags, interpret."""
@@ -98,7 +99,7 @@ def prepare_fused_dia(solver, b, fits_fn):
     nd, R, _ = A.diags.shape
     if nd == 0 or A.diags.dtype not in (jnp.float32, jnp.bfloat16):
         return None
-    ctx = _prepare_fused_common(solver, b)
+    ctx = _prepare_fused_common(solver, b, max_cols=max_cols)
     if ctx is None:
         return None
     _, _, _, pad_lo, pad_hi = _plan(A.offsets, R)
@@ -239,6 +240,20 @@ def frame(v, R):
     return vp.reshape(R, LANES)
 
 
+def frame_cols(v, R):
+    """(n, k) multivector -> zero-padded (k, R, 128) per-column frames."""
+    F = R * LANES
+    pad = F - v.shape[0]
+    vp = jnp.pad(v, ((0, pad), (0, 0))) if pad > 0 else v[:F]
+    return vp.T.reshape(v.shape[1], R, LANES)
+
+
+def unframe_cols(x3, n):
+    """(k, R, 128) frames -> (n, k) multivector."""
+    k = x3.shape[0]
+    return x3.reshape(k, -1)[:, :n].T
+
+
 def tol_sq_eff(ctx, b, r0):
     """Squared absolute stop threshold from the criterion decomposition."""
     from .solver_base import norm2
@@ -251,4 +266,22 @@ def tol_sq_eff(ctx, b, r0):
         base = norm2(r0)[0].astype(jnp.float32)
     else:
         base = norm2(b)[0].astype(jnp.float32)
+    return (jnp.float32(ctx["tol"]) * base) ** 2
+
+
+def tol_sq_eff_cols(ctx, b, r0):
+    """(k,) per-column squared absolute stop thresholds (the per-column
+    baselines the reference's ResidualNorm criterion computes,
+    residual_norm.hpp:65,137)."""
+    from .solver_base import norm2
+
+    k = b.shape[1]
+    if not ctx["has_res"]:
+        return jnp.full((k,), -1.0, jnp.float32)
+    if ctx["baseline"] == "absolute":
+        base = jnp.ones((k,), jnp.float32)
+    elif ctx["baseline"] == "initial_resnorm":
+        base = norm2(r0).astype(jnp.float32)
+    else:
+        base = norm2(b).astype(jnp.float32)
     return (jnp.float32(ctx["tol"]) * base) ** 2

@@ -59,6 +59,9 @@ class Cg(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve
 
+        if b.shape[1] > 1:
+            # k-RHS solves ride the per-column-stopping multi kernel
+            return Cg._try_vmem_fused_multi(self, b, x0, flexible=flexible)
         fast = Cg._try_vmem_fused_pell(self, b, x0, flexible=flexible)
         if fast is not None:
             return fast
@@ -116,6 +119,75 @@ class Cg(IterativeSolverMixin, LinOp):
             # exact-residual criterion is tracked (solver_base._check_stop)
             rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
         conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        info = SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+        return x, info
+
+    def _try_vmem_fused_multi(self, b, x0, flexible=False):
+        """k-RHS whole-solve-in-VMEM CG (ops/pallas_cg.cg_vmem_solve_multi):
+        per-column stopping runs IN-KERNEL — a converged column's updates
+        freeze (the reference's stopping_status-masked step kernels,
+        stopping_status.hpp:62-145) while the shared diagonal blocks are
+        loaded once per chunk for all k columns.  Dia operators, k <= 8
+        f32 columns, diagonal preconditioners.  Returns (x, SolveInfo)
+        or None."""
+        from ._fused_gate import (
+            frame,
+            frame_cols,
+            prepare_fused_dia,
+            tol_sq_eff_cols,
+            unframe_cols,
+        )
+        from ..ops.pallas_cg import cg_vmem_fits, cg_vmem_solve_multi
+
+        k = b.shape[1]
+        if k > 8:
+            return None
+        store_q_pick = []
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            if cg_vmem_fits(nd, R, itemsize, use_minv=use_minv,
+                            halo_rows=halo_rows, k=k):
+                store_q_pick.append(True)
+                return True
+            if cg_vmem_fits(nd, R, itemsize, use_minv=use_minv,
+                            store_q=False, halo_rows=halo_rows, k=k):
+                store_q_pick.append(False)
+                return True
+            return False
+
+        ctx = prepare_fused_dia(self, b, fits, max_cols=8)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff_cols(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x3, it, mon, conv, _itc = cg_vmem_solve_multi(
+            A.diags,
+            A.offsets,
+            frame_cols(r0, R),
+            frame_cols(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            store_q=store_q_pick[0],
+            flexible=flexible,
+            interpret=ctx["interpret"],
+        )
+        x = unframe_cols(x3, n)
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon).astype(b.dtype)
+        else:
+            rn = jnp.full((k,), jnp.inf, dtype=b.dtype)
+        conv_mask = conv & ctx["has_res"]
         info = SolveInfo(
             iterations=it, residual_norm=rn, converged=conv_mask, history=None
         )

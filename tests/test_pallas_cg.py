@@ -140,14 +140,15 @@ def test_vmem_cg_multichunk_and_store_q(monkeypatch):
 
 
 def test_vmem_cg_declines_unsupported(poisson_dia, monkeypatch):
-    """Multi-RHS, custom criteria, non-Dia operators must fall back."""
+    """>8-column RHS, custom criteria, non-Dia operators must fall back
+    (2-8 columns ride the k-RHS kernel, cg_vmem_solve_multi)."""
     A, b = poisson_dia
     monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
     solver = Cg.build(
         criteria=[stop.Iteration(max_iters=50), stop.ResidualNorm(tolerance=1e-6)]
     ).generate(A)
-    assert solver._try_vmem_fused(jnp.ones((A.shape[0], 2), jnp.float32),
-                                  jnp.zeros((A.shape[0], 2), jnp.float32)) is None
+    assert solver._try_vmem_fused(jnp.ones((A.shape[0], 9), jnp.float32),
+                                  jnp.zeros((A.shape[0], 9), jnp.float32)) is None
 
     class Weird(stop.Criterion):
         def check(self, ctx):
@@ -247,3 +248,125 @@ def test_vmem_fcg_pell(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
     )
+
+
+def _multi_rhs(A, k=3, scales=(1.0, 50.0, 1e-3)):
+    n = A.shape[0]
+    rng = np.random.default_rng(11)
+    cols = rng.standard_normal((n, k)).astype(np.float32)
+    return jnp.asarray(cols * np.asarray(scales[:k], np.float32))
+
+
+def test_vmem_cg_multi_rhs_matches_generic(poisson_dia, monkeypatch):
+    """k-RHS fused kernel with per-column stopping vs the generic
+    column-masked loop: same iteration count, per-column converged
+    masks, and solutions (columns scaled so they converge at different
+    iterations under the rhs_norm baseline... identical here; the
+    absolute baseline below forces genuinely different stop times)."""
+    A, _ = poisson_dia
+    b = _multi_rhs(A)
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert np.array_equal(
+        np.asarray(inf_f.converged), np.asarray(inf_g.converged)
+    )
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(inf_f.residual_norm),
+        np.asarray(inf_g.residual_norm),
+        rtol=1e-3,
+    )
+
+
+def test_vmem_cg_multi_rhs_percolumn_stopping(poisson_dia, monkeypatch):
+    """Absolute-baseline stop: the 50x column needs more iterations than
+    the 1e-3x column, so the kernel's per-column freeze is exercised —
+    every column must still land below the absolute threshold."""
+    A, _ = poisson_dia
+    b = _multi_rhs(A)
+    crit = [
+        stop.Iteration(max_iters=800),
+        stop.ResidualNorm(tolerance=1e-5, baseline="absolute"),
+    ]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert np.array_equal(
+        np.asarray(inf_f.converged), np.asarray(inf_g.converged)
+    )
+    assert bool(np.all(np.asarray(inf_f.converged)))
+    # true per-column residuals honor the absolute tolerance up to the
+    # f32 recurrence drift (the 50x column solves to ~1e-8 RELATIVE,
+    # well past the f32 floor, so its true residual stalls above the
+    # recurrence value — same behavior as the generic loop)
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    scale = np.maximum(np.linalg.norm(np.asarray(b), axis=0), 1.0)
+    assert float((np.linalg.norm(r, axis=0) / scale).max()) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_vmem_cg_multi_rhs_jacobi_and_iteronly(poisson_dia, monkeypatch):
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=2, scales=(1.0, 7.0))
+    crit = [stop.Iteration(max_iters=25)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(
+        A, b, crit, monkeypatch, precond=Jacobi.build(max_block_size=1)
+    )
+    assert int(inf_f.iterations) == 25 == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
+    assert not bool(np.any(np.asarray(inf_f.converged)))
+
+
+def test_vmem_fcg_multi_rhs(poisson_dia, monkeypatch):
+    from ginkgo_tpu.solver.cg import Fcg
+
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=2, scales=(1.0, 3.0))
+    crit = [stop.Iteration(max_iters=500), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Fcg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Fcg.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_vmem_cg_multi_rhs_multichunk(monkeypatch):
+    """Force small chunks so the k-RHS kernel's chunked fori paths and
+    the store_q=False recompute branch are both covered."""
+    from ginkgo_tpu.ops.pallas_cg import cg_vmem_solve_multi
+    from ginkgo_tpu.solver._fused_gate import frame_cols, unframe_cols
+
+    data = generators.poisson_2d(12, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    n = A.shape[0]
+    b = _multi_rhs(A, k=2, scales=(1.0, 2.0))
+    monkeypatch.setenv("GINKGO_TPU_CG_CHUNK", "1")
+    R = A.diags.shape[1]
+    r0_3 = frame_cols(b, R)
+    x0_3 = jnp.zeros_like(r0_3)
+    outs = {}
+    for sq in (True, False):
+        x3, it, mon, conv, itc = cg_vmem_solve_multi(
+            A.diags, A.offsets, r0_3, x0_3, None,
+            tol_sq_eff=jnp.full((2,), 1e-12, jnp.float32),
+            max_iters=400, store_q=sq, interpret=True,
+        )
+        outs[sq] = np.asarray(unframe_cols(x3, n))
+        assert bool(np.all(np.asarray(conv)))
+        assert int(np.asarray(itc).max()) == int(it)
+    monkeypatch.delenv("GINKGO_TPU_CG_CHUNK")
+    x_ref = np.asarray(unframe_cols(x3, n))
+    r = np.asarray(b) - np.asarray(A.apply(jnp.asarray(outs[True])))
+    assert float(np.linalg.norm(r, axis=0).max()) < 1e-4
+    np.testing.assert_allclose(outs[True], outs[False], rtol=3e-5, atol=3e-5)
