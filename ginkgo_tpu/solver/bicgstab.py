@@ -49,6 +49,9 @@ class Bicgstab(IterativeSolverMixin, LinOp):
             bicgstab_vmem_solve,
         )
 
+        if b.shape[1] > 1:
+            # k-RHS solves ride the per-column-stopping multi kernel
+            return self._try_vmem_fused_multi(b, x0)
         fast = self._try_vmem_fused_pell(b, x0)
         if fast is not None:
             return fast
@@ -100,6 +103,74 @@ class Bicgstab(IterativeSolverMixin, LinOp):
         conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
         return x, SolveInfo(
             iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
+    def _try_vmem_fused_multi(self, b, x0):
+        """k-RHS whole-solve BiCGSTAB (ops/pallas_bicgstab.
+        bicgstab_vmem_solve_multi): per-column stopping and half-step
+        checks run in-kernel (the reference's stopping_status-masked
+        step kernels); diagonal preconditioning folded into the operator
+        as in the single-RHS path.  Dia operators, k <= 8 f32 columns.
+        Returns (x, SolveInfo) or None."""
+        from ._fused_gate import (
+            frame,
+            frame_cols,
+            prepare_fused_dia,
+            tol_sq_eff_cols,
+            unframe_cols,
+        )
+        from ..ops.pallas_bicgstab import (
+            bicgstab_vmem_fits_multi,
+            bicgstab_vmem_solve_multi,
+        )
+
+        k = b.shape[1]
+        if k > 8:
+            return None
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            return bicgstab_vmem_fits_multi(
+                nd, R, itemsize, use_minv=use_minv, halo_rows=halo_rows,
+                k=k,
+            )
+
+        ctx = prepare_fused_dia(self, b, fits, max_cols=8)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff_cols(ctx, b, r0)
+        if ctx["minv_flat"] is not None:
+            minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            diags = jnp.stack([
+                (A.diags[j].astype(jnp.float32) * A._flat_shift(minv2, off))
+                .astype(A.diags.dtype)
+                for j, off in enumerate(A.offsets)
+            ])
+        else:
+            minv2 = None
+            diags = A.diags
+        x3, it, mon, conv = bicgstab_vmem_solve_multi(
+            diags,
+            A.offsets,
+            frame_cols(r0, R),
+            frame_cols(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = unframe_cols(x3, n)
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon).astype(b.dtype)
+        else:
+            rn = jnp.full((k,), jnp.inf, dtype=b.dtype)
+        conv_mask = conv & ctx["has_res"]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
         )
 
     def _try_vmem_fused_ilu(self, b, x0):

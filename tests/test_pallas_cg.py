@@ -370,3 +370,61 @@ def test_vmem_cg_multi_rhs_multichunk(monkeypatch):
     r = np.asarray(b) - np.asarray(A.apply(jnp.asarray(outs[True])))
     assert float(np.linalg.norm(r, axis=0).max()) < 1e-4
     np.testing.assert_allclose(outs[True], outs[False], rtol=3e-5, atol=3e-5)
+
+
+def test_vmem_bicgstab_multi_rhs_matches_generic(poisson_dia, monkeypatch):
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=3, scales=(1.0, 20.0, 0.05))
+    crit = [stop.Iteration(max_iters=600), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Bicgstab.build(criteria=crit).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert np.array_equal(
+        np.asarray(inf_f.converged), np.asarray(inf_g.converged)
+    )
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_vmem_bicgstab_multi_rhs_percolumn_jacobi(poisson_dia, monkeypatch):
+    """Absolute baseline + scalar Jacobi: columns stop at different
+    iterations; every column's true residual lands near its threshold."""
+    from ginkgo_tpu.solver.bicgstab import Bicgstab
+
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=3, scales=(1.0, 20.0, 0.05))
+    crit = [
+        stop.Iteration(max_iters=900),
+        stop.ResidualNorm(tolerance=1e-5, baseline="absolute"),
+    ]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Bicgstab.build(
+        criteria=crit, preconditioner=Jacobi.build(max_block_size=1)
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Bicgstab.build(
+        criteria=crit, preconditioner=Jacobi.build(max_block_size=1)
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    # the 20x column converges ~3 orders past its f32 relative floor, so
+    # the in-kernel chunked reductions can flip the last stop test by one
+    # iteration vs jnp's tree sums — allow +-1, demand the same masks
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 1
+    assert np.array_equal(
+        np.asarray(inf_f.converged), np.asarray(inf_g.converged)
+    )
+    assert bool(np.all(np.asarray(inf_f.converged)))
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    scale = np.maximum(np.linalg.norm(np.asarray(b), axis=0), 1.0)
+    assert float((np.linalg.norm(r, axis=0) / scale).max()) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=2e-4, atol=2e-4
+    )
