@@ -345,6 +345,53 @@ def main():
     emit({"row": "pell_fused_cg", "n": n_c,
           "us_per_iter": round(t_pc * 1e6, 2)})
 
+    # ---- k-RHS fused CG: one kernel for 4 columns vs 4 sequential ------
+    # single-RHS fused solves vs the generic streaming multi-RHS loop
+    k_m = 4
+    bm = jnp.asarray(
+        rng.standard_normal((data_g.shape[0], k_m)).astype(np.float32)
+    )
+
+    def multi_total(iters, mode):
+        if mode == "stream":
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = gko.Cg.build(
+                criteria=[stop.Iteration(max_iters=iters)]
+            ).generate(Dg)
+
+            @jax.jit
+            def run(rhs):
+                if mode == "seq":
+                    outs = [
+                        s.solve(rhs[:, j:j + 1])[0] for j in range(k_m)
+                    ]
+                    return jnp.concatenate(outs, axis=1)
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bm))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bm))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    mm = {}
+    for mode in ("multi", "seq", "stream"):
+        lo = multi_total(20 if small else 100, mode)
+        hi = multi_total(80 if small else 400, mode)
+        mm[mode] = max((hi - lo) / (60 if small else 300), 1e-9)
+    emit({"row": "cg_multi_rhs_ab", "n": data_g.shape[0], "k": k_m,
+          "multi_us_per_iter": round(mm["multi"] * 1e6, 1),
+          "seq_fused_us_per_iter": round(mm["seq"] * 1e6, 1),
+          "stream_us_per_iter": round(mm["stream"] * 1e6, 1),
+          "speedup_vs_seq": round(mm["seq"] / mm["multi"], 2),
+          "speedup_vs_stream": round(mm["stream"] / mm["multi"], 2)})
+
 
 if __name__ == "__main__":
     main()

@@ -410,7 +410,56 @@ class Cgs(IterativeSolverMixin, LinOp):
     def create(cls, A, preconditioner, criterion, **params):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM CGS (ops/pallas_cgs.py), same gate as the
+        fused CG/BiCGSTAB (solver/_fused_gate.py): Dia operator, diagonal
+        preconditioning folded into the operator as A@M.  Returns
+        (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
+        from ..ops.pallas_cgs import cgs_vmem_fits, cgs_vmem_solve
+
+        ctx = prepare_fused_dia(self, b, cgs_vmem_fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        if ctx["minv_flat"] is not None:
+            minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            diags = jnp.stack([
+                (A.diags[j].astype(jnp.float32) * A._flat_shift(minv2, off))
+                .astype(A.diags.dtype)
+                for j, off in enumerate(A.offsets)
+            ])
+        else:
+            minv2 = None
+            diags = A.diags
+        x2, it, mon, conv = cgs_vmem_solve(
+            diags,
+            A.offsets,
+            frame(r0, R),
+            frame(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         A, M = self.A, self.preconditioner
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]
@@ -506,7 +555,70 @@ class Bicg(IterativeSolverMixin, LinOp):
             A=A, preconditioner=M, criterion=criterion, At=At, Mt=Mt, **params
         )
 
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM BiCG (ops/pallas_cgs.py): both diagonal
+        stacks (A and A^H) ride in VMEM so the shadow recurrence's
+        conj-transposed SpMV is pure VPU work; z = M r / z2 = M r2 are
+        chunk-wise multiplies (real diagonal M, so M^H = M).  Returns
+        (x, SolveInfo) or None."""
+        from ..matrix.dia import Dia
+        from ..ops.pallas_dia import _plan
+        from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
+        from ..ops.pallas_cgs import bicg_vmem_fits, bicg_vmem_solve
+
+        At = self.At
+        if not isinstance(At, Dia):
+            return None
+        if At.diags.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            if At.diags.shape[1] != R:
+                return False
+            _, _, _, lo_t, hi_t = _plan(At.offsets, R)
+            return bicg_vmem_fits(
+                nd, At.diags.shape[0], R, itemsize, use_minv=use_minv,
+                halo_rows=max(halo_rows, lo_t + hi_t),
+            )
+
+        ctx = prepare_fused_dia(self, b, fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        if ctx["minv_flat"] is not None:
+            minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+        else:
+            minv2 = None
+        x2, it, mon, conv = bicg_vmem_solve(
+            A.diags,
+            A.offsets,
+            At.diags,
+            At.offsets,
+            frame(r0, R),
+            frame(x0, R),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
     def _solve_impl(self, b, x0):
+        fast = self._try_vmem_fused(b, x0)
+        if fast is not None:
+            return fast
         A, M, At, Mt = self.A, self.preconditioner, self.At, self.Mt
         cap = extract_max_iters(self.criterion)
         k = b.shape[1]
