@@ -189,7 +189,74 @@ class Idr(IterativeSolverMixin, LinOp):
         x, r, G, U, Mm, om, it, stopped = jax.lax.while_loop(cond, body, init)
         return x, it, stopped, self._pnorm(r)
 
+    def _try_vmem_fused(self, b, x0):
+        """Whole-solve-in-VMEM IDR(s) (ops/pallas_idr.py), same gate as
+        the fused CG family (solver/_fused_gate.py): Dia operator,
+        diagonal (Identity/Diagonal/scalar-Jacobi) preconditioner applied
+        chunk-wise in-kernel, s <= MAX_FUSED_IDR_S so the small M system
+        stays register-resident.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import (
+            frame,
+            frame_cols,
+            prepare_fused_dia,
+            tol_sq_eff,
+        )
+        from ..ops.pallas_idr import (
+            MAX_FUSED_IDR_S,
+            idr_vmem_fits,
+            idr_vmem_solve,
+        )
+
+        s = self.subspace_dim
+        if s > MAX_FUSED_IDR_S or self.P is None:
+            return None
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            return idr_vmem_fits(
+                nd, R, s, itemsize, use_minv=use_minv, halo_rows=halo_rows
+            )
+
+        ctx = prepare_fused_dia(self, b, fits)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        if ctx["minv_flat"] is not None:
+            minv2 = frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+        else:
+            minv2 = None
+        P3 = frame_cols(self.P.T.astype(jnp.float32), R)  # (s, R, 128)
+        x2, it, mon, conv = idr_vmem_solve(
+            A.diags,
+            A.offsets,
+            P3,
+            frame(r0, R),
+            frame(x0, R),
+            frame(b, R),
+            minv2,
+            s=s,
+            kappa=self.kappa,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        # the IDR stop monitor is the true (replaced) residual in both
+        # exact and implicit modes — mirror the generic loop's finite
+        # residual_norm report
+        rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
     def _solve_impl(self, b, x0):
+        if b.shape[1] == 1:
+            fast = self._try_vmem_fused(b, x0)
+            if fast is not None:
+                return fast
         x, it, stopped, rn = jax.vmap(
             self._solve_single, in_axes=1, out_axes=(1, 0, 0, 0)
         )(b, x0)
