@@ -392,6 +392,64 @@ def main():
           "speedup_vs_seq": round(mm["seq"] / mm["multi"], 2),
           "speedup_vs_stream": round(mm["stream"] / mm["multi"], 2)})
 
+    # ---- fused CGS / BiCG / IDR vs streaming (nonsymmetric Dia) --------
+    # convection-diffusion-like tridiagonal band: exercises the
+    # conj-transpose stack of the fused BiCG kernel
+    n_s = 1 << (12 if small else 18)
+    rows_s = np.concatenate(
+        [np.arange(n_s), np.arange(1, n_s), np.arange(n_s - 1)]
+    )
+    cols_s = np.concatenate(
+        [np.arange(n_s), np.arange(n_s - 1), np.arange(1, n_s)]
+    )
+    vals_s = np.concatenate([
+        np.full(n_s, 3.1), np.full(n_s - 1, -1.4), np.full(n_s - 1, -0.6),
+    ]).astype(np.float32)
+    Ds = Dia.from_matrix_data(
+        MatrixData.from_coo((n_s, n_s), rows_s, cols_s, vals_s)
+    )
+    bs = jnp.ones((n_s, 1), jnp.float32)
+
+    def krylov_total(cls, iters, fused, **build_kw):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = cls.build(
+                criteria=[stop.Iteration(max_iters=iters)], **build_kw
+            ).generate(Ds)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bs))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bs))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    for name, cls, kw in (
+        ("cgs", gko.Cgs, {}),
+        ("bicg", gko.Bicg, {}),
+        ("idr_s4", gko.Idr, {"subspace_dim": 4}),
+    ):
+        res = {}
+        for fused in (True, False):
+            lo = krylov_total(cls, 20 if small else 100, fused, **kw)
+            hi = krylov_total(cls, 80 if small else 400, fused, **kw)
+            res["fused" if fused else "stream"] = max(
+                (hi - lo) / (60 if small else 300), 1e-9
+            )
+        emit({"row": f"{name}_fused_ab", "n": n_s,
+              "fused_us_per_iter": round(res["fused"] * 1e6, 1),
+              "stream_us_per_iter": round(res["stream"] * 1e6, 1),
+              "speedup": round(res["stream"] / res["fused"], 2)})
+
 
 if __name__ == "__main__":
     main()
