@@ -154,7 +154,18 @@ class Multigrid(LinOp):
     #: at generate time when the coarse solver is the default exact Direct
     #: solve — feeds the fused whole-V-cycle kernel (ops/pallas_mg.py)
     coarse_dense_inv: Any = None
-    cycle: str = static_field(default="v")  # 'v' | 'w' | 'f' (multigrid.hpp:79)
+    #: 'v' | 'w' | 'f' (multigrid.hpp:79) | 'k' (working K-cycle — the
+    #: reference registers kcycle_step_1/2/check_stop kernels and declares
+    #: kcycle_base/kcycle_rel_tol (multigrid.hpp:364-380) but never wires
+    #: them into run_cycle in v1.5.0; here cycle='k' is a real cycle type)
+    cycle: str = static_field(default="v")
+    #: enable the FCG acceleration when level % kcycle_base == 0
+    kcycle_base: int = static_field(default=1)
+    #: second FCG iteration policy: <= 0 always one, nan always two, else
+    #: two iff some column's updated residual norm > rel_tol * old
+    #: (kcycle_check_stop semantics, reference/solver/multigrid_kernels.
+    #: cpp:106-121)
+    kcycle_rel_tol: float = static_field(default=0.25)
     #: mid_smooth_type (multigrid.hpp:95): which smoother fires on the
     #: non-first/non-end W/F visits — 'both' | 'post_smoother' |
     #: 'pre_smoother' | 'standalone' (default, multigrid.hpp:306)
@@ -199,6 +210,13 @@ class Multigrid(LinOp):
         rc = level.restrict_op.apply(r)
         if lvl + 1 == len(self.levels):
             ec = self.coarse_solver.apply(rc)
+        elif mode == "k":
+            if lvl % max(self.kcycle_base, 1) == 0:
+                ec = self._kcycle_correction(lvl, rc)
+            else:
+                ec = self._run_cycle(
+                    lvl + 1, rc, None, "k", first=True, end=True
+                )
         else:
             # x=None marks a zero initial guess: the fused smoother then
             # skips its initial residual SpMV entirely (r0 = b)
@@ -218,6 +236,70 @@ class Multigrid(LinOp):
         if mode in ("w", "f") and not end and self.mid_case == "standalone":
             x = self.mid_smoothers[lvl].solve(b, x0=x)[0]
         return x
+
+    def _kcycle_correction(self, lvl, rc):
+        """FCG(2)-accelerated coarse correction — the K-cycle (Notay's
+        aggregation AMG).  The scalar formulas are EXACTLY the reference's
+        kcycle kernels (reference/solver/multigrid_kernels.cpp:55-104:
+        temp = alpha/rho with per-column finite guards in step_1;
+        scalar_d = zeta/(beta - gamma^2/rho), scalar_e = 1 - gamma/alpha
+        * scalar_d in step_2; kcycle_check_stop :106-121), with the
+        driver reconstructed around them: v1.5.0 registers the kernels
+        and declares kcycle_base/kcycle_rel_tol (multigrid.hpp:364-380)
+        but never invokes them from run_cycle.
+
+        One inner K-cycle at the next level plays the (nonlinear) FCG
+        preconditioner B: c1 = B(rc); the correction is the A_c-optimal
+        combination over span{c1, c2} with c2 = B of the updated
+        residual, run only when the first step did not reduce the
+        residual below kcycle_rel_tol * ||rc|| (column-wise ANY, the
+        check_stop kernel's all-columns-stop test)."""
+        import math
+
+        Ac = self.levels[lvl].coarse_op
+
+        def col(a, b):
+            s = jnp.sum(a * b, axis=0)
+            if self.axis_name is not None:
+                s = jax.lax.psum(s, self.axis_name)
+            return s
+
+        c1 = self._run_cycle(lvl + 1, rc, None, "k", first=True, end=True)
+        v = Ac.apply(c1)
+        rho = col(c1, v)
+        alpha = col(c1, rc)
+        temp = alpha / rho  # raw: step_1 guards on is_finite(result)
+        fin = jnp.isfinite(temp)
+        tempe = jnp.where(fin, temp, 1.0)
+        g2 = jnp.where(fin[None, :], rc - tempe[None, :] * v, rc)
+        e1 = jnp.where(fin[None, :], tempe[None, :] * c1, c1)
+
+        def second(_):
+            c2 = self._run_cycle(
+                lvl + 1, g2, None, "k", first=True, end=True
+            )
+            w = Ac.apply(c2)
+            gamma = col(c1, w)
+            beta = col(c2, w)
+            zeta = col(c2, g2)
+            scalar_d = zeta / (beta - gamma * gamma / rho)
+            scalar_e = 1.0 - gamma / alpha * scalar_d
+            ok = jnp.isfinite(scalar_d) & jnp.isfinite(scalar_e)
+            return jnp.where(
+                ok[None, :],
+                scalar_e[None, :] * e1 + scalar_d[None, :] * c2,
+                e1,
+            )
+
+        rt = self.kcycle_rel_tol
+        if math.isnan(rt):
+            return second(None)  # always two iterations
+        if rt <= 0:
+            return e1  # always one iteration
+        old_n = jnp.sqrt(col(rc, rc))
+        new_n = jnp.sqrt(col(g2, g2))
+        need2 = jnp.any(new_n > rt * old_n)
+        return jax.lax.cond(need2, second, lambda _: e1, None)
 
     def _try_fused_vcycle(self, arr, x_arr):
         """Whole-V-cycle-in-one-kernel fast path (ops/pallas_mg.py): every
@@ -511,8 +593,10 @@ class MultigridFactory:
         mg_level=None,
         max_levels: int = 10,
         min_coarse_rows: int = 64,
-        cycle: str = "v",
+        cycle: str = "v",  # 'v' | 'w' | 'f' | 'k' (K-cycle, see Multigrid)
         mid_case: str = "standalone",  # mid_smooth_type (multigrid.hpp:95)
+        kcycle_base: int = 1,  # multigrid.hpp:371
+        kcycle_rel_tol: float = 0.25,  # multigrid.hpp:380
         pre_smoother=None,  # callable A -> solver
         post_smoother=None,
         mid_smoother=None,
@@ -526,6 +610,8 @@ class MultigridFactory:
         self.min_coarse_rows = min_coarse_rows
         self.cycle = cycle
         self.mid_case = mid_case
+        self.kcycle_base = kcycle_base
+        self.kcycle_rel_tol = kcycle_rel_tol
         self.smoother_iters = smoother_iters
         self.smoother_relax = smoother_relax
         self.pre_smoother = pre_smoother
@@ -584,6 +670,8 @@ class MultigridFactory:
             coarse_dense_inv=self._coarse_inverse(op, coarse),
             cycle=self.cycle,
             mid_case=self.mid_case,
+            kcycle_base=self.kcycle_base,
+            kcycle_rel_tol=self.kcycle_rel_tol,
         )
 
     @staticmethod

@@ -48,7 +48,7 @@ def test_fixed_coarsening(rng):
     assert np.allclose(full[rows], x) and np.allclose(np.delete(full, rows), 0)
 
 
-@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+@pytest.mark.parametrize("cycle", ["v", "w", "f", "k"])
 def test_multigrid_solves_poisson(rng, cycle):
     data = generators.poisson_2d(16)  # 256 dofs, 3+ levels
     A = gko.Csr.from_matrix_data(data)
@@ -81,6 +81,52 @@ def test_multigrid_preconditioned_cg(rng):
     assert bool(np.all(np.asarray(im.converged)))
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-7)
     assert int(im.iterations) < int(ip.iterations)  # MG accelerates CG
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"kcycle_rel_tol": float("nan")},  # always two FCG iterations
+        {"kcycle_rel_tol": -1.0},          # always one FCG iteration
+        {"kcycle_base": 2},                # accelerate every other level
+    ],
+)
+def test_kcycle_variants_solve(rng, kw):
+    """The working K-cycle (reference declares kcycle_base/kcycle_rel_tol
+    and the kcycle_step kernels but never wires them in v1.5.0): every
+    second-iteration policy converges on Poisson."""
+    data = generators.poisson_2d(16)
+    A = gko.Csr.from_matrix_data(data)
+    x_true = rng.standard_normal((data.shape[0], 1))
+    b = data.to_dense() @ x_true
+    solver = MultigridFactory(
+        criteria=[stop.Iteration(max_iters=60), stop.ResidualNorm(tolerance=1e-10)],
+        min_coarse_rows=16,
+        cycle="k",
+        **kw,
+    ).generate(A)
+    x, info = solver.solve(b)
+    assert bool(np.all(np.asarray(info.converged))), kw
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_kcycle_accelerates_vs_v(rng):
+    """On a deeper hierarchy the FCG-accelerated coarse correction should
+    not converge slower than the plain V-cycle (that is its purpose —
+    Notay's K-cycle bounds the condition of aggressive coarsening)."""
+    data = generators.poisson_2d(24)
+    A = gko.Csr.from_matrix_data(data)
+    b = rng.standard_normal((data.shape[0], 1))
+    crit = [stop.Iteration(max_iters=120), stop.ResidualNorm(tolerance=1e-9)]
+    its = {}
+    for cyc in ("v", "k"):
+        s = MultigridFactory(
+            criteria=crit, min_coarse_rows=9, cycle=cyc
+        ).generate(A)
+        x, info = s.solve(b)
+        assert bool(np.all(np.asarray(info.converged))), cyc
+        its[cyc] = int(info.iterations)
+    assert its["k"] <= its["v"] + 1, its
 
 
 def test_multigrid_convergence_rate(rng):
