@@ -337,6 +337,441 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
     stats[2] = done.astype(jnp.float32)
 
 
+def gmres_multi_vmem_fits(nd: int, R: int, m: int, k: int,
+                          diag_itemsize: int = 4, use_minv: bool = False,
+                          halo_rows: int = 0,
+                          basis_itemsize: int = 4) -> bool:
+    """k-RHS Dia working set: diags + k x ((m+1) basis frames + x/b/u +
+    halo-padded staging) + minv."""
+    frame = R * LANES * 4
+    vec_frames = k * (
+        (m + 1) * basis_itemsize / 4 + 3.25 + halo_rows / max(R, 1)
+    ) + (1 if use_minv else 0)
+    return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
+        cg_vmem_budget_bytes()
+    )
+
+
+def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
+                            x_hbm, stats, x_s, b_s, u_s, w_s, V_s, sems,
+                            *, qs, pad_lo, pad_hi, R, m, k, use_minv):
+    """k-RHS whole-solve GMRES(m) with PER-COLUMN stopping — the
+    reference's per-column Givens/Hessenberg state and
+    stopping_status-masked updates (gmres.cpp:153-165, one
+    givens_sin/cos/residual_norm column per RHS) run entirely in-kernel:
+    columns share the Arnoldi step counter j but carry independent
+    g/cs/sn/R factors, a converged column's basis/QR/x updates freeze,
+    and each column back-substitutes over its own step count (rows past
+    it have a zero R diagonal, which the guarded back-substitution maps
+    to y = 0).  scal: SMEM (k,) squared tolerances; stats out: SMEM
+    (1+3k,) [iters, mon_j..., conv_j..., stop_iter_j...]."""
+    from .pallas_cg import _chunk_rows_multi, _spmv_chunk_multi
+
+    max_iters = iscal[0]
+    Rp = R + pad_lo + pad_hi
+    C = _chunk_rows_multi(R, k)
+    n_chunks = R // C
+
+    cp_b = pltpu.make_async_copy(b_hbm, b_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_b.start()
+    cp_x.start()
+    cp_b.wait()
+    cp_x.wait()
+
+    for col in range(k):
+        if pad_lo:
+            w_s[col, 0:pad_lo] = jnp.zeros((pad_lo, LANES), jnp.float32)
+        if pad_hi:
+            w_s[col, Rp - pad_hi:Rp] = jnp.zeros(
+                (pad_hi, LANES), jnp.float32
+            )
+
+    def mchunk(c0):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    def stage_x():
+        def cp(c, _):
+            c0 = c * C
+            for col in range(k):
+                w_s[col, pl.ds(pad_lo + c0, C), :] = (
+                    x_s[col, pl.ds(c0, C), :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, cp, 0)
+
+    def residual_into_u():
+        """u = b - A x (x staged); returns per-column true r.r tuple."""
+        def rchunk(c, rr):
+            c0 = c * C
+            ax = _spmv_chunk_multi(diags, w_s, c0, C, qs=qs,
+                                   pad_lo=pad_lo, k=k)
+            out = []
+            for col in range(k):
+                r_c = b_s[col, pl.ds(c0, C), :] - ax[col]
+                u_s[col, pl.ds(c0, C), :] = r_c
+                out.append(rr[col] + jnp.sum(r_c * r_c))
+            return tuple(out)
+
+        zk = tuple(jnp.float32(0) for _ in range(k))
+        return jax.lax.fori_loop(0, n_chunks, rchunk, zk)
+
+    def basis_row(col, i, c0):
+        return V_s[col, pl.ds(i, 1), pl.ds(c0, C), :][0].astype(
+            jnp.float32
+        )
+
+    stage_x()
+    rr0 = residual_into_u()
+
+    def col_tol(col):
+        return scal[col]
+
+    done0 = tuple(rr0[col] <= col_tol(col) for col in range(k))
+
+    def cycle_cond(st):
+        it = st[0]
+        done = st[2]
+        all_done = done[0]
+        for col in range(1, k):
+            all_done = all_done & done[col]
+        return (~all_done) & (it < max_iters)
+
+    def cycle_body(st):
+        it, rr, done, itc = st
+
+        # ---- initialize each active column: V0 = M u / ||M u|| --------
+        def znorm_chunk(c, acc):
+            c0 = c * C
+            out = []
+            for col in range(k):
+                z_c = (
+                    mchunk(c0) * u_s[col, pl.ds(c0, C), :]
+                    if use_minv else u_s[col, pl.ds(c0, C), :]
+                )
+                out.append(acc[col] + jnp.sum(z_c * z_c))
+            return tuple(out)
+
+        zk = tuple(jnp.float32(0) for _ in range(k))
+        beta_sq = jax.lax.fori_loop(0, n_chunks, znorm_chunk, zk)
+        beta = [jnp.sqrt(beta_sq[col]) for col in range(k)]
+        inv_beta = [
+            jnp.where(beta[col] > 0,
+                      1.0 / jnp.where(beta[col] > 0, beta[col], 1.0), 1.0)
+            for col in range(k)
+        ]
+
+        def v0_chunk(c, _):
+            c0 = c * C
+            for col in range(k):
+                z_c = (
+                    mchunk(c0) * u_s[col, pl.ds(c0, C), :]
+                    if use_minv else u_s[col, pl.ds(c0, C), :]
+                )
+                V_s[col, pl.ds(0, 1), pl.ds(c0, C), :] = (
+                    (z_c * inv_beta[col])[None].astype(V_s.dtype)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, v0_chunk, 0)
+
+        g0 = jnp.zeros((k, m + 1), jnp.float32)
+        for col in range(k):
+            g0 = g0.at[col, 0].set(beta[col])
+        cs0 = jnp.zeros((k, m), jnp.float32)
+        sn0 = jnp.zeros((k, m), jnp.float32)
+        Rm0 = jnp.zeros((k, m + 1, m), jnp.float32)
+        act0 = tuple(~done[col] for col in range(k))
+
+        # ---- inner Arnoldi loop: shared j, per-column masked QR --------
+        def arnoldi_cond(ast):
+            j, it_a = ast[0], ast[1]
+            act = ast[6]
+            any_act = act[0]
+            for col in range(1, k):
+                any_act = any_act | act[col]
+            return any_act & (j < m)
+
+        def arnoldi_body(ast):
+            j, it_a, g, cs, sn, Rm, act, itc_a = ast
+
+            # stage V[:, j], u <- M (A V[:, j])
+            def stage_vj(c, _):
+                c0 = c * C
+                for col in range(k):
+                    w_s[col, pl.ds(pad_lo + c0, C), :] = basis_row(
+                        col, j, c0
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, stage_vj, 0)
+
+            def spmv_chunk(c, _):
+                c0 = c * C
+                av = _spmv_chunk_multi(diags, w_s, c0, C, qs=qs,
+                                       pad_lo=pad_lo, k=k)
+                for col in range(k):
+                    u_c = mchunk(c0) * av[col] if use_minv else av[col]
+                    u_s[col, pl.ds(c0, C), :] = u_c
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, spmv_chunk, 0)
+
+            # CGS2 per column: two (dot-all, subtract-all) passes
+            def gs_pass(h_acc):
+                def dot_i(i, h):
+                    def dchunk(c, s):
+                        c0 = c * C
+                        out = []
+                        for col in range(k):
+                            out.append(s[col] + jnp.sum(
+                                basis_row(col, i, c0)
+                                * u_s[col, pl.ds(c0, C), :]
+                            ))
+                        return tuple(out)
+
+                    s = jax.lax.fori_loop(0, n_chunks, dchunk, zk)
+                    for col in range(k):
+                        h = h.at[col, i].set(s[col])
+                    return h
+
+                h = jax.lax.fori_loop(
+                    0, j + 1, dot_i, jnp.zeros((k, m + 1), jnp.float32)
+                )
+
+                def sub_i(i, _):
+                    def schunk(c, _):
+                        c0 = c * C
+                        for col in range(k):
+                            u_s[col, pl.ds(c0, C), :] = (
+                                u_s[col, pl.ds(c0, C), :]
+                                - h[col, i] * basis_row(col, i, c0)
+                            )
+                        return 0
+
+                    jax.lax.fori_loop(0, n_chunks, schunk, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, j + 1, sub_i, 0)
+                return h_acc + h
+
+            h = gs_pass(jnp.zeros((k, m + 1), jnp.float32))
+            h = gs_pass(h)
+
+            def unorm_chunk(c, s):
+                c0 = c * C
+                out = []
+                for col in range(k):
+                    u_c = u_s[col, pl.ds(c0, C), :]
+                    out.append(s[col] + jnp.sum(u_c * u_c))
+                return tuple(out)
+
+            un = jax.lax.fori_loop(0, n_chunks, unorm_chunk, zk)
+            hnext = [jnp.sqrt(un[col]) for col in range(k)]
+            inv_h = [
+                jnp.where(hnext[col] > 0,
+                          1.0 / jnp.where(hnext[col] > 0, hnext[col], 1.0),
+                          1.0)
+                for col in range(k)
+            ]
+
+            def store_next(c, _):
+                c0 = c * C
+                for col in range(k):
+                    V_s[col, pl.ds(j + 1, 1), pl.ds(c0, C), :] = (
+                        u_s[col, pl.ds(c0, C), :] * inv_h[col]
+                    )[None].astype(V_s.dtype)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, store_next, 0)
+
+            # per-column Givens chain; stopped columns keep their factors
+            g_n, cs_n, sn_n, Rm_n = g, cs, sn, Rm
+            act_new, itc_new = [], []
+            it_n = it_a + 1
+            for col in range(k):
+                hv = h[col].at[j + 1].set(hnext[col])
+
+                def rot(i, hv, col=col):
+                    use = i < j
+                    hi, hi1 = hv[i], hv[i + 1]
+                    c_, s_ = cs[col, i], sn[col, i]
+                    new_i = jnp.where(use, c_ * hi + s_ * hi1, hi)
+                    new_i1 = jnp.where(use, -s_ * hi + c_ * hi1, hi1)
+                    return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+
+                hv = jax.lax.fori_loop(0, m, rot, hv)
+                a_, b_ = hv[j], hv[j + 1]
+                denom = jnp.sqrt(a_ * a_ + b_ * b_)
+                safe_d = jnp.where(denom > 0, denom, 1.0)
+                c_new = jnp.where(denom > 0, jnp.abs(a_) / safe_d, 1.0)
+                phase = jnp.where(jnp.abs(a_) > 0, jnp.sign(a_), 1.0)
+                s_new = jnp.where(denom > 0, phase * b_ / safe_d, 0.0)
+                h_rot = hv.at[j].set(
+                    c_new * hv[j] + s_new * hv[j + 1]
+                ).at[j + 1].set(0.0)
+                gj1 = -s_new * g[col, j]
+                gj = c_new * g[col, j]
+                a = act[col]
+                g_n = g_n.at[col, j + 1].set(
+                    jnp.where(a, gj1, g[col, j + 1])
+                ).at[col, j].set(jnp.where(a, gj, g[col, j]))
+                cs_n = cs_n.at[col, j].set(
+                    jnp.where(a, c_new, cs[col, j])
+                )
+                sn_n = sn_n.at[col, j].set(
+                    jnp.where(a, s_new, sn[col, j])
+                )
+                # column j of each R factor is written at most once (at
+                # step j), so writing zeros for a stopped column equals
+                # keeping its (never-written) old values
+                new_col = jnp.where(a, h_rot, 0.0)
+                Rm_n = jax.lax.dynamic_update_slice(
+                    Rm_n, new_col[None, :, None],
+                    (jnp.int32(col), jnp.int32(0), j)
+                )
+                res_sq = gj1 * gj1
+                still = a & (res_sq > col_tol(col)) & (it_n < max_iters)
+                act_new.append(still)
+                itc_new.append(jnp.where(a, it_n, itc_a[col]))
+            return (j + 1, it_n, g_n, cs_n, sn_n, Rm_n,
+                    tuple(act_new), tuple(itc_new))
+
+        j, it, g, cs, sn, Rm, _act, itc = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_body,
+            (jnp.int32(0), it, g0, cs0, sn0, Rm0, act0, itc),
+        )
+
+        # ---- guarded back-substitution over the full m (rows past a
+        # column's own step count have Rm diag 0 -> y = 0)
+        y = jnp.zeros((k, m), jnp.float32)
+        lane = jnp.arange(m)
+
+        def bsub(t, y):
+            i = jnp.asarray(m - 1 - t, jnp.int32)  # x64-safe index
+            row = jax.lax.dynamic_slice(
+                Rm, (jnp.int32(0), i, jnp.int32(0)), (k, 1, m)
+            )[:, 0, :]  # (k, m)
+            acc = jnp.sum(jnp.where(lane[None, :] > i, row * y, 0.0),
+                          axis=1)
+            diag = jax.lax.dynamic_slice(row, (jnp.int32(0), i), (k, 1))[:, 0]
+            gcol = jax.lax.dynamic_slice(g, (jnp.int32(0), i), (k, 1))[:, 0]
+            safe = jnp.where(diag != 0, diag, 1.0)
+            yi = jnp.where(diag != 0, (gcol - acc) / safe, 0.0)
+            return jax.lax.dynamic_update_slice(
+                y, yi[:, None], (jnp.int32(0), i)
+            )
+
+        y = jax.lax.fori_loop(0, m, bsub, y)
+        # a column already done at cycle start gets a zero update
+        for col in range(k):
+            y = y.at[col].set(jnp.where(done[col], 0.0, y[col]))
+
+        # ---- x += V^T y (y is zero past each column's step count) -----
+        def xup_chunk(c, _):
+            c0 = c * C
+            for col in range(k):
+                def add_i(i, acc, col=col):
+                    return acc + y[col, i] * basis_row(col, i, c0)
+
+                x_s[col, pl.ds(c0, C), :] = jax.lax.fori_loop(
+                    0, j, add_i, x_s[col, pl.ds(c0, C), :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, xup_chunk, 0)
+
+        # ---- honest outer check on the TRUE residual per column --------
+        stage_x()
+        rr_new = residual_into_u()
+        done_new = tuple(
+            done[col] | (rr_new[col] <= col_tol(col)) for col in range(k)
+        )
+        rr_keep = tuple(
+            jnp.where(done[col], rr[col], rr_new[col]) for col in range(k)
+        )
+        return (it, rr_keep, done_new, itc)
+
+    itc0 = tuple(jnp.asarray(0, jnp.int32) for _ in range(k))
+    it, rr, done, itc = jax.lax.while_loop(
+        cycle_cond, cycle_body, (jnp.int32(0), rr0, done0, itc0)
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_xo.start()
+    cp_xo.wait()
+    stats[0] = it.astype(jnp.float32)
+    for col in range(k):
+        stats[1 + col] = rr[col]
+        stats[1 + k + col] = done[col].astype(jnp.float32)
+        stats[1 + 2 * k + col] = itc[col].astype(jnp.float32)
+
+
+def gmres_vmem_solve_multi(diags, offsets, b3, x0_3, minv2=None, *, m,
+                           tol_sq_eff, max_iters,
+                           basis_dtype=jnp.float32, interpret=False):
+    """k-RHS whole-solve restarted GMRES(m) with per-column stopping.
+
+    b3/x0_3: (k, R, 128); tol_sq_eff: (k,) squared ABSOLUTE thresholds.
+    Returns (x3, iterations, true_rr (k,), converged (k,))."""
+    nd, R, lanes = diags.shape
+    assert lanes == LANES
+    k = b3.shape[0]
+    qs, _qmin, _halo, pad_lo, pad_hi = _plan(offsets, R)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _gmres_multi_dia_kernel, qs=qs, pad_lo=pad_lo, pad_hi=pad_hi,
+        R=R, m=int(m), k=k, use_minv=use_minv,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((k,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    args = [scal, iscal, diags, b3, x0_3,
+            minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    Rp = R + pad_lo + pad_hi
+    x3, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, R, LANES), b3.dtype),
+            jax.ShapeDtypeStruct((1 + 3 * k,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, R, LANES), jnp.float32),        # x
+            pltpu.VMEM((k, R, LANES), jnp.float32),        # b
+            pltpu.VMEM((k, R, LANES), jnp.float32),        # u
+            pltpu.VMEM((k, Rp, LANES), jnp.float32),       # staging
+            pltpu.VMEM((k, int(m) + 1, R, LANES), basis_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * (nd + 4 * m) * R * LANES * int(max_iters),
+            bytes_accessed=(nd + k * (m + 4)) * R * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    rr = stats[1:1 + k]
+    conv = stats[1 + k:1 + 2 * k] > 0
+    return x3, it, rr, conv
+
+
 def _gmres_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv, x_hbm,
                       stats, x_s, b_s, u_s, w_s, V_s, sems, *, qs, pad_lo,
                       pad_hi, R, m, use_minv):

@@ -301,6 +301,9 @@ class Gmres(IterativeSolverMixin, LinOp):
         if basis_dtype is None:
             return None
         m = int(self.krylov_dim)
+        if b.shape[1] > 1:
+            # 2-4 columns ride the k-RHS per-column-stopping kernel
+            return self._try_vmem_fused_multi(b, x0)
         fast = self._try_vmem_fused_pell(b, x0)
         if fast is not None:
             return fast
@@ -344,6 +347,73 @@ class Gmres(IterativeSolverMixin, LinOp):
             history=None,
         )
         return x, info
+
+    def _try_vmem_fused_multi(self, b, x0):
+        """k-RHS whole-solve GMRES(m) (ops/pallas_gmres.
+        gmres_vmem_solve_multi): the reference's per-column
+        givens_sin/cos/residual state and stopping_status masking
+        (gmres.cpp:153-165) run in-kernel — columns share the Arnoldi
+        step counter, each carries its own QR factors, converged columns
+        freeze.  Dia operators, k <= 4 f32 columns.  Returns
+        (x, SolveInfo) or None."""
+        from ._fused_gate import (
+            frame,
+            frame_cols,
+            prepare_fused_dia,
+            tol_sq_eff_cols,
+            unframe_cols,
+        )
+        from ..ops.pallas_gmres import (
+            gmres_multi_vmem_fits,
+            gmres_vmem_solve_multi,
+        )
+
+        basis_dtype = self._fused_basis_dtype()
+        if basis_dtype is None:
+            return None
+        k = b.shape[1]
+        if k > 4:
+            return None
+        m = int(self.krylov_dim)
+
+        def fits(nd, R, itemsize, use_minv, halo_rows):
+            return gmres_multi_vmem_fits(
+                nd, R, m, k, itemsize, use_minv=use_minv,
+                halo_rows=halo_rows,
+                basis_itemsize=jnp.dtype(basis_dtype).itemsize,
+            )
+
+        ctx = prepare_fused_dia(self, b, fits, max_cols=4)
+        if ctx is None:
+            return None
+        A, R = ctx["A"], ctx["R"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff_cols(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), R)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x3, it, rr, conv = gmres_vmem_solve_multi(
+            A.diags,
+            A.offsets,
+            frame_cols(b, R),
+            frame_cols(x0, R),
+            minv2,
+            m=m,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            basis_dtype=basis_dtype,
+            interpret=ctx["interpret"],
+        )
+        x = unframe_cols(x3, n)
+        rn = jnp.sqrt(rr).astype(b.dtype)  # true residuals, always
+        conv_mask = conv & ctx["has_res"]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask,
+            history=None,
+        )
 
     def _try_vmem_fused_pell(self, b, x0):
         """Whole-solve-in-VMEM GMRES for GENERAL unstructured operators

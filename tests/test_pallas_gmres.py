@@ -172,3 +172,89 @@ def test_vmem_gmres_multichunk(poisson_dia, monkeypatch):
     (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch)
     assert bool(inf_f.converged[0])
     assert _relres(A, xf, b) < 1e-5
+
+
+# ---- k-RHS fused GMRES (per-column stopping) -----------------------------
+
+def _multi_rhs(A, k=3, scales=(1.0, 30.0, 0.02)):
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    cols = rng.standard_normal((n, k)).astype(np.float32)
+    return jnp.asarray(cols * np.asarray(scales[:k], np.float32))
+
+
+def test_vmem_gmres_multi_rhs(poisson_dia, monkeypatch):
+    """k-RHS kernel: shared Arnoldi step counter, per-column QR factors
+    and freeze.  Every column's true residual honors the tolerance and
+    solutions agree with the generic vmapped solver."""
+    A, _ = poisson_dia
+    b = _multi_rhs(A)
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-5)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(A, b, crit, monkeypatch, m=20)
+    assert bool(np.all(np.asarray(inf_f.converged)))
+    assert bool(np.all(np.asarray(inf_g.converged)))
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    rel = np.linalg.norm(r, axis=0) / np.linalg.norm(np.asarray(b), axis=0)
+    assert float(rel.max()) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-3, atol=1e-3
+    )
+    # the vmapped generic counts each column independently (max
+    # reported); the shared-j fused count agrees to one restart cycle
+    assert abs(int(inf_f.iterations) - int(inf_g.iterations)) <= 20
+
+
+def test_vmem_gmres_multi_rhs_percolumn_absolute(poisson_dia, monkeypatch):
+    """Absolute baseline makes the x30 column stop much later than the
+    x0.02 column — exercises the per-column freeze path."""
+    A, _ = poisson_dia
+    b = _multi_rhs(A)
+    crit = [
+        stop.Iteration(max_iters=600),
+        stop.ResidualNorm(tolerance=1e-4, baseline="absolute"),
+    ]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Gmres.build(criteria=crit, krylov_dim=20).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    assert bool(np.all(np.asarray(inf_f.converged)))
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    assert float(np.linalg.norm(r, axis=0).max()) < 1.5e-4
+
+
+def test_vmem_gmres_multi_rhs_jacobi_iteronly(poisson_dia, monkeypatch):
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=2, scales=(1.0, 5.0))
+    crit = [stop.Iteration(max_iters=25)]
+    (xf, inf_f), (xg, inf_g) = _solve_both(
+        A, b, crit, monkeypatch, precond=Jacobi.build(max_block_size=1),
+        m=10,
+    )
+    assert int(inf_f.iterations) == 25
+    assert not bool(np.any(np.asarray(inf_f.converged)))
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_vmem_gmres_multi_rhs_declines_over_4(poisson_dia, monkeypatch):
+    A, _ = poisson_dia
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Gmres.build(criteria=[stop.Iteration(5)]).generate(A)
+    b5 = jnp.ones((A.shape[0], 5), jnp.float32)
+    assert s._try_vmem_fused(b5, jnp.zeros_like(b5)) is None
+
+
+def test_vmem_gmres_multi_rhs_bf16_basis(poisson_dia, monkeypatch):
+    A, _ = poisson_dia
+    b = _multi_rhs(A, k=2, scales=(1.0, 2.0))
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-4)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Gmres.build(
+        criteria=crit, krylov_dim=10, storage_precision="reduce1"
+    ).generate(A)
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    assert bool(np.all(np.asarray(inf_f.converged)))
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    rel = np.linalg.norm(r, axis=0) / np.linalg.norm(np.asarray(b), axis=0)
+    assert float(rel.max()) < 1e-4
