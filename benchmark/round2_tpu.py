@@ -433,6 +433,47 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
+    # k-RHS fused GMRES vs the vmapped streaming solver
+    k_g = 3
+    bg3 = jnp.asarray(
+        rng.standard_normal((n_s, k_g)).astype(np.float32)
+    )
+
+    def gmres_multi_total(iters, fused):
+        if not fused:
+            os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
+        try:
+            s = gko.Gmres.build(
+                criteria=[stop.Iteration(max_iters=iters)], krylov_dim=20
+            ).generate(Ds)
+
+            @jax.jit
+            def run(rhs):
+                x, _ = s.solve(rhs)
+                return x
+
+            fence(run(bg3))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fence(run(bg3))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+
+    gm = {}
+    for fused in (True, False):
+        lo = gmres_multi_total(10 if small else 60, fused)
+        hi = gmres_multi_total(40 if small else 240, fused)
+        gm["fused" if fused else "stream"] = max(
+            (hi - lo) / (30 if small else 180), 1e-9
+        )
+    emit({"row": "gmres_multi_rhs_ab", "n": n_s, "k": k_g,
+          "fused_us_per_iter": round(gm["fused"] * 1e6, 1),
+          "stream_us_per_iter": round(gm["stream"] * 1e6, 1),
+          "speedup": round(gm["stream"] / gm["fused"], 2)})
+
     for name, cls, kw in (
         ("cgs", gko.Cgs, {}),
         ("bicg", gko.Bicg, {}),
