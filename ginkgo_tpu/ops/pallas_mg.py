@@ -93,7 +93,8 @@ def _visit_count(L: int, mode: str) -> int:
     return c(0, mode)
 
 
-def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone"):
+def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone",
+                      kcycle_base=1, kcycle_rel_tol=0.25):
     """Static kernel plan from per-level metadata.
 
     levels_meta: list of dicts with keys
@@ -103,7 +104,13 @@ def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone"):
       operator frame R only as 'Rc').
     The last element must carry {'Rc': coarsest frame rows}.
     mid_case mirrors multigrid.hpp:95 mid_smooth_type
-    ('both' | 'post_smoother' | 'pre_smoother' | 'standalone')."""
+    ('both' | 'post_smoother' | 'pre_smoother' | 'standalone').
+    mode 'k' is the working K-cycle (solver/multigrid._kcycle_correction
+    semantics in-kernel): kcycle_base/kcycle_rel_tol mirror
+    multigrid.hpp:364-380; levels with a possible second FCG iteration
+    get a dedicated e1-stash frame (RVk)."""
+    import math
+
     L = len(levels_meta) - 1
     Rc_last = levels_meta[-1]["Rc"]
     lv = []
@@ -164,9 +171,33 @@ def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone"):
         RVx[l + 1] = max(RVx[l + 1], lv[l]["pr"]["ccov"])
     RVx[L] = max(RVx[L], Rc_last)
     RVb[L] = max(RVb[L], Rc_last)
+    # K-cycle bookkeeping: which levels' coarse corrections are
+    # FCG-accelerated, and which child levels need an e1-stash frame
+    # (only when a second inner solve is possible: rel_tol > 0 or nan)
+    kacc = [False] * max(L, 1)
+    krt = float(kcycle_rel_tol)
+    two_possible = math.isnan(krt) or krt > 0
+    if mode == "k":
+        for l in range(L):
+            kacc[l] = (l % max(int(kcycle_base), 1) == 0) and (l + 1 < L)
+    RVk = [0] * (L + 1)
+    for l in range(L):
+        if kacc[l] and two_possible:
+            RVk[l + 1] = lv[l + 1]["R"]
+
+    def _k_visits(l):
+        if l == L:
+            return 1
+        n = 1 + _k_visits(l + 1)
+        if kacc[l] and two_possible:
+            n += _k_visits(l + 1)
+        return n
+
+    visits = _k_visits(0) if mode == "k" else _visit_count(L, mode)
     plan = dict(L=L, lv=lv, RVx=RVx, RVb=RVb, RVr=RVr, Rc=Rc_last,
-                mode=mode, mid_case=mid_case,
-                visits=_visit_count(L, mode))
+                mode=mode, mid_case=mid_case, visits=visits,
+                kacc=kacc, krt=krt, RVk=RVk,
+                nk=sum(1 for r in RVk if r))
     frame = LANES * 4
     vmem = 0
     for l in range(L):
@@ -176,7 +207,7 @@ def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone"):
         vmem += (e["R"] + e["pad_lo"] + e["pad_hi"]) * frame  # w
         vmem += RVr[l] * frame
     for l in range(L + 1):
-        vmem += (RVx[l] + RVb[l]) * frame
+        vmem += (RVx[l] + RVb[l] + RVk[l]) * frame
     vmem += (Rc_last * LANES) ** 2 * 4  # Minv
     vmem += lv[0]["R"] * frame * 2 if L else 0  # in/out DMA landing slack
     plan["vmem"] = vmem
@@ -232,17 +263,27 @@ def _vcycle_zero_init(plan, xs, bs, rs, ws):
                 (e["pad_hi"], LANES), jnp.float32)
 
 
-def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
+def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
+                 ks=()):
     """One multigrid cycle on VMEM refs: reads bs[0] (rows [0, R0)
     valid), writes the result into xs[0].  With use_x0 False the level-0
     pre-smooth starts from zero (xs[0] need not be initialized); with
     True it smooths from the current xs[0].  plan['mode'] 'v'/'w'/'f'
     unrolls the reference recursion (multigrid.cpp:445-483: second
-    coarse visit after a mid-smooth; F drops to V on the second visit).
+    coarse visit after a mid-smooth; F drops to V on the second visit);
+    'k' replaces the coarse correction with the FCG(2)-accelerated
+    K-cycle step (scalar formulas = the reference kcycle_step_1/2
+    kernels; ks = per-level e1-stash refs for levels with RVk > 0).
     Caller guarantees _vcycle_zero_init ran once on this scratch."""
+    import math
+
     L = plan["L"]
     lv = plan["lv"]
     mode = plan.get("mode", "v")
+    kidx = {}
+    for lvl in range(L + 1):
+        if plan.get("RVk", [0] * (L + 1))[lvl]:
+            kidx[lvl] = len(kidx)
 
     # ---- per-level primitive passes ------------------------------------
     def smooth_update(l, relax):
@@ -396,6 +437,111 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
     # smoother fires at the end of non-final W/F visits (:478-485).
     mid_case = plan.get("mid_case", "standalone")
 
+    def kcycle_correction(l):
+        """FCG(2)-accelerated coarse correction at level l+1 —
+        solver/multigrid._kcycle_correction executed on VMEM refs with
+        the reference kcycle_step_1/2 scalar formulas (reference/solver/
+        multigrid_kernels.cpp:55-104) and the kcycle_check_stop policy
+        (:106-121) deciding the second inner solve via pl.when."""
+        ln = l + 1
+        en = lv[ln]
+        Cn, ncn = en["C"], en["R"] // en["C"]
+        krt = plan["krt"]
+        two_always = math.isnan(krt)
+        two_never = (not two_always) and krt <= 0
+        kref = ks[kidx[ln]] if ln in kidx else None
+
+        # inner solve 1: c1 -> xs[ln]
+        visit(ln, "k", True, True, True)
+
+        # v = A_{ln} c1 -> rs[ln]; rho = <c1,v>, alpha = <c1,b>, bb = <b,b>
+        _stage(xs[ln], ws[ln], en["pad_lo"], Cn, ncn)
+
+        def vpass(c, carry):
+            rho_a, al_a, bb_a = carry
+            c0 = c * Cn
+            t = _spmv_chunk(diags[ln], ws[ln], c0, Cn, qs=en["qs"],
+                            pad_lo=en["pad_lo"])
+            rs[ln][pl.ds(c0, Cn), :] = t
+            c1c = xs[ln][pl.ds(c0, Cn), :]
+            bc = bs[ln][pl.ds(c0, Cn), :]
+            return (rho_a + jnp.sum(c1c * t), al_a + jnp.sum(c1c * bc),
+                    bb_a + jnp.sum(bc * bc))
+
+        rho, alpha, bb = jax.lax.fori_loop(
+            0, ncn, vpass,
+            (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        )
+        temp = alpha / rho  # raw: kcycle_step_1 guards on is_finite
+        fin = jnp.isfinite(temp)
+        tempe = jnp.where(fin, temp, 1.0)
+
+        # kcycle_step_1: b -= temp v (the updated residual g2, reused as
+        # the second solve's rhs); e1 = temp c1 (+ optional stash)
+        def s1(c, g2):
+            c0 = c * Cn
+            bc = bs[ln][pl.ds(c0, Cn), :]
+            nb = jnp.where(fin, bc - tempe * rs[ln][pl.ds(c0, Cn), :], bc)
+            bs[ln][pl.ds(c0, Cn), :] = nb
+            e1 = jnp.where(
+                fin, tempe * xs[ln][pl.ds(c0, Cn), :],
+                xs[ln][pl.ds(c0, Cn), :],
+            )
+            xs[ln][pl.ds(c0, Cn), :] = e1
+            if kref is not None:
+                kref[pl.ds(c0, Cn), :] = e1
+            return g2 + jnp.sum(nb * nb)
+
+        g2sq = jax.lax.fori_loop(0, ncn, s1, jnp.float32(0))
+        if two_never:
+            return
+
+        def second_body():
+            # inner solve 2: c2 -> xs[ln] (zero-guess smooth overwrites;
+            # e1 survives in kref)
+            visit(ln, "k", True, True, True)
+            _stage(xs[ln], ws[ln], en["pad_lo"], Cn, ncn)
+
+            def wpass(c, carry):
+                ga, be, ze = carry
+                c0 = c * Cn
+                w = _spmv_chunk(diags[ln], ws[ln], c0, Cn, qs=en["qs"],
+                                pad_lo=en["pad_lo"])
+                c2c = xs[ln][pl.ds(c0, Cn), :]
+                e1c = kref[pl.ds(c0, Cn), :]
+                bc = bs[ln][pl.ds(c0, Cn), :]
+                return (ga + jnp.sum(e1c * w), be + jnp.sum(c2c * w),
+                        ze + jnp.sum(c2c * bc))
+
+            ga_e1, beta_s, zeta = jax.lax.fori_loop(
+                0, ncn, wpass,
+                (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+            )
+            # <c1, A c2> from the stashed e1 = temp c1
+            gamma = jnp.where(fin, ga_e1 / tempe, ga_e1)
+            scalar_d = zeta / (beta_s - gamma * gamma / rho)
+            scalar_e = 1.0 - gamma / alpha * scalar_d
+            ok = jnp.isfinite(scalar_d) & jnp.isfinite(scalar_e)
+            se = jnp.where(ok, scalar_e, 1.0)
+            sd = jnp.where(ok, scalar_d, 0.0)
+
+            def comb(c, _):
+                c0 = c * Cn
+                xs[ln][pl.ds(c0, Cn), :] = (
+                    se * kref[pl.ds(c0, Cn), :]
+                    + sd * xs[ln][pl.ds(c0, Cn), :]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, ncn, comb, 0)
+
+        if two_always:
+            second_body()
+        else:
+            # kcycle_check_stop: second iteration iff the updated
+            # residual missed rel_tol * ||b||
+            pl.when(g2sq > krt * krt * bb)(second_body)
+
     def visit(l, cyc, first, end, zero):
         if l == L:
             coarse_solve()
@@ -412,11 +558,15 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False):
                 smooth_update(l, e["rp"])
         residual(l)
         restrict(l)
-        visit(l + 1, cyc, True, cyc == "v", True)
-        if cyc in ("w", "f") and l + 1 < L:
-            # second coarse visit continues from the first visit's
-            # solution with the same rhs (multigrid.cpp:452-461)
-            visit(l + 1, "v" if cyc == "f" else cyc, False, True, False)
+        if cyc == "k" and plan["kacc"][l]:
+            kcycle_correction(l)
+        else:
+            visit(l + 1, cyc, True, cyc in ("v", "k"), True)
+            if cyc in ("w", "f") and l + 1 < L:
+                # second coarse visit continues from the first visit's
+                # solution with the same rhs (multigrid.cpp:452-461)
+                visit(l + 1, "v" if cyc == "f" else cyc, False, True,
+                      False)
         prolong_add(l)
         if end or mid_case in ("both", "post_smoother"):
             for _ in range(e["ito"]):
@@ -444,6 +594,8 @@ def _mg_kernel(*refs, plan, use_x0):
     bs = refs[i:i + L + 1]; i += L + 1
     rs = refs[i:i + L]; i += L
     ws = refs[i:i + L]; i += L
+    nk = plan.get("nk", 0)
+    ks = refs[i:i + nk]; i += nk
     sems = refs[i]
 
     _vcycle_zero_init(plan, xs, bs, rs, ws)
@@ -459,7 +611,8 @@ def _mg_kernel(*refs, plan, use_x0):
         cp_x.wait()
     cp_b.wait()
 
-    _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=use_x0)
+    _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=use_x0,
+                 ks=ks)
 
     # ---- DMA out --------------------------------------------------------
     cp_o = pltpu.make_async_copy(xs[0].at[pl.ds(0, R0)], xout_hbm, sems.at[2])
@@ -497,6 +650,9 @@ def mg_vmem_vcycle(plan, diags_list, dinv2_list, minv2, b2, x02=None,
             pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
                        jnp.float32)
         )
+    for rk in plan.get("RVk", []):
+        if rk:
+            scratch.append(pltpu.VMEM((rk, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
     args = list(diags_list) + list(dinv2_list) + [minv2, b2]
     if use_x0:
@@ -558,6 +714,8 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
     bs_rest = refs[i:i + L]; i += L
     rs = refs[i:i + L]; i += L
     ws = refs[i:i + L]; i += L
+    nk = plan.get("nk", 0)
+    ks = refs[i:i + nk]; i += nk
     sems = refs[i]
 
     bs = (r_s,) + tuple(bs_rest)
@@ -585,7 +743,7 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
 
     def precondition():
         """z_s (= xs[0]) = one V-cycle from zero on b = r_s (= bs[0])."""
-        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws)
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, ks=ks)
 
     # ---- init: z = M r0; p = z; rho = r.z; rr = r.r -------------------
     precondition()
@@ -718,6 +876,9 @@ def mg_cg_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2, r0_2,
             pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
                        jnp.float32)
         )
+    for rk in plan.get("RVk", []):
+        if rk:
+            scratch.append(pltpu.VMEM((rk, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     x2, _r2, stats = pl.pallas_call(
         kernel,
@@ -779,6 +940,8 @@ def _mg_solve_kernel(*refs, plan):
     bs = refs[i:i + L + 1]; i += L + 1
     rs = refs[i:i + L]; i += L
     ws = refs[i:i + L]; i += L
+    nk = plan.get("nk", 0)
+    ks = refs[i:i + nk]; i += nk
     sems = refs[i]
 
     tol_sq = scal[0]
@@ -813,7 +976,8 @@ def _mg_solve_kernel(*refs, plan):
 
     def body(st):
         it, _ = st
-        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=True)
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=True,
+                     ks=ks)
         return (it + 1, true_rr())
 
     it, rr = jax.lax.while_loop(
@@ -858,6 +1022,9 @@ def mg_vmem_solve(plan, diags_list, dinv2_list, minv2, b2, x02, *,
             pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
                        jnp.float32)
         )
+    for rk in plan.get("RVk", []):
+        if rk:
+            scratch.append(pltpu.VMEM((rk, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
     x2, stats = pl.pallas_call(
         kernel,
@@ -930,6 +1097,8 @@ def _bicgstab_mg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
     bs_rest = refs[i:i + L]; i += L
     rs = refs[i:i + L]; i += L
     ws = refs[i:i + L]; i += L
+    nk = plan.get("nk", 0)
+    ks = refs[i:i + nk]; i += nk
     sems = refs[i]
 
     bs = (b0_s,) + tuple(bs_rest)
@@ -972,7 +1141,7 @@ def _bicgstab_mg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
     def m_apply(rhs_s, out_s):
         """out = one V-cycle from zero on b = rhs."""
         copy_rows(rhs_s, b0_s)
-        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws)
+        _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, ks=ks)
         copy_rows(xs[0], out_s)
 
     def init_chunk(c, rho):
@@ -1129,6 +1298,9 @@ def mg_bicgstab_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2,
             pltpu.VMEM((e["R"] + e["pad_lo"] + e["pad_hi"], LANES),
                        jnp.float32)
         )
+    for rk in plan.get("RVk", []):
+        if rk:
+            scratch.append(pltpu.VMEM((rk, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     x2, _r2, stats = pl.pallas_call(
         kernel,

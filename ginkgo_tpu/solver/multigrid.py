@@ -358,7 +358,7 @@ class Multigrid(LinOp):
         from ..multigrid.pgm import BandedProlongation, BandedRestriction
         from .direct import Direct
 
-        if self.cycle not in ("v", "w", "f"):
+        if self.cycle not in ("v", "w", "f", "k"):
             return None
         if self.coarse_dense_inv is None or not isinstance(
             self.coarse_solver, Direct
@@ -378,7 +378,9 @@ class Multigrid(LinOp):
                 and post.relax == pre.relax
             ):
                 return None
-            mid_used = self.cycle != "v" and self.mid_case == "standalone"
+            mid_used = self.cycle in ("w", "f") and (
+                self.mid_case == "standalone"
+            )
             if mid_used and mid is not pre and not (
                 isinstance(mid, FixedSmoother)
                 and mid.iters == pre.iters
@@ -429,7 +431,9 @@ class Multigrid(LinOp):
             return None
         meta.append(dict(Rc=Rc))
         plan = build_vcycle_plan(
-            meta, mode=self.cycle, mid_case=self.mid_case
+            meta, mode=self.cycle, mid_case=self.mid_case,
+            kcycle_base=self.kcycle_base,
+            kcycle_rel_tol=self.kcycle_rel_tol,
         )
         if plan["visits"] > 96:  # W-cycle unroll is exponential in depth
             return None

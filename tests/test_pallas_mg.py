@@ -219,3 +219,83 @@ def test_wf_cycle_apply_parity(monkeypatch, cycle, mid_case):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=3e-5, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("rel_tol", [0.25, float("nan"), -1.0])
+def test_kcycle_fused_solve_parity(monkeypatch, rel_tol):
+    """Fused K-cycle (kcycle_correction on VMEM refs, pl.when-gated
+    second inner solve) vs the generic K-cycle: identical iteration
+    counts under every second-iteration policy."""
+    data = generators.poisson_2d(32, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    mg = Multigrid.build(
+        criteria=[stop.Iteration(max_iters=40),
+                  stop.ResidualNorm(tolerance=1e-4)],
+        max_levels=4,
+        min_coarse_rows=16,
+        cycle="k",
+        kcycle_rel_tol=rel_tol,
+    ).generate(A)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    assert mg._try_fused_vcycle(b, None) is not None
+    xf, inf_f = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = mg.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert bool(inf_f.converged[0]) and bool(inf_g.converged[0])
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_kcycle_fused_beats_v(monkeypatch):
+    """The fused K-cycle's acceleration survives the kernel: fewer
+    solve iterations than the fused V-cycle on the same hierarchy."""
+    data = generators.poisson_2d(32, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    its = {}
+    for cyc in ("v", "k"):
+        mg = Multigrid.build(
+            criteria=[stop.Iteration(max_iters=60),
+                      stop.ResidualNorm(tolerance=1e-4)],
+            max_levels=4,
+            min_coarse_rows=16,
+            cycle=cyc,
+        ).generate(A)
+        x, info = mg.solve(b)
+        assert bool(info.converged[0]), cyc
+        its[cyc] = int(info.iterations)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    assert its["k"] < its["v"], its
+
+
+def test_kcycle_fused_mg_cg(monkeypatch):
+    """K-cycle as the preconditioner inside the fused MG-CG kernel."""
+    data = generators.poisson_2d(32, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=100), stop.ResidualNorm(tolerance=1e-5)]
+    mgf = Multigrid.build(
+        criteria=[stop.Iteration(max_iters=1)], cycle="k",
+        max_levels=4, min_coarse_rows=16,
+    )
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    xf, inf_f = Cg.build(criteria=crit, preconditioner=mgf).generate(
+        A
+    ).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Cg.build(criteria=crit, preconditioner=mgf).generate(
+        A
+    ).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert bool(inf_f.converged[0])
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=3e-4, atol=3e-4
+    )
