@@ -272,6 +272,54 @@ def main():
           "stream_us_per_iter": round(mc["stream"] * 1e6, 1),
           "speedup": round(mc["stream"] / mc["fused"], 2)})
 
+    # ---- fused K-cycle vs fused V-cycle (standalone MG solve) ---------
+    # per-cycle cost (iteration-capped slope) AND iterations-to-tol: the
+    # K-cycle's second inner solves cost ~2x/cycle but cut iteration
+    # counts ~2.5x on deep hierarchies
+    def mg_total(cyc, iters):
+        s = gko.Multigrid.build(
+            criteria=[stop.Iteration(max_iters=iters)],
+            max_levels=5, cycle=cyc,
+        ).generate(Dg)
+
+        @jax.jit
+        def run(rhs):
+            x, _ = s.solve(rhs)
+            return x
+
+        fence(run(bg))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(run(bg))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def mg_iters(cyc):
+        s = gko.Multigrid.build(
+            criteria=[stop.Iteration(max_iters=200),
+                      stop.ResidualNorm(tolerance=1e-5)],
+            max_levels=5, cycle=cyc,
+        ).generate(Dg)
+        _, info = s.solve(bg)
+        return int(info.iterations)
+
+    kc = {}
+    for cyc in ("v", "k"):
+        lo = mg_total(cyc, 4 if small else 10)
+        hi = mg_total(cyc, 16 if small else 40)
+        kc[cyc] = {"us_per_cycle": max(
+            (hi - lo) / (12 if small else 30), 1e-9) * 1e6,
+            "iters_to_tol": mg_iters(cyc)}
+    tot_v = kc["v"]["us_per_cycle"] * kc["v"]["iters_to_tol"]
+    tot_k = kc["k"]["us_per_cycle"] * kc["k"]["iters_to_tol"]
+    emit({"row": "mg_kcycle_ab", "n": data_g.shape[0],
+          "v_us_per_cycle": round(kc["v"]["us_per_cycle"], 1),
+          "k_us_per_cycle": round(kc["k"]["us_per_cycle"], 1),
+          "v_iters": kc["v"]["iters_to_tol"],
+          "k_iters": kc["k"]["iters_to_tol"],
+          "total_speedup_k_vs_v": round(tot_v / max(tot_k, 1e-9), 2)})
+
     # ---- fused vs streaming sweep trisolve (standalone apply) ----------
     # The ILU L factor of the banded Poisson operator lands in Dia, so the
     # sweeps TriangularSolver rides ops/pallas_trs.py when fused paths are
