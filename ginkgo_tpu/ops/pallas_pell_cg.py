@@ -538,3 +538,235 @@ def pell_bicgstab_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     )(*args)
     it = stats[0].astype(jnp.int32)
     return x2, it, stats[1], stats[2] > 0
+
+
+def pell_cgs_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
+                       q_itemsize: int = 4, n_steps: int = 0,
+                       use_minv: bool = False) -> bool:
+    """x/r/rr/q/u/v frames + panel-padded p and w (and the explicit-M
+    staging) + slot arrays + SMEM maps."""
+    if n_steps + n_slots > _MAX_SMEM_INTS:
+        return False
+    Rf = NT * SUBLANES
+    slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
+    pads = (2 * PAD_PANELS + 1) / max(Rf, 1)
+    vec_frames = 8.5 + 2 * pads + ((1 + pads) if use_minv else 0)
+    return slot_bytes + vec_frames * Rf * LANES * 4 <= cg_vmem_budget_bytes()
+
+
+def _pell_cgs_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
+                     x0_hbm, minv, x_hbm, r_hbm, stats, x_s, r_s, rr_s,
+                     q_s, u_s, v_s, p_s, w2_s, m_s, sems, *, G, n_steps,
+                     Rf, use_minv, use_implicit):
+    """Whole-solve CGS on a Pell operator — semantics mirror
+    ops/pallas_cgs._cgs_kernel (itself solver/bicgstab.py Cgs /
+    core/solver/cgs.cpp): u = r + beta q; p = u + beta(q + beta p);
+    v = A M p; q_new = u - alpha v; x += alpha M(u + q_new);
+    r -= alpha A M(u + q_new).  Right preconditioning is EXPLICIT (the
+    PELL layout has no cheap column-scaling fold); the second SpMV's
+    result reuses the v frame."""
+    tol_sq = scal[0]
+    max_iters = iscal[0]
+    C = _chunk_rows(Rf)
+    n_chunks = Rf // C
+    Rp = Rf + 2 * PAD_PANELS + 1
+
+    cp_r = pltpu.make_async_copy(r0_hbm, r_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_r.start()
+    cp_x.start()
+    cp_r.wait()
+    cp_x.wait()
+
+    def mchunk(c0):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    pad_refs = (p_s, w2_s, m_s) if use_minv else (p_s, w2_s)
+    for ref in pad_refs:
+        ref[0:PAD_PANELS] = jnp.zeros((PAD_PANELS, LANES), jnp.float32)
+        ref[Rp - PAD_PANELS - 1:Rp] = jnp.zeros(
+            (PAD_PANELS + 1, LANES), jnp.float32
+        )
+
+    _spmv = _make_pell_spmv(
+        tiles, bases, vals, qidx, G=G, n_steps=n_steps, C=C,
+        n_chunks=n_chunks,
+    )
+
+    def precondition(src_pad):
+        if not use_minv:
+            return src_pad
+
+        def w_chunk(c, _):
+            c0 = c * C
+            m_s[pl.ds(PAD_PANELS + c0, C), :] = (
+                mchunk(c0) * src_pad[pl.ds(PAD_PANELS + c0, C), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, w_chunk, 0)
+        return m_s
+
+    def init_chunk(c, rho):
+        c0 = c * C
+        r_c = r_s[pl.ds(c0, C), :]
+        rr_s[pl.ds(c0, C), :] = r_c
+        q_s[pl.ds(c0, C), :] = jnp.zeros((C, LANES), jnp.float32)
+        p_s[pl.ds(PAD_PANELS + c0, C), :] = jnp.zeros(
+            (C, LANES), jnp.float32
+        )
+        return rho + jnp.sum(r_c * r_c)
+
+    rho0 = jax.lax.fori_loop(0, n_chunks, init_chunk, jnp.float32(0))
+
+    def cond(st):
+        it, rho_old, rho_new, stop_mon = st
+        return (it < max_iters) & (stop_mon > tol_sq)
+
+    def body(st):
+        it, rho_old, rho_new, _ = st
+        beta = _sdiv(rho_new, rho_old)
+
+        def up_chunk(c, _):
+            c0 = c * C
+            r_c = r_s[pl.ds(c0, C), :]
+            q_c = q_s[pl.ds(c0, C), :]
+            u_c = r_c + beta * q_c
+            u_s[pl.ds(c0, C), :] = u_c
+            p_old = p_s[pl.ds(PAD_PANELS + c0, C), :]
+            p_s[pl.ds(PAD_PANELS + c0, C), :] = (
+                u_c + beta * (q_c + beta * p_old)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, up_chunk, 0)
+
+        _spmv(precondition(p_s), v_s)
+
+        def sg_chunk(c, sg):
+            c0 = c * C
+            return sg + jnp.sum(
+                rr_s[pl.ds(c0, C), :] * v_s[pl.ds(c0, C), :]
+            )
+
+        sigma = jax.lax.fori_loop(0, n_chunks, sg_chunk, jnp.float32(0))
+        alpha = _sdiv(rho_new, sigma)
+
+        def qw_chunk(c, _):
+            c0 = c * C
+            u_c = u_s[pl.ds(c0, C), :]
+            q_new = u_c - alpha * v_s[pl.ds(c0, C), :]
+            q_s[pl.ds(c0, C), :] = q_new
+            w2_s[pl.ds(PAD_PANELS + c0, C), :] = u_c + q_new
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, qw_chunk, 0)
+
+        _spmv(precondition(w2_s), v_s)  # t = A M w, reusing the v frame
+
+        def upd_chunk(c, carry):
+            rho_nxt, rnorm = carry
+            c0 = c * C
+            w_c = w2_s[pl.ds(PAD_PANELS + c0, C), :]
+            mw_c = mchunk(c0) * w_c if use_minv else w_c
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * mw_c
+            r_c = r_s[pl.ds(c0, C), :] - alpha * v_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return (
+                rho_nxt + jnp.sum(rr_s[pl.ds(c0, C), :] * r_c),
+                rnorm + jnp.sum(r_c * r_c),
+            )
+
+        rho_next, rr_new = jax.lax.fori_loop(
+            0, n_chunks, upd_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        stop_mon = jnp.abs(rho_new) if use_implicit else rr_new
+        return (it + 1, rho_new, rho_next, stop_mon)
+
+    it, _ro, _rn, stop_mon = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.float32(1), rho0,
+         jnp.float32(jnp.inf)),
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_ro = pltpu.make_async_copy(r_s, r_hbm, sems.at[1])
+    cp_xo.start()
+    cp_ro.start()
+    cp_xo.wait()
+    cp_ro.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = stop_mon
+    stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
+
+
+def pell_cgs_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
+                        max_iters, use_implicit=False, interpret=False):
+    """Run CGS to convergence in one Pallas kernel on a Pell operator.
+    Same contract as pell_cg_vmem_solve."""
+    Rf = A.NT * SUBLANES
+    assert r0_2.shape == (Rf, LANES)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _pell_cgs_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf,
+        use_minv=use_minv, use_implicit=use_implicit,
+    )
+    scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    args = [
+        scal, iscal,
+        A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
+        A.values, qidx, r0_2, x0_2,
+        minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    Rp = Rf + 2 * PAD_PANELS + 1
+    x2, _r2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((Rf, LANES), r0_2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # x
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # r
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # rr
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # q
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # u
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # v (reused as t)
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # p (panel-padded)
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # w = u+q (padded)
+            pltpu.VMEM((Rp if use_minv else 8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (A.values.size + 7 * Rf * LANES) * int(max_iters),
+            bytes_accessed=A.values.size
+            * (A.values.dtype.itemsize + 4) + 4 * Rf * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

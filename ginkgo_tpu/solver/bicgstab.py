@@ -410,6 +410,49 @@ class Cgs(IterativeSolverMixin, LinOp):
     def create(cls, A, preconditioner, criterion, **params):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
 
+    def _try_vmem_fused_pell(self, b, x0):
+        """Whole-solve-in-VMEM CGS for GENERAL unstructured operators
+        (ops/pallas_pell_cg.pell_cgs_vmem_solve): Pell slots + the eight
+        state frames VMEM-resident; right preconditioning applied
+        explicitly in-kernel.  Returns (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_pell, tol_sq_eff
+        from ..ops.pallas_pell_cg import (
+            pell_cgs_vmem_fits,
+            pell_cgs_vmem_solve,
+        )
+
+        ctx = prepare_fused_pell(self, b, pell_cgs_vmem_fits)
+        if ctx is None:
+            return None
+        A, Rf = ctx["A"], ctx["Rf"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), Rf)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, mon, conv = pell_cgs_vmem_solve(
+            A,
+            frame(r0, Rf),
+            frame(x0, Rf),
+            minv2,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            use_implicit=ctx["implicit"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"] and not ctx["implicit"]:
+            rn = jnp.sqrt(mon)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
     def _try_vmem_fused(self, b, x0):
         """Whole-solve-in-VMEM CGS (ops/pallas_cgs.py), same gate as the
         fused CG/BiCGSTAB (solver/_fused_gate.py): Dia operator, diagonal
@@ -418,6 +461,9 @@ class Cgs(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_cgs import cgs_vmem_fits, cgs_vmem_solve
 
+        fast = self._try_vmem_fused_pell(b, x0)
+        if fast is not None:
+            return fast
         ctx = prepare_fused_dia(self, b, cgs_vmem_fits)
         if ctx is None:
             return None

@@ -167,3 +167,27 @@ def test_vmem_bicg_spd_same_as_cg_style(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
     )
+
+
+def test_vmem_cgs_pell_matches_generic(monkeypatch):
+    """Fused CGS on a GENERAL unstructured (Pell) operator vs the
+    generic streaming loop."""
+    from ginkgo_tpu.matrix.pell import Pell
+
+    data = _nonsym_tridiag(700)
+    A = Pell.from_matrix_data(data)
+    b = jnp.asarray(
+        np.random.default_rng(4).standard_normal((700, 1)).astype(np.float32)
+    )
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-6)]
+    for pre in (None, Jacobi.build(max_block_size=1)):
+        (xf, inf_f), (xg, inf_g) = _solve_both(
+            Cgs, A, b, crit, monkeypatch, precond=pre
+        )
+        assert int(inf_f.iterations) == int(inf_g.iterations)
+        assert bool(inf_f.converged[0])
+        r = np.asarray(b) - np.asarray(A.apply(xf))
+        assert np.linalg.norm(r) <= 2e-6 * np.linalg.norm(np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+        )
