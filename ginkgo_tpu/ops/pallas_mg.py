@@ -686,13 +686,17 @@ def mg_cg_vmem_fits(plan, nd_a: int, R: int, a_itemsize: int = 4,
     return cg_bytes + plan["vmem"] - 3 * frame <= cg_vmem_budget_bytes()
 
 
-def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
+def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit,
+                  flexible=False):
     """Whole-solve fused AMG-preconditioned CG: the CG loop of
     ops/pallas_cg_ilu._cg_ilu_kernel with precondition() = one full
     V-cycle on the VMEM-resident hierarchy (z = M r, M = one multigrid
     cycle from zero).  bs[0] of the cycle aliases the CG residual frame;
-    z is the cycle's xs[0].  stats out: [iterations, monitored_sq,
-    converged]."""
+    z is the cycle's xs[0].  With flexible=True the beta numerator is
+    FCG's Polak-Ribiere rho_t = <r_new - r_old, z_new> (fcg.cpp) — the
+    update pass stashes r_old in the then-dead q frame, so a varying
+    (e.g. K-cycle) preconditioner costs no extra VMEM.  stats out:
+    [iterations, monitored_sq, converged]."""
     L = plan["L"]
     i = 0
     scal = refs[i]; i += 1
@@ -781,8 +785,11 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
             c0 = c * C
             p_c = p_s[pl.ds(pa_lo + c0, C), :]
             x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * p_c
-            r_c = r_s[pl.ds(c0, C), :] - alpha * q_s[pl.ds(c0, C), :]
+            r_old_c = r_s[pl.ds(c0, C), :]
+            r_c = r_old_c - alpha * q_s[pl.ds(c0, C), :]
             r_s[pl.ds(c0, C), :] = r_c
+            if flexible:
+                q_s[pl.ds(c0, C), :] = r_old_c  # q is dead: stash r_old
             return rr_n + jnp.sum(r_c * r_c)
 
         rr_new = jax.lax.fori_loop(0, n_chunks, update_chunk,
@@ -791,14 +798,19 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
         precondition()
 
         def rho_chunk(c, acc):
+            rho_a, rold_a = acc
             c0 = c * C
-            return acc + jnp.sum(
-                r_s[pl.ds(c0, C), :] * z_s[pl.ds(c0, C), :]
-            )
+            z_c = z_s[pl.ds(c0, C), :]
+            rho_a = rho_a + jnp.sum(r_s[pl.ds(c0, C), :] * z_c)
+            if flexible:
+                rold_a = rold_a + jnp.sum(q_s[pl.ds(c0, C), :] * z_c)
+            return (rho_a, rold_a)
 
-        rho_new = jax.lax.fori_loop(0, n_chunks, rho_chunk,
-                                    jnp.float32(0))
-        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+        rho_new, rold_z = jax.lax.fori_loop(
+            0, n_chunks, rho_chunk, (jnp.float32(0), jnp.float32(0))
+        )
+        num = rho_new - rold_z if flexible else rho_new
+        beta = jnp.where(rho != 0, num / jnp.where(rho != 0, rho, 1.0),
                          0.0)
 
         def pdir_chunk(c, _):
@@ -831,7 +843,7 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
 
 def mg_cg_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2, r0_2,
                      x0_2, *, tol_sq_eff, max_iters, use_implicit=False,
-                     interpret=False):
+                     flexible=False, interpret=False):
     """Run AMG-preconditioned CG to convergence in one Pallas kernel.
 
     A_dia: the fine operator (matrix.dia.Dia); plan/diags/dinv/minv:
@@ -845,7 +857,7 @@ def mg_cg_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2, r0_2,
     qs_a, _, _, pa_lo, pa_hi = _plan(A_dia.offsets, R)
     kernel = functools.partial(
         _mg_cg_kernel, plan=plan, qs_a=qs_a, pad_a=(pa_lo, pa_hi), R=R,
-        use_implicit=use_implicit,
+        use_implicit=use_implicit, flexible=flexible,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))

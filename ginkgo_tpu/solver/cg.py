@@ -65,13 +65,17 @@ class Cg(IterativeSolverMixin, LinOp):
         fast = Cg._try_vmem_fused_pell(self, b, x0, flexible=flexible)
         if fast is not None:
             return fast
-        if not flexible:  # the ILU/MG in-kernel preconditioners are plain-CG only
+        if not flexible:  # the ILU in-kernel preconditioner is plain-CG only
             fast = self._try_vmem_fused_ilu(b, x0)
             if fast is not None:
                 return fast
-            fast = self._try_vmem_fused_mg(b, x0)
-            if fast is not None:
-                return fast
+        # the in-kernel MG preconditioner serves both: plain CG beta, or
+        # FCG's Polak-Ribiere beta (the right pairing for the nonlinear
+        # K-cycle — Notay's FCG/K-cycle combination)
+        # explicit class call: Fcg reuses this method without subclassing
+        fast = Cg._try_vmem_fused_mg(self, b, x0, flexible=flexible)
+        if fast is not None:
+            return fast
 
         store_q_pick = []
 
@@ -282,7 +286,7 @@ class Cg(IterativeSolverMixin, LinOp):
         )
         return x, info
 
-    def _try_vmem_fused_mg(self, b, x0):
+    def _try_vmem_fused_mg(self, b, x0, flexible=False):
         """Whole-solve-in-VMEM CG with an IN-KERNEL AMG V-cycle
         preconditioner (ops/pallas_mg.py): per iteration, one A-SpMV +
         one full multigrid cycle over the VMEM-resident hierarchy + the
@@ -328,6 +332,7 @@ class Cg(IterativeSolverMixin, LinOp):
             tol_sq_eff=tol_sq,
             max_iters=ctx["cap"],
             use_implicit=ctx["implicit"],
+            flexible=flexible,
             interpret=ctx["interpret"],
         )
         x = x2.reshape(-1, 1)[:n]

@@ -299,3 +299,36 @@ def test_kcycle_fused_mg_cg(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=3e-4, atol=3e-4
     )
+
+
+def test_kcycle_fused_mg_fcg(monkeypatch):
+    """FCG with a K-cycle multigrid preconditioner — Notay's canonical
+    pairing — runs whole-solve fused (flexible beta in the MG-CG
+    kernel, r_old stashed in the dead q frame) and matches the generic
+    Fcg loop iteration-for-iteration."""
+    from ginkgo_tpu.solver.cg import Fcg
+
+    data = generators.poisson_2d(32, dtype=np.float32)
+    A = Dia.from_matrix_data(data)
+    b = jnp.ones((A.shape[0], 1), jnp.float32)
+    crit = [stop.Iteration(max_iters=100), stop.ResidualNorm(tolerance=1e-5)]
+    for cyc in ("v", "k"):
+        mgf = Multigrid.build(
+            criteria=[stop.Iteration(max_iters=1)], cycle=cyc,
+            max_levels=4, min_coarse_rows=16,
+        )
+        monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+        xf, inf_f = Fcg.build(criteria=crit, preconditioner=mgf).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+        monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+        xg, inf_g = Fcg.build(criteria=crit, preconditioner=mgf).generate(
+            A
+        ).solve(b)
+        monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+        assert int(inf_f.iterations) == int(inf_g.iterations), cyc
+        assert bool(inf_f.converged[0]), cyc
+        np.testing.assert_allclose(
+            np.asarray(xf), np.asarray(xg), rtol=3e-4, atol=3e-4
+        )
