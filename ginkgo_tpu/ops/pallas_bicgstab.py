@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_cg import _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_cg import (
+    _chunk_rows, _sdiv, _spmv_chunk, cg_vmem_budget_bytes,
+)
 from .pallas_dia import _plan
 
 LANES = 128
@@ -44,10 +46,6 @@ def bicgstab_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
     return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
     )
-
-
-def _sdiv(num, den):
-    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 
 
 def _bicgstab_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,

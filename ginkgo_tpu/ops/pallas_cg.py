@@ -47,6 +47,12 @@ from .pallas_dia import _plan
 LANES = 128
 
 
+def _sdiv(num, den):
+    """Guarded division: num/den with den == 0 mapping to 0 (the fused
+    solver family's shared zero-denominator convention)."""
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+
+
 def _chunk_rows(R: int) -> int:
     """Row-chunk size for the in-kernel loops: big enough to amortize loop
     overhead, small enough that per-chunk temporaries live in registers.

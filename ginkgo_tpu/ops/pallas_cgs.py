@@ -32,14 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_cg import _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_cg import (
+    _chunk_rows, _sdiv, _spmv_chunk, cg_vmem_budget_bytes,
+)
 from .pallas_dia import _plan
 
 LANES = 128
-
-
-def _sdiv(num, den):
-    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 
 
 # --------------------------------------------------------------------------

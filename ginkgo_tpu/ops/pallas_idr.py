@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_cg import _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
+from .pallas_cg import (
+    _chunk_rows, _sdiv, _spmv_chunk, cg_vmem_budget_bytes,
+)
 from .pallas_dia import _plan
 
 LANES = 128
@@ -51,10 +53,6 @@ def idr_vmem_fits(nd: int, R: int, s: int, diag_itemsize: int = 4,
     return nd * R * LANES * diag_itemsize + vec_frames * frame <= (
         cg_vmem_budget_bytes()
     )
-
-
-def _sdiv(num, den):
-    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 
 
 def _idr_kernel(scal, iscal, diags, P3, r0_hbm, x0_hbm, b_hbm, minv,

@@ -176,7 +176,7 @@ def build_vcycle_plan(levels_meta, mode="v", mid_case="standalone",
     # (only when a second inner solve is possible: rel_tol > 0 or nan)
     kacc = [False] * max(L, 1)
     krt = float(kcycle_rel_tol)
-    two_possible = math.isnan(krt) or krt > 0
+    two_possible = math.isnan(krt) or krt > 0  # inf counts as > 0
     if mode == "k":
         for l in range(L):
             kacc[l] = (l % max(int(kcycle_base), 1) == 0) and (l + 1 < L)
@@ -447,7 +447,7 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
         en = lv[ln]
         Cn, ncn = en["C"], en["R"] // en["C"]
         krt = plan["krt"]
-        two_always = math.isnan(krt)
+        two_always = math.isnan(krt) or (math.isinf(krt) and krt > 0)
         two_never = (not two_always) and krt <= 0
         kref = ks[kidx[ln]] if ln in kidx else None
 
@@ -455,6 +455,9 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
         visit(ln, "k", True, True, True)
 
         # v = A_{ln} c1 -> rs[ln]; rho = <c1,v>, alpha = <c1,b>, bb = <b,b>
+        # (the UNSCALED c1 is stashed here so the second FCG step can
+        # form gamma = <c1, A c2> directly — no divide-back by temp,
+        # which would NaN when alpha underflows)
         _stage(xs[ln], ws[ln], en["pad_lo"], Cn, ncn)
 
         def vpass(c, carry):
@@ -464,6 +467,8 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
                             pad_lo=en["pad_lo"])
             rs[ln][pl.ds(c0, Cn), :] = t
             c1c = xs[ln][pl.ds(c0, Cn), :]
+            if kref is not None:
+                kref[pl.ds(c0, Cn), :] = c1c
             bc = bs[ln][pl.ds(c0, Cn), :]
             return (rho_a + jnp.sum(c1c * t), al_a + jnp.sum(c1c * bc),
                     bb_a + jnp.sum(bc * bc))
@@ -477,7 +482,7 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
         tempe = jnp.where(fin, temp, 1.0)
 
         # kcycle_step_1: b -= temp v (the updated residual g2, reused as
-        # the second solve's rhs); e1 = temp c1 (+ optional stash)
+        # the second solve's rhs); e1 = temp c1 lands in xs[ln]
         def s1(c, g2):
             c0 = c * Cn
             bc = bs[ln][pl.ds(c0, Cn), :]
@@ -488,8 +493,6 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
                 xs[ln][pl.ds(c0, Cn), :],
             )
             xs[ln][pl.ds(c0, Cn), :] = e1
-            if kref is not None:
-                kref[pl.ds(c0, Cn), :] = e1
             return g2 + jnp.sum(nb * nb)
 
         g2sq = jax.lax.fori_loop(0, ncn, s1, jnp.float32(0))
@@ -508,27 +511,28 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
                 w = _spmv_chunk(diags[ln], ws[ln], c0, Cn, qs=en["qs"],
                                 pad_lo=en["pad_lo"])
                 c2c = xs[ln][pl.ds(c0, Cn), :]
-                e1c = kref[pl.ds(c0, Cn), :]
+                c1c = kref[pl.ds(c0, Cn), :]
                 bc = bs[ln][pl.ds(c0, Cn), :]
-                return (ga + jnp.sum(e1c * w), be + jnp.sum(c2c * w),
+                return (ga + jnp.sum(c1c * w), be + jnp.sum(c2c * w),
                         ze + jnp.sum(c2c * bc))
 
-            ga_e1, beta_s, zeta = jax.lax.fori_loop(
+            gamma, beta_s, zeta = jax.lax.fori_loop(
                 0, ncn, wpass,
                 (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
             )
-            # <c1, A c2> from the stashed e1 = temp c1
-            gamma = jnp.where(fin, ga_e1 / tempe, ga_e1)
             scalar_d = zeta / (beta_s - gamma * gamma / rho)
             scalar_e = 1.0 - gamma / alpha * scalar_d
             ok = jnp.isfinite(scalar_d) & jnp.isfinite(scalar_e)
             se = jnp.where(ok, scalar_e, 1.0)
             sd = jnp.where(ok, scalar_d, 0.0)
+            # e1 = (temp if finite else 1) * c1 — rebuild from the
+            # unscaled stash so the combine never divides by temp
+            e1s = se * jnp.where(fin, tempe, 1.0)
 
             def comb(c, _):
                 c0 = c * Cn
                 xs[ln][pl.ds(c0, Cn), :] = (
-                    se * kref[pl.ds(c0, Cn), :]
+                    e1s * kref[pl.ds(c0, Cn), :]
                     + sd * xs[ln][pl.ds(c0, Cn), :]
                 )
                 return 0

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_cg import _chunk_rows, cg_vmem_budget_bytes
+from .pallas_cg import _chunk_rows, _sdiv, cg_vmem_budget_bytes
 from .spmv_pallas import PAD_PANELS, SUBLANES
 
 LANES = 128
@@ -303,10 +303,6 @@ def pell_bicgstab_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
     pads = (2 * PAD_PANELS + 1) / max(Rf, 1)
     vec_frames = 8.5 + 3 * pads + (2 if use_minv else 0)
     return slot_bytes + vec_frames * Rf * LANES * 4 <= cg_vmem_budget_bytes()
-
-
-def _sdiv(num, den):
-    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 
 
 def _pell_bicgstab_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
@@ -667,8 +663,11 @@ def _pell_cgs_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
         def upd_chunk(c, carry):
             rho_nxt, rnorm = carry
             c0 = c * C
-            w_c = w2_s[pl.ds(PAD_PANELS + c0, C), :]
-            mw_c = mchunk(c0) * w_c if use_minv else w_c
+            # m_s already holds M*w from the preceding precondition()
+            mw_c = (
+                m_s[pl.ds(PAD_PANELS + c0, C), :] if use_minv
+                else w2_s[pl.ds(PAD_PANELS + c0, C), :]
+            )
             x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + alpha * mw_c
             r_c = r_s[pl.ds(c0, C), :] - alpha * v_s[pl.ds(c0, C), :]
             r_s[pl.ds(c0, C), :] = r_c

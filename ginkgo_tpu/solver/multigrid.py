@@ -161,10 +161,12 @@ class Multigrid(LinOp):
     cycle: str = static_field(default="v")
     #: enable the FCG acceleration when level % kcycle_base == 0
     kcycle_base: int = static_field(default=1)
-    #: second FCG iteration policy: <= 0 always one, nan always two, else
-    #: two iff some column's updated residual norm > rel_tol * old
-    #: (kcycle_check_stop semantics, reference/solver/multigrid_kernels.
-    #: cpp:106-121)
+    #: second FCG iteration policy: <= 0 always one, +inf always two
+    #: (the factory canonicalizes the reference's documented nan sentinel
+    #: to +inf — nan != nan would break static-field equality and force
+    #: a retrace per solver instance), else two iff some column's updated
+    #: residual norm > rel_tol * old (kcycle_check_stop semantics,
+    #: reference/solver/multigrid_kernels.cpp:106-121)
     kcycle_rel_tol: float = static_field(default=0.25)
     #: mid_smooth_type (multigrid.hpp:95): which smoother fires on the
     #: non-first/non-end W/F visits — 'both' | 'post_smoother' |
@@ -292,7 +294,7 @@ class Multigrid(LinOp):
             )
 
         rt = self.kcycle_rel_tol
-        if math.isnan(rt):
+        if math.isnan(rt) or (math.isinf(rt) and rt > 0):
             return second(None)  # always two iterations
         if rt <= 0:
             return e1  # always one iteration
@@ -615,7 +617,15 @@ class MultigridFactory:
         self.cycle = cycle
         self.mid_case = mid_case
         self.kcycle_base = kcycle_base
-        self.kcycle_rel_tol = kcycle_rel_tol
+        # canonicalize the documented nan sentinel ("always two") to +inf:
+        # nan in a static pytree field breaks treedef equality (nan != nan)
+        # and would force a jit retrace per generated solver
+        import math as _math
+
+        self.kcycle_rel_tol = (
+            float("inf") if _math.isnan(kcycle_rel_tol)
+            else float(kcycle_rel_tol)
+        )
         self.smoother_iters = smoother_iters
         self.smoother_relax = smoother_relax
         self.pre_smoother = pre_smoother

@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def nonsym_tridiag(n, lo=-1.3, dg=3.0, hi=-0.7):
+    """Diagonally dominant nonsymmetric tridiagonal (convection-
+    diffusion-like) — shared by the fused-solver parity tests."""
+    import numpy as np
+
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    rows = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    cols = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    vals = np.concatenate(
+        [np.full(n, dg), np.full(n - 1, lo), np.full(n - 1, hi)]
+    ).astype(np.float32)
+    return MatrixData.from_coo((n, n), rows, cols, vals)

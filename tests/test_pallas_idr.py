@@ -16,13 +16,7 @@ from ginkgo_tpu.solver.idr import Idr
 from ginkgo_tpu import stop
 
 
-def _nonsym_tridiag(n, lo=-1.3, dg=3.0, hi=-0.7):
-    rows = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
-    cols = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
-    vals = np.concatenate(
-        [np.full(n, dg), np.full(n - 1, lo), np.full(n - 1, hi)]
-    ).astype(np.float32)
-    return MatrixData.from_coo((n, n), rows, cols, vals)
+from tests.conftest import nonsym_tridiag as _nonsym_tridiag
 
 
 @pytest.fixture
