@@ -769,3 +769,169 @@ def pell_cgs_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     )(*args)
     it = stats[0].astype(jnp.int32)
     return x2, it, stats[1], stats[2] > 0
+
+
+def pell_ir_vmem_fits(n_slots: int, NT: int, val_itemsize: int,
+                      q_itemsize: int = 4, n_steps: int = 0,
+                      use_minv: bool = False) -> bool:
+    """x/r/b frames + the panel-padded staging + slot arrays."""
+    if n_steps + n_slots > _MAX_SMEM_INTS:
+        return False
+    Rf = NT * SUBLANES
+    slot_bytes = n_slots * SUBLANES * LANES * (val_itemsize + q_itemsize)
+    pads = (2 * PAD_PANELS + 1) / max(Rf, 1)
+    vec_frames = 3.5 + pads + (1 if use_minv else 0)
+    return slot_bytes + vec_frames * Rf * LANES * 4 <= cg_vmem_budget_bytes()
+
+
+def _pell_ir_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm, x0_hbm,
+                    minv, x_hbm, stats, x_s, r_s, b_s, w_s, sems, *, G,
+                    n_steps, Rf, use_minv):
+    """Whole-solve Richardson/IR on a Pell operator — semantics mirror
+    ops/pallas_ir._ir_kernel (itself solver/ir.py / core/solver/ir.cpp):
+    d = M r; x += omega d; r = b - A x with the TRUE residual recomputed
+    every iteration (IR's own update rule, no recurrence drift)."""
+    tol_sq = scal[0]
+    omega = scal[1]  # SMEM: relaxation_factor is a runtime pytree leaf
+    max_iters = iscal[0]
+    C = _chunk_rows(Rf)
+    n_chunks = Rf // C
+    Rp = Rf + 2 * PAD_PANELS + 1
+
+    cp_b = pltpu.make_async_copy(b_hbm, b_s, sems.at[0])
+    cp_x = pltpu.make_async_copy(x0_hbm, x_s, sems.at[1])
+    cp_b.start()
+    cp_x.start()
+    cp_b.wait()
+    cp_x.wait()
+
+    def mchunk(c0):
+        return minv[pl.ds(c0, C), :].astype(jnp.float32)
+
+    w_s[0:PAD_PANELS] = jnp.zeros((PAD_PANELS, LANES), jnp.float32)
+    w_s[Rp - PAD_PANELS - 1:Rp] = jnp.zeros(
+        (PAD_PANELS + 1, LANES), jnp.float32
+    )
+
+    _spmv = _make_pell_spmv(
+        tiles, bases, vals, qidx, G=G, n_steps=n_steps, C=C,
+        n_chunks=n_chunks,
+    )
+
+    def residual(_=None):
+        """r = b - A x (x staged into w_s); returns r.r."""
+        def stg(c, _):
+            c0 = c * C
+            w_s[pl.ds(PAD_PANELS + c0, C), :] = x_s[pl.ds(c0, C), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, stg, 0)
+        _spmv(w_s, r_s)
+
+        def sub(c, rr):
+            c0 = c * C
+            r_c = b_s[pl.ds(c0, C), :] - r_s[pl.ds(c0, C), :]
+            r_s[pl.ds(c0, C), :] = r_c
+            return rr + jnp.sum(r_c * r_c)
+
+        return jax.lax.fori_loop(0, n_chunks, sub, jnp.float32(0))
+
+    rr0 = residual()
+
+    def cond(st):
+        it, rr = st
+        return (it < max_iters) & (rr > tol_sq)
+
+    def body(st):
+        it, _ = st
+
+        def xup(c, _):
+            c0 = c * C
+            d_c = (
+                mchunk(c0) * r_s[pl.ds(c0, C), :] if use_minv
+                else r_s[pl.ds(c0, C), :]
+            )
+            x_s[pl.ds(c0, C), :] = x_s[pl.ds(c0, C), :] + omega * d_c
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, xup, 0)
+        return (it + 1, residual())
+
+    it, rr = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), rr0)
+    )
+
+    cp_xo = pltpu.make_async_copy(x_s, x_hbm, sems.at[0])
+    cp_xo.start()
+    cp_xo.wait()
+    stats[0] = it.astype(jnp.float32)
+    stats[1] = rr
+    stats[2] = (rr <= tol_sq).astype(jnp.float32)
+
+
+def pell_ir_vmem_solve(A, b2, x0_2, minv2=None, *, omega, tol_sq_eff,
+                       max_iters, interpret=False):
+    """Run Richardson/IR to convergence in one Pallas kernel on a Pell
+    operator.  Returns (x2, iterations, true_rr, converged)."""
+    Rf = A.NT * SUBLANES
+    assert b2.shape == (Rf, LANES)
+    use_minv = minv2 is not None
+    kernel = functools.partial(
+        _pell_ir_kernel, G=A.G, n_steps=A.n_steps, Rf=Rf,
+        use_minv=use_minv,
+    )
+    scal = jnp.stack([
+        jnp.asarray(tol_sq_eff, jnp.float32).reshape(()),
+        jnp.asarray(omega, jnp.float32).reshape(()),
+    ])
+    iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    args = [
+        scal, iscal,
+        A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
+        A.values, qidx, b2, x0_2,
+        minv2 if use_minv else jnp.zeros((8, LANES), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    Rp = Rf + 2 * PAD_PANELS + 1
+    x2, stats = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rf, LANES), b2.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # x
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # r
+            pltpu.VMEM((Rf, LANES), jnp.float32),  # b
+            pltpu.VMEM((Rp, LANES), jnp.float32),  # staging
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (A.values.size + 3 * Rf * LANES) * int(max_iters),
+            bytes_accessed=A.values.size
+            * (A.values.dtype.itemsize + 4) + 3 * Rf * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = stats[0].astype(jnp.int32)
+    return x2, it, stats[1], stats[2] > 0

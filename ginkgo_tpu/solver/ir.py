@@ -95,6 +95,10 @@ class Ir(IterativeSolverMixin, LinOp):
         from ._fused_gate import frame, prepare_fused_dia, tol_sq_eff
         from ..ops.pallas_ir import ir_vmem_fits, ir_vmem_solve
 
+        fast = self._try_vmem_fused_pell(b, x0)
+        if fast is not None:
+            return fast
+
         def fits(nd, R, itemsize, use_minv, halo_rows):
             return ir_vmem_fits(nd, R, itemsize, use_minv=use_minv,
                                 halo_rows=halo_rows)
@@ -116,6 +120,49 @@ class Ir(IterativeSolverMixin, LinOp):
             A.offsets,
             frame(b, R),
             frame(x0, R),
+            minv2,
+            omega=self.relaxation_factor,
+            tol_sq_eff=tol_sq,
+            max_iters=ctx["cap"],
+            interpret=ctx["interpret"],
+        )
+        x = x2.reshape(-1, 1)[:n]
+        if ctx["has_res"]:
+            rn = jnp.sqrt(rr)[None].astype(b.dtype)
+        else:
+            rn = jnp.full((1,), jnp.inf, dtype=b.dtype)
+        conv_mask = jnp.asarray(conv & ctx["has_res"])[None]
+        return x, SolveInfo(
+            iterations=it, residual_norm=rn, converged=conv_mask, history=None
+        )
+
+
+    def _try_vmem_fused_pell(self, b, x0):
+        """Whole-solve Richardson/IR for GENERAL unstructured operators
+        (ops/pallas_pell_cg.pell_ir_vmem_solve).  Returns
+        (x, SolveInfo) or None."""
+        from ._fused_gate import frame, prepare_fused_pell, tol_sq_eff
+        from ..ops.pallas_pell_cg import (
+            pell_ir_vmem_fits,
+            pell_ir_vmem_solve,
+        )
+
+        ctx = prepare_fused_pell(self, b, pell_ir_vmem_fits)
+        if ctx is None or ctx["implicit"]:
+            return None
+        A, Rf = ctx["A"], ctx["Rf"]
+        n = A.shape[0]
+        r0 = b - A.apply(x0)
+        tol_sq = tol_sq_eff(ctx, b, r0)
+        minv2 = (
+            frame(ctx["minv_flat"][:, None].astype(jnp.float32), Rf)
+            if ctx["minv_flat"] is not None
+            else None
+        )
+        x2, it, rr, conv = pell_ir_vmem_solve(
+            A,
+            frame(b, Rf),
+            frame(x0, Rf),
             minv2,
             omega=self.relaxation_factor,
             tol_sq_eff=tol_sq,

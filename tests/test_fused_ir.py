@@ -169,3 +169,44 @@ def test_multigrid_cycle_with_fused_smoothers(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=5e-5, atol=5e-5
     )
+
+
+def test_vmem_ir_pell_matches_generic(monkeypatch):
+    """Fused Richardson/IR on a GENERAL unstructured (Pell) operator vs
+    the generic streaming loop (scalar-Jacobi inner solver)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ginkgo_tpu.matrix.pell import Pell
+    from ginkgo_tpu.preconditioner.jacobi import Jacobi
+    from ginkgo_tpu.solver.ir import Ir
+    from ginkgo_tpu import stop
+    from tests.conftest import nonsym_tridiag
+
+    data = nonsym_tridiag(700)
+    A = Pell.from_matrix_data(data)
+    b = jnp.asarray(
+        np.random.default_rng(6).standard_normal((700, 1)).astype(np.float32)
+    )
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-6)]
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Ir.build(
+        criteria=crit, preconditioner=Jacobi.build(max_block_size=1),
+        relaxation_factor=0.9,
+    ).generate(A)
+    assert s._try_vmem_fused(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = Ir.build(
+        criteria=crit, preconditioner=Jacobi.build(max_block_size=1),
+        relaxation_factor=0.9,
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    assert int(inf_f.iterations) == int(inf_g.iterations)
+    assert bool(inf_f.converged[0])
+    r = np.asarray(b) - np.asarray(A.apply(xf))
+    assert np.linalg.norm(r) <= 2e-6 * np.linalg.norm(np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xg), rtol=1e-4, atol=1e-4
+    )
