@@ -102,21 +102,20 @@ class Pell(LinOp):
 
     def apply(self, b):
         import os
-        from ..ops.spmv_pallas import pell_spmm, _MAX_PREFETCH_INTS
+        from ..ops.spmv_pallas import pell_spmm
 
         arr, was_1d = as_2d(b)
         k = arr.shape[1]
         interpret = jax.default_backend() != "tpu" or bool(
             os.environ.get("GINKGO_TPU_NO_PALLAS")
         )
-        step_cap = max(_MAX_PREFETCH_INTS // (self.G + 1), 1)
-        if k > 1 and self.n_steps <= step_cap:
+        if k > 1:
             # multi-RHS kernel: the matrix streams once for all k columns
+            # (chunked at tile boundaries beyond the prefetch cap, column-
+            # grouped beyond the VMEM budget — no silent per-column loop)
             out = pell_spmm(self, arr, interpret=interpret)
         else:
-            out = jnp.stack(
-                [self._spmv_one(arr[:, j]) for j in range(k)], axis=1
-            )
+            out = self._spmv_one(arr[:, 0])[:, None]
         return restore_1d(out, was_1d)
 
     def apply_advanced(self, alpha, b, beta, x):

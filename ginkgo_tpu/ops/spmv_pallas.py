@@ -282,6 +282,35 @@ def _pell_call(tiles, bases, values, qidx, x_panels, NT, G, dtype,
     )(tiles, bases, values, qidx, x_panels)
 
 
+def _step_chunks(plan):
+    """Tile-aligned [s0, s1) step ranges, each under the prefetch cap.
+
+    Every chunk owns a disjoint, contiguous tile range of the output, so
+    independent pallas_calls can each write their own slice.  A single
+    tile whose step count alone exceeds the cap is taken whole (the SMEM
+    estimate is conservative)."""
+    step_cap = max(_MAX_PREFETCH_INTS // (plan.G + 1), 1)
+    if plan.n_steps <= step_cap:
+        return [(0, plan.n_steps)]
+    tiles_host = np.asarray(plan.tile_of_step)
+    chunks = []
+    s0 = 0
+    while s0 < plan.n_steps:
+        s1 = min(s0 + step_cap, plan.n_steps)
+        if s1 < plan.n_steps and tiles_host[s1] == tiles_host[s1 - 1]:
+            # boundary cuts inside a tile: split before it, or — if that
+            # single tile alone exceeds the cap — take it whole
+            tile_cut = tiles_host[s1]
+            first = int(np.searchsorted(tiles_host, tile_cut, side="left"))
+            if first > s0:
+                s1 = first
+            else:
+                s1 = int(np.searchsorted(tiles_host, tile_cut, side="right"))
+        chunks.append((s0, s1))
+        s0 = s1
+    return chunks
+
+
 def pell_spmv(plan: PellPlan, x, *, interpret=False):
     """y = A @ x through the PELL plan; x is (n,), returns (n_rows,)."""
     n_rows, n_cols = plan.shape
@@ -297,29 +326,16 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
     )
     x_panels = xp.reshape(-1, LANES)
 
-    step_cap = max(_MAX_PREFETCH_INTS // (G + 1), 1)
-    if plan.n_steps <= step_cap:
+    chunks = _step_chunks(plan)
+    if len(chunks) == 1:
         out = _pell_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx,
             x_panels, plan.NT, G, x.dtype, interpret, S=S,
         )
         return out.reshape(-1)[:n_rows]
-    # chunked: split at tile boundaries so each call owns a disjoint,
-    # contiguous tile range of the output
     tiles_host = np.asarray(plan.tile_of_step)
     outs = []
-    s0 = 0
-    while s0 < plan.n_steps:
-        s1 = min(s0 + step_cap, plan.n_steps)
-        if s1 < plan.n_steps and tiles_host[s1] == tiles_host[s1 - 1]:
-            # boundary cuts inside a tile: split before it, or — if that
-            # single tile alone exceeds the cap — take it whole
-            tile_cut = tiles_host[s1]
-            first = int(np.searchsorted(tiles_host, tile_cut, side="left"))
-            if first > s0:
-                s1 = first
-            else:
-                s1 = int(np.searchsorted(tiles_host, tile_cut, side="right"))
+    for s0, s1 in chunks:
         t0 = int(tiles_host[s0])
         t1 = int(tiles_host[s1 - 1]) + 1
         out = _pell_call(
@@ -330,7 +346,6 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
             x_panels, t1 - t0, G, x.dtype, interpret, S=S,
         )
         outs.append(out)
-        s0 = s1
     return jnp.concatenate(outs, axis=0).reshape(-1)[:n_rows]
 
 
@@ -362,28 +377,12 @@ def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
             out_ref[0, j] += (vals * gth).astype(out_ref.dtype)
 
 
-def pell_spmm(plan: PellPlan, X, *, interpret=False):
-    """Y = A @ X for (n, k) X: the matrix streams from HBM ONCE for all k
-    columns (vs k passes of pell_spmv), so HBM bytes/nnz-column fall to
-    8/k.  Returns (n_rows, k)."""
-    n_rows, n_cols = plan.shape
-    k = X.shape[1]
-    G = plan.G
-    NP = plan.NP
-    S = getattr(plan, "S", SUBLANES)
-    pad = S - 1
-    n_pan = NP + 2 * pad + 1
-    Xp = jnp.zeros((k, n_pan * LANES), X.dtype)
-    Xp = Xp.at[:, pad * LANES: pad * LANES + n_cols].set(X.T)
-    x_panels = Xp.reshape(k, n_pan, LANES)
-
-    step_cap = max(_MAX_PREFETCH_INTS // (G + 1), 1)
-    assert plan.n_steps <= step_cap, (
-        "chunked SpMM not implemented; use pell_spmv per column"
-    )
+def _pell_spmm_call(tiles, bases, values, qidx, x_panels, NT, G, k, dtype,
+                    interpret, S=SUBLANES):
+    n_steps = tiles.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(plan.n_steps,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
                 (G, S, LANES), lambda i, tiles, bs: (i, 0, 0),
@@ -401,32 +400,152 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
             memory_space=pltpu.VMEM,
         ),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_pell_spmm_kernel, G=G, k=k, S=S),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (plan.NT, k, S, LANES), X.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((NT, k, S, LANES), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * plan.values.size * k,
-            bytes_accessed=plan.values.size
-            * (plan.values.dtype.itemsize + 4)
-            + x_panels.size * X.dtype.itemsize,
+            flops=2 * values.size * k,
+            bytes_accessed=values.size
+            * (values.dtype.itemsize + 4)
+            + x_panels.size * x_panels.dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(plan.tile_of_step, plan.bases, plan.values, plan.qidx, x_panels)
-    # (NT, k, 8, 128) -> (NT*1024, k)
+    )(tiles, bases, values, qidx, x_panels)
+
+
+# VMEM budget for the resident k-column X operand of pell_spmm; beyond it
+# the columns are processed in groups (the matrix then streams once per
+# GROUP, not once per column — still a k_group-fold traffic saving)
+_SPMM_X_BYTES = 64 << 20
+
+
+def pell_spmm(plan: PellPlan, X, *, interpret=False):
+    """Y = A @ X for (n, k) X: the matrix streams from HBM ONCE for all k
+    columns (vs k passes of pell_spmv), so HBM bytes/nnz-column fall to
+    8/k.  Returns (n_rows, k).
+
+    Unconditional (reference: core/matrix/csr.cpp:184-204 multivector
+    apply has no size gate): plans beyond the scalar-prefetch cap are
+    chunked at tile boundaries exactly as pell_spmv, and column counts
+    whose resident X would exceed the VMEM budget are processed in
+    column groups."""
+    n_rows, n_cols = plan.shape
+    k = X.shape[1]
+    G = plan.G
+    NP = plan.NP
+    S = getattr(plan, "S", SUBLANES)
+    pad = S - 1
+    n_pan = NP + 2 * pad + 1
+
+    per_col_bytes = n_pan * LANES * X.dtype.itemsize
+    k_group = max(1, min(k, _SPMM_X_BYTES // max(per_col_bytes, 1)))
+    if k_group < k:
+        groups = [
+            pell_spmm(plan, X[:, j: j + k_group], interpret=interpret)
+            for j in range(0, k, k_group)
+        ]
+        return jnp.concatenate(groups, axis=1)
+
+    Xp = jnp.zeros((k, n_pan * LANES), X.dtype)
+    Xp = Xp.at[:, pad * LANES: pad * LANES + n_cols].set(X.T)
+    x_panels = Xp.reshape(k, n_pan, LANES)
+
+    chunks = _step_chunks(plan)
+    if len(chunks) == 1:
+        out = _pell_spmm_call(
+            plan.tile_of_step, plan.bases, plan.values, plan.qidx,
+            x_panels, plan.NT, G, k, X.dtype, interpret, S=S,
+        )
+        return out.transpose(0, 2, 3, 1).reshape(-1, k)[:n_rows]
+    tiles_host = np.asarray(plan.tile_of_step)
+    outs = []
+    for s0, s1 in chunks:
+        t0 = int(tiles_host[s0])
+        t1 = int(tiles_host[s1 - 1]) + 1
+        out = _pell_spmm_call(
+            plan.tile_of_step[s0:s1] - t0,
+            plan.bases[s0 * G: s1 * G],
+            plan.values[s0 * G: s1 * G],
+            plan.qidx[s0 * G: s1 * G],
+            x_panels, t1 - t0, G, k, X.dtype, interpret, S=S,
+        )
+        outs.append(out)
+    out = jnp.concatenate(outs, axis=0)
+    # (NT, k, S, 128) -> (NT*S*128, k)
     return out.transpose(0, 2, 3, 1).reshape(-1, k)[:n_rows]
 
 
 # -- plan cache + Csr-facing API ----------------------------------------------
 
-_PLAN_CACHE: dict = {}
-_PLAN_CACHE_MAX = 16
+
+def _plan_bytes(plan) -> int:
+    """Materialized padded-slot bytes a cached plan pins on the device.
+
+    A stats-only or declined plan (values is None) pins nothing beyond
+    its O(1) geometry."""
+    if plan is None or getattr(plan, "values", None) is None:
+        return 0
+    total = 0
+    for arr in (plan.values, plan.qidx, plan.bases, plan.tile_of_step):
+        if arr is not None:
+            total += arr.size * arr.dtype.itemsize
+    return total
+
+
+class _ByteLRU:
+    """Bytes-budgeted LRU for PELL plans (review: the count-16 FIFO could
+    pin ~32 GB of padded slots on a 16 GB-HBM chip).  Eviction is by the
+    SUM of materialized slot bytes, oldest-use first; a single plan
+    larger than the budget is still cached alone (evicting everything
+    else) so repeated applies of one huge matrix don't rebuild per call."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d: dict = {}  # key -> (payload, nbytes); insertion = LRU order
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is None:
+            return None
+        self._d.pop(key)
+        self._d[key] = hit  # move to MRU position
+        return hit[0]
+
+    def put(self, key, payload, nbytes: int):
+        self._d.pop(key, None)
+        self._d[key] = (payload, nbytes)
+        total = sum(b for _, b in self._d.values())
+        while total > self.max_bytes and len(self._d) > 1:
+            oldest = next(iter(self._d))
+            total -= self._d.pop(oldest)[1]
+
+    def clear(self):
+        self._d.clear()
+
+    def __len__(self):
+        return len(self._d)
+
+    def total_bytes(self):
+        return sum(b for _, b in self._d.values())
+
+
+def _cache_budget_bytes() -> int:
+    import os
+
+    try:
+        return int(
+            float(os.environ.get("GINKGO_TPU_PLAN_CACHE_MB", "2048")) * 2**20
+        )
+    except ValueError:
+        return 2 << 30
+
+
+_PLAN_CACHE = _ByteLRU(_cache_budget_bytes())
 
 
 def _plan_for(row_ptrs, col_idxs, values, shape):
@@ -452,31 +571,29 @@ def _plan_for(row_ptrs, col_idxs, values, shape):
             "(classical/merge_path) or reorder the matrix (e.g. Rcm) to "
             "improve column locality"
         )
-    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-    _PLAN_CACHE[key] = (row_ptrs, col_idxs, values, plan)
+    _PLAN_CACHE.put(
+        key, (row_ptrs, col_idxs, values, plan), _plan_bytes(plan)
+    )
     return plan
 
 
 def csr_spmv(row_ptrs, col_idxs, values, arr, n_rows, *, interpret=False):
-    """Csr 'pallas' strategy entry (csr.py): multi-RHS by column loop.
+    """Csr 'pallas' strategy entry (csr.py): SpMM kernel for multi-RHS.
 
     Host-builds (and caches) the PELL plan, so this path must be entered
     OUTSIDE jit; inside jit use a prebuilt plan / the Pell format class."""
     shape = (n_rows, arr.shape[0])
     plan = _plan_for(row_ptrs, col_idxs, values, shape)
-    cols = []
-    for k in range(arr.shape[1]):
-        cols.append(pell_spmv(plan, arr[:, k], interpret=interpret))
-    return jnp.stack(cols, axis=1)
+    if arr.shape[1] > 1:
+        return pell_spmm(plan, arr, interpret=interpret)
+    return pell_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
 
 
 # ---------------------------------------------------------------------------
 # Generic per-format streaming fast path
 # ---------------------------------------------------------------------------
 
-_OP_PLAN_CACHE: dict = {}
-_OP_PLAN_CACHE_MAX = 16
+_OP_PLAN_CACHE = _ByteLRU(_cache_budget_bytes())
 # absolute ceiling on materialized padded bytes regardless of inflation:
 # even a "good" 16x expansion of a huge nnz must not exhaust HBM/host RAM
 _HARD_PAD_BYTES = 2 << 30
@@ -550,14 +667,12 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         plan = (
             PellPlan(ip, ci, vv, tuple(op.shape)) if accept else None
         )
-        if len(_OP_PLAN_CACHE) >= _OP_PLAN_CACHE_MAX:
-            _OP_PLAN_CACHE.pop(next(iter(_OP_PLAN_CACHE)))
-        _OP_PLAN_CACHE[key] = (leaves, plan)
+        _OP_PLAN_CACHE.put(key, (leaves, plan), _plan_bytes(plan))
     if plan is None:
         return None
     interpret = not on_tpu
-    cols = [
-        pell_spmv(plan, arr[:, k], interpret=interpret)
-        for k in range(arr.shape[1])
-    ]
-    return jnp.stack(cols, axis=1).astype(arr.dtype)
+    if arr.shape[1] > 1:
+        out = pell_spmm(plan, arr, interpret=interpret)
+    else:
+        out = pell_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
+    return out.astype(arr.dtype)
