@@ -34,6 +34,18 @@ def emit(row):
     print(json.dumps(row), flush=True)
 
 
+def guard(name, fn):
+    """Per-row isolation (VERDICT r2 weak #1: one failed row must never
+    destroy the rest of the session's evidence)."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        emit({"row": name, "error": f"{type(e).__name__}: {e}"[:300]})
+
+
 def chain_seconds(apply_fn, x0, trips, trials=3):
     @jax.jit
     def run(x):
@@ -73,7 +85,7 @@ def main():
 
     # ---- unstructured matrix with column locality (bench.py profile) --
     rng = np.random.default_rng(11)
-    n_u = 1 << (13 if small else 20)
+    n_u = 1 << (13 if small else 19)
     per_row = 9
     rows_u = np.repeat(np.arange(n_u, dtype=np.int64), per_row)
     cols_u = rows_u + rng.integers(-256, 257, size=rows_u.size)
@@ -99,19 +111,27 @@ def main():
     ]
     ops = {}
     for name, kw in variants:
-        ops[name] = Pell.from_matrix_data(data_u, **kw).scale(0.2)
+        try:
+            ops[name] = Pell.from_matrix_data(data_u, **kw).scale(0.2)
+        except Exception as e:  # noqa: BLE001
+            emit({"row": "pell_variant_build", "variant": name,
+                  "error": str(e)[:200]})
     # bf16 reduce_storage on the best-guess layout
-    ops["v5_S8_bf16_i8"] = ops["v4_S8_i32"].reduce_storage()
-    results = {}
-    for name, A in ops.items():
-        t = slope(lambda v, A=A: A.apply(v), xu, trips=40)
-        results[name] = {
-            "seconds": t,
-            "gnnz_per_s": round(nnz_u / t / 1e9, 2),
-            "inflation": round(float(A.inflation), 2),
-        }
-    emit({"row": "pell_v4_vs_v5", "n": n_u, "nnz": nnz_u,
-          "variants": results, "device": dev})
+    if "v4_S8_i32" in ops:
+        ops["v5_S8_bf16_i8"] = ops["v4_S8_i32"].reduce_storage()
+    def row_pell_grid():
+        results = {}
+        for name, A in ops.items():
+            t = slope(lambda v, A=A: A.apply(v), xu, trips=40)
+            results[name] = {
+                "seconds": t,
+                "gnnz_per_s": round(nnz_u / t / 1e9, 2),
+                "inflation": round(float(A.inflation), 2),
+            }
+        emit({"row": "pell_v4_vs_v5", "n": n_u, "nnz": nnz_u,
+              "variants": results, "device": dev})
+
+    guard("pell_v4_vs_v5", row_pell_grid)
 
     # ---- per-format streaming vs gather (Ell) --------------------------
     n_e = 1 << (12 if small else 17)
@@ -123,17 +143,24 @@ def main():
         (n_e, n_e), rows_e, cols_e,
         rng.random(rows_e.size).astype(np.float32) * 1e-2,
     ).sum_duplicates()
-    E = Ell.from_matrix_data(data_e)
-    xe = jnp.ones((n_e,), jnp.float32)
-    t_stream = slope(lambda v: E.apply(v) * 0.2, xe, trips=40)
-    os.environ["GINKGO_TPU_NO_PALLAS"] = "1"
-    t_gather = chain_seconds(lambda v: E.apply(v) * 0.2, xe, trips=2) / 2
-    del os.environ["GINKGO_TPU_NO_PALLAS"]
-    emit({"row": "formats_streaming", "format": "Ell", "n": n_e,
-          "nnz": data_e.nnz, "stream_seconds": t_stream,
-          "stream_gnnz_per_s": round(data_e.nnz / t_stream / 1e9, 2),
-          "gather_seconds": t_gather,
-          "speedup": round(t_gather / t_stream, 1)})
+    def row_formats():
+        E = Ell.from_matrix_data(data_e)
+        xe = jnp.ones((n_e,), jnp.float32)
+        t_stream = slope(lambda v: E.apply(v) * 0.2, xe, trips=40)
+        os.environ["GINKGO_TPU_NO_PALLAS"] = "1"
+        try:
+            t_gather = chain_seconds(
+                lambda v: E.apply(v) * 0.2, xe, trips=2
+            ) / 2
+        finally:
+            del os.environ["GINKGO_TPU_NO_PALLAS"]
+        emit({"row": "formats_streaming", "format": "Ell", "n": n_e,
+              "nnz": data_e.nnz, "stream_seconds": t_stream,
+              "stream_gnnz_per_s": round(data_e.nnz / t_stream / 1e9, 2),
+              "gather_seconds": t_gather,
+              "speedup": round(t_gather / t_stream, 1)})
+
+    guard("formats_streaming", row_formats)
 
     # ---- fused vs streaming GMRES(30), Dia 262k ------------------------
     data_g = generators.poisson_2d(32 if small else 512, dtype=np.float32)
@@ -165,17 +192,20 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    g = {}
-    for fused in (True, False):
-        lo = gmres_total(10 if small else 60, fused)
-        hi = gmres_total(40 if small else 240, fused)
-        g["fused" if fused else "stream"] = max(
-            (hi - lo) / (30 if small else 180), 1e-9
-        )
-    emit({"row": "gmres_fused_ab", "n": data_g.shape[0],
-          "fused_us_per_iter": round(g["fused"] * 1e6, 1),
-          "stream_us_per_iter": round(g["stream"] * 1e6, 1),
-          "speedup": round(g["stream"] / g["fused"], 2)})
+    def row_gmres():
+        g = {}
+        for fused in (True, False):
+            lo = gmres_total(10 if small else 60, fused)
+            hi = gmres_total(40 if small else 240, fused)
+            g["fused" if fused else "stream"] = max(
+                (hi - lo) / (30 if small else 180), 1e-9
+            )
+        emit({"row": "gmres_fused_ab", "n": data_g.shape[0],
+              "fused_us_per_iter": round(g["fused"] * 1e6, 1),
+              "stream_us_per_iter": round(g["stream"] * 1e6, 1),
+              "speedup": round(g["stream"] / g["fused"], 2)})
+
+    guard("gmres_fused_ab", row_gmres)
 
     # ---- fused ILU-CG vs streaming ILU-CG, Dia 262k --------------------
     from ginkgo_tpu.factorization.ilu import IluFactory
@@ -184,12 +214,17 @@ def main():
         LowerTrsFactory, UpperTrsFactory,
     )
 
-    A_csr = gko.Csr.from_matrix_data(data_g)
-    fact = IluFactory().generate(A_csr)
-    M = IluPreconditionerFactory(
-        l_solver_factory=LowerTrsFactory(algorithm="sweeps", sweeps=3),
-        u_solver_factory=UpperTrsFactory(algorithm="sweeps", sweeps=3),
-    ).generate(fact)
+    try:
+        A_csr = gko.Csr.from_matrix_data(data_g)
+        fact = IluFactory().generate(A_csr)
+        M = IluPreconditionerFactory(
+            l_solver_factory=LowerTrsFactory(algorithm="sweeps", sweeps=3),
+            u_solver_factory=UpperTrsFactory(algorithm="sweeps", sweeps=3),
+        ).generate(fact)
+    except Exception as e:  # noqa: BLE001
+        emit({"row": "ilu_setup", "error": str(e)[:200]})
+        fact = M = None
+
 
     def ilu_total(iters, fused):
         if not fused:
@@ -215,17 +250,20 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    ic = {}
-    for fused in (True, False):
-        lo = ilu_total(20 if small else 100, fused)
-        hi = ilu_total(80 if small else 400, fused)
-        ic["fused" if fused else "stream"] = max(
-            (hi - lo) / (60 if small else 300), 1e-9
-        )
-    emit({"row": "ilu_cg_ab", "n": data_g.shape[0],
-          "fused_us_per_iter": round(ic["fused"] * 1e6, 1),
-          "stream_us_per_iter": round(ic["stream"] * 1e6, 1),
-          "speedup": round(ic["stream"] / ic["fused"], 2)})
+    def row_ilu():
+        ic = {}
+        for fused in (True, False):
+            lo = ilu_total(20 if small else 100, fused)
+            hi = ilu_total(80 if small else 400, fused)
+            ic["fused" if fused else "stream"] = max(
+                (hi - lo) / (60 if small else 300), 1e-9
+            )
+        emit({"row": "ilu_cg_ab", "n": data_g.shape[0],
+              "fused_us_per_iter": round(ic["fused"] * 1e6, 1),
+              "stream_us_per_iter": round(ic["stream"] * 1e6, 1),
+              "speedup": round(ic["stream"] / ic["fused"], 2)})
+
+    guard("ilu_cg_ab", row_ilu)
 
     # ---- fused MG-CG (whole AMG-preconditioned solve in one kernel) ----
     # vs the generic composition (separate V-cycle kernels per apply)
@@ -260,17 +298,20 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    mc = {}
-    for fused in (True, False):
-        lo = mgcg_total(5 if small else 20, fused)
-        hi = mgcg_total(20 if small else 80, fused)
-        mc["fused" if fused else "stream"] = max(
-            (hi - lo) / (15 if small else 60), 1e-9
-        )
-    emit({"row": "mg_cg_fused_ab", "n": data_g.shape[0],
-          "fused_us_per_iter": round(mc["fused"] * 1e6, 1),
-          "stream_us_per_iter": round(mc["stream"] * 1e6, 1),
-          "speedup": round(mc["stream"] / mc["fused"], 2)})
+    def row_mgcg():
+        mc = {}
+        for fused in (True, False):
+            lo = mgcg_total(5 if small else 20, fused)
+            hi = mgcg_total(20 if small else 80, fused)
+            mc["fused" if fused else "stream"] = max(
+                (hi - lo) / (15 if small else 60), 1e-9
+            )
+        emit({"row": "mg_cg_fused_ab", "n": data_g.shape[0],
+              "fused_us_per_iter": round(mc["fused"] * 1e6, 1),
+              "stream_us_per_iter": round(mc["stream"] * 1e6, 1),
+              "speedup": round(mc["stream"] / mc["fused"], 2)})
+
+    guard("mg_cg_fused_ab", row_mgcg)
 
     # ---- fused K-cycle vs fused V-cycle (standalone MG solve) ---------
     # per-cycle cost (iteration-capped slope) AND iterations-to-tol: the
@@ -304,21 +345,24 @@ def main():
         _, info = s.solve(bg)
         return int(info.iterations)
 
-    kc = {}
-    for cyc in ("v", "k"):
-        lo = mg_total(cyc, 4 if small else 10)
-        hi = mg_total(cyc, 16 if small else 40)
-        kc[cyc] = {"us_per_cycle": max(
-            (hi - lo) / (12 if small else 30), 1e-9) * 1e6,
-            "iters_to_tol": mg_iters(cyc)}
-    tot_v = kc["v"]["us_per_cycle"] * kc["v"]["iters_to_tol"]
-    tot_k = kc["k"]["us_per_cycle"] * kc["k"]["iters_to_tol"]
-    emit({"row": "mg_kcycle_ab", "n": data_g.shape[0],
-          "v_us_per_cycle": round(kc["v"]["us_per_cycle"], 1),
-          "k_us_per_cycle": round(kc["k"]["us_per_cycle"], 1),
-          "v_iters": kc["v"]["iters_to_tol"],
-          "k_iters": kc["k"]["iters_to_tol"],
-          "total_speedup_k_vs_v": round(tot_v / max(tot_k, 1e-9), 2)})
+    def row_kcycle():
+        kc = {}
+        for cyc in ("v", "k"):
+            lo = mg_total(cyc, 4 if small else 10)
+            hi = mg_total(cyc, 16 if small else 40)
+            kc[cyc] = {"us_per_cycle": max(
+                (hi - lo) / (12 if small else 30), 1e-9) * 1e6,
+                "iters_to_tol": mg_iters(cyc)}
+        tot_v = kc["v"]["us_per_cycle"] * kc["v"]["iters_to_tol"]
+        tot_k = kc["k"]["us_per_cycle"] * kc["k"]["iters_to_tol"]
+        emit({"row": "mg_kcycle_ab", "n": data_g.shape[0],
+              "v_us_per_cycle": round(kc["v"]["us_per_cycle"], 1),
+              "k_us_per_cycle": round(kc["k"]["us_per_cycle"], 1),
+              "v_iters": kc["v"]["iters_to_tol"],
+              "k_iters": kc["k"]["iters_to_tol"],
+              "total_speedup_k_vs_v": round(tot_v / max(tot_k, 1e-9), 2)})
+
+    guard("mg_kcycle_ab", row_kcycle)
 
     # ---- fused vs streaming sweep trisolve (standalone apply) ----------
     # The ILU L factor of the banded Poisson operator lands in Dia, so the
@@ -338,15 +382,18 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    trs = {}
-    for fused in (True, False):
-        t1 = trs_seconds(fused, 10)
-        t2 = trs_seconds(fused, 20)
-        trs["fused" if fused else "stream"] = max((t2 - t1) / 10, 1e-9)
-    emit({"row": "trs_fused_ab", "n": data_g.shape[0], "sweeps": nsw,
-          "fused_us_per_solve": round(trs["fused"] * 1e6, 1),
-          "stream_us_per_solve": round(trs["stream"] * 1e6, 1),
-          "speedup": round(trs["stream"] / trs["fused"], 2)})
+    def row_trs():
+        trs = {}
+        for fused in (True, False):
+            t1 = trs_seconds(fused, 10)
+            t2 = trs_seconds(fused, 20)
+            trs["fused" if fused else "stream"] = max((t2 - t1) / 10, 1e-9)
+        emit({"row": "trs_fused_ab", "n": data_g.shape[0], "sweeps": nsw,
+              "fused_us_per_solve": round(trs["fused"] * 1e6, 1),
+              "stream_us_per_solve": round(trs["stream"] * 1e6, 1),
+              "speedup": round(trs["stream"] / trs["fused"], 2)})
+
+    guard("trs_fused_ab", row_trs)
 
     # ---- fused PELL CG (bench.py cross-check at 131k) ------------------
     n_c = 1 << (12 if small else 17)
@@ -384,14 +431,17 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_pc = max(
-        (pell_total(120 if small else 600) - pell_total(
-            20 if small else 100
-        )) / (100 if small else 500),
-        1e-9,
-    )
-    emit({"row": "pell_fused_cg", "n": n_c,
-          "us_per_iter": round(t_pc * 1e6, 2)})
+    def row_pell_cg():
+        t_pc = max(
+            (pell_total(120 if small else 600) - pell_total(
+                20 if small else 100
+            )) / (100 if small else 500),
+            1e-9,
+        )
+        emit({"row": "pell_fused_cg", "n": n_c,
+              "us_per_iter": round(t_pc * 1e6, 2)})
+
+    guard("pell_fused_cg", row_pell_cg)
 
     # ---- k-RHS fused CG: one kernel for 4 columns vs 4 sequential ------
     # single-RHS fused solves vs the generic streaming multi-RHS loop
@@ -428,17 +478,20 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    mm = {}
-    for mode in ("multi", "seq", "stream"):
-        lo = multi_total(20 if small else 100, mode)
-        hi = multi_total(80 if small else 400, mode)
-        mm[mode] = max((hi - lo) / (60 if small else 300), 1e-9)
-    emit({"row": "cg_multi_rhs_ab", "n": data_g.shape[0], "k": k_m,
-          "multi_us_per_iter": round(mm["multi"] * 1e6, 1),
-          "seq_fused_us_per_iter": round(mm["seq"] * 1e6, 1),
-          "stream_us_per_iter": round(mm["stream"] * 1e6, 1),
-          "speedup_vs_seq": round(mm["seq"] / mm["multi"], 2),
-          "speedup_vs_stream": round(mm["stream"] / mm["multi"], 2)})
+    def row_cg_multi():
+        mm = {}
+        for mode in ("multi", "seq", "stream"):
+            lo = multi_total(20 if small else 100, mode)
+            hi = multi_total(80 if small else 400, mode)
+            mm[mode] = max((hi - lo) / (60 if small else 300), 1e-9)
+        emit({"row": "cg_multi_rhs_ab", "n": data_g.shape[0], "k": k_m,
+              "multi_us_per_iter": round(mm["multi"] * 1e6, 1),
+              "seq_fused_us_per_iter": round(mm["seq"] * 1e6, 1),
+              "stream_us_per_iter": round(mm["stream"] * 1e6, 1),
+              "speedup_vs_seq": round(mm["seq"] / mm["multi"], 2),
+              "speedup_vs_stream": round(mm["stream"] / mm["multi"], 2)})
+
+    guard("cg_multi_rhs_ab", row_cg_multi)
 
     # ---- fused CGS / BiCG / IDR vs streaming (nonsymmetric Dia) --------
     # convection-diffusion-like tridiagonal band: exercises the
@@ -510,34 +563,40 @@ def main():
         finally:
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-    gm = {}
-    for fused in (True, False):
-        lo = gmres_multi_total(10 if small else 60, fused)
-        hi = gmres_multi_total(40 if small else 240, fused)
-        gm["fused" if fused else "stream"] = max(
-            (hi - lo) / (30 if small else 180), 1e-9
-        )
-    emit({"row": "gmres_multi_rhs_ab", "n": n_s, "k": k_g,
-          "fused_us_per_iter": round(gm["fused"] * 1e6, 1),
-          "stream_us_per_iter": round(gm["stream"] * 1e6, 1),
-          "speedup": round(gm["stream"] / gm["fused"], 2)})
+    def row_gmres_multi():
+        gm = {}
+        for fused in (True, False):
+            lo = gmres_multi_total(10 if small else 60, fused)
+            hi = gmres_multi_total(40 if small else 240, fused)
+            gm["fused" if fused else "stream"] = max(
+                (hi - lo) / (30 if small else 180), 1e-9
+            )
+        emit({"row": "gmres_multi_rhs_ab", "n": n_s, "k": k_g,
+              "fused_us_per_iter": round(gm["fused"] * 1e6, 1),
+              "stream_us_per_iter": round(gm["stream"] * 1e6, 1),
+              "speedup": round(gm["stream"] / gm["fused"], 2)})
+
+    guard("gmres_multi_rhs_ab", row_gmres_multi)
 
     for name, cls, kw in (
         ("cgs", gko.Cgs, {}),
         ("bicg", gko.Bicg, {}),
         ("idr_s4", gko.Idr, {"subspace_dim": 4}),
     ):
-        res = {}
-        for fused in (True, False):
-            lo = krylov_total(cls, 20 if small else 100, fused, **kw)
-            hi = krylov_total(cls, 80 if small else 400, fused, **kw)
-            res["fused" if fused else "stream"] = max(
-                (hi - lo) / (60 if small else 300), 1e-9
-            )
-        emit({"row": f"{name}_fused_ab", "n": n_s,
-              "fused_us_per_iter": round(res["fused"] * 1e6, 1),
-              "stream_us_per_iter": round(res["stream"] * 1e6, 1),
-              "speedup": round(res["stream"] / res["fused"], 2)})
+        def row_krylov(cls=cls, kw=kw, name=name):
+            res = {}
+            for fused in (True, False):
+                lo = krylov_total(cls, 20 if small else 100, fused, **kw)
+                hi = krylov_total(cls, 80 if small else 400, fused, **kw)
+                res["fused" if fused else "stream"] = max(
+                    (hi - lo) / (60 if small else 300), 1e-9
+                )
+            emit({"row": f"{name}_fused_ab", "n": n_s,
+                  "fused_us_per_iter": round(res["fused"] * 1e6, 1),
+                  "stream_us_per_iter": round(res["stream"] * 1e6, 1),
+                  "speedup": round(res["stream"] / res["fused"], 2)})
+
+        guard(f"{name}_fused_ab", row_krylov)
 
 
 if __name__ == "__main__":

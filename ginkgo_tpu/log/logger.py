@@ -94,6 +94,38 @@ def global_log(event: "Event", **data):
             lg.on(event, **data)
 
 
+def logged_kernel(fn=None, *, name: str | None = None):
+    """Emit operation_launched/completed around a Pallas kernel entry
+    point through the global registry (logger.hpp:148-481 operation
+    events; the reference's OperationLogger sees every kernel launch).
+
+    Zero-cost when no global logger is registered.  Under `jit` the
+    events fire once per TRACE (XLA dispatches one fused computation at
+    run time — there is no per-execution host hook); eager applies fire
+    per call.  That is the honest kernel-activity signal of this
+    execution model."""
+    import functools
+
+    def deco(f):
+        kname = name or f.__name__
+
+        @functools.wraps(f)
+        def wrapper(*args, **kwargs):
+            if not _GLOBAL_LOGGERS:
+                return f(*args, **kwargs)
+            global_log(Event.operation_launched, name=kname, kernel=True)
+            try:
+                return f(*args, **kwargs)
+            finally:
+                global_log(
+                    Event.operation_completed, name=kname, kernel=True
+                )
+
+        return wrapper
+
+    return deco(fn) if fn is not None else deco
+
+
 def fanout(loggers, event: "Event", **data):
     """Deliver an event to explicit loggers plus the global registry."""
     for lg in loggers:
@@ -191,6 +223,7 @@ class Counters(Logger):
         super().__init__(events)
         self.counts = defaultdict(int)
         self.op_seconds = defaultdict(float)
+        self.kernel_counts = defaultdict(int)  # per-Pallas-kernel launches
         self._op_start = {}
 
     def on(self, event, **data):
@@ -198,6 +231,8 @@ class Counters(Logger):
         name = data.get("name")
         if event == Event.operation_launched and name:
             self._op_start[name] = time.perf_counter()
+            if data.get("kernel"):
+                self.kernel_counts[name] += 1
         elif event == Event.operation_completed and name in self._op_start:
             self.op_seconds[name] += time.perf_counter() - self._op_start.pop(name)
 

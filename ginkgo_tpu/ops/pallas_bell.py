@@ -22,6 +22,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
@@ -79,6 +81,7 @@ def _bell_spmm_kernel(pids_ref, vals_ref, x_ref, out_ref, *, G, K, BR):
         out_ref[g * BR:(g + 1) * BR] = acc.astype(out_ref.dtype)
 
 
+@logged_kernel
 def bell_spmm_pallas(values, panel_ids, x_t, *, interpret=False):
     """Y = A @ X for BELL storage with multiple RHS.
 
@@ -136,6 +139,7 @@ def bell_spmm_pallas(values, panel_ids, x_t, *, interpret=False):
     return out[: NRB * BR]
 
 
+@logged_kernel
 def bell_spmv_pallas(values, panel_ids, panel_valid, x_panels, *, interpret=False):
     """y = A @ x for BELL storage.
 

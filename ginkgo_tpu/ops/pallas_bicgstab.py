@@ -26,6 +26,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_cg import (
@@ -424,6 +426,7 @@ def _bicgstab_multi_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm,
         stats[1 + 2 * k + j] = itc[j].astype(jnp.float32)
 
 
+@logged_kernel
 def bicgstab_vmem_solve_multi(diags, offsets, r0_3, x0_3, minv2=None, *,
                               tol_sq_eff, max_iters, use_implicit=False,
                               interpret=False):
@@ -495,6 +498,7 @@ def bicgstab_vmem_solve_multi(diags, offsets, r0_3, x0_3, minv2=None, *,
     return x3, it, mon, conv
 
 
+@logged_kernel
 def bicgstab_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *,
                         tol_sq_eff, max_iters, use_implicit=False,
                         interpret=False):

@@ -40,6 +40,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
@@ -421,6 +423,7 @@ def _cg_multi_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
         stats[1 + 2 * k + j] = itc[j].astype(jnp.float32)
 
 
+@logged_kernel
 def cg_vmem_solve_multi(diags, offsets, r0_3, x0_3, minv2=None, *,
                         tol_sq_eff, max_iters, use_implicit=False,
                         store_q=True, flexible=False, interpret=False):
@@ -520,6 +523,7 @@ def cg_vmem_fits(nd: int, R: int, diag_itemsize: int = 4,
     )
 
 
+@logged_kernel
 def cg_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *, tol_sq_eff,
                   max_iters, use_implicit=False, store_q=True,
                   flexible=False, interpret=False):

@@ -28,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
@@ -224,6 +226,7 @@ def _cg_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl, invdu,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def cg_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2, x0_2,
                       *, sweeps_l, sweeps_u, tol_sq_eff, max_iters,
                       use_implicit=False, interpret=False):
@@ -476,6 +479,7 @@ def _bicgstab_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def bicgstab_ilu_vmem_solve(A_dia, Tl_dia, Tu_dia, invdl2, invdu2, r0_2,
                             x0_2, *, sweeps_l, sweeps_u, tol_sq_eff,
                             max_iters, use_implicit=False,

@@ -30,6 +30,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_cg import (
@@ -176,6 +178,7 @@ def _cgs_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def cgs_vmem_solve(diags, offsets, r0_2, x0_2, minv2=None, *,
                    tol_sq_eff, max_iters, use_implicit=False,
                    interpret=False):
@@ -387,6 +390,7 @@ def _bicg_kernel(scal, iscal, diags, diags_t, r0_hbm, x0_hbm, minv, x_hbm,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def bicg_vmem_solve(diags, offsets, diags_t, offsets_t, r0_2, x0_2,
                     minv2=None, *, tol_sq_eff, max_iters,
                     use_implicit=False, interpret=False):

@@ -35,6 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
@@ -141,6 +143,7 @@ def _dia_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows, halo,
     out[:] = acc.astype(out.dtype)
 
 
+@logged_kernel
 def dia_advanced_spmv_pallas(diags, offsets, x2, alpha, beta, y2, *,
                              block_rows=512, interpret=False):
     """y = alpha * A @ x2 + beta * y2 fused (see _dia_advanced_kernel)."""
@@ -246,6 +249,7 @@ def _dia_spmm_kernel(x_hbm, diags, out, xs, sem, *, qs, qmin, block_rows,
     out[0] = acc.astype(out.dtype)
 
 
+@logged_kernel
 def dia_spmm_pallas(diags, offsets, xk, *, block_rows=512, interpret=False):
     """Y = A @ X for k RHS columns.  xk: (k, R, 128) — column-major stack of
     row frames.  Returns (k, R, 128)."""
@@ -298,6 +302,7 @@ def dia_spmm_pallas(diags, offsets, xk, *, block_rows=512, interpret=False):
     return out[:, :R]
 
 
+@logged_kernel
 def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):
     """y2 = A @ x2 for DIA ``diags`` (nd, R, 128) / static ``offsets`` and x2
     (R, 128) in the row frame.  Returns (R, 128)."""

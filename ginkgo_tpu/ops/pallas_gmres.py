@@ -33,12 +33,44 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
 from .pallas_cg import LANES, _chunk_rows, _spmv_chunk, cg_vmem_budget_bytes
 from .pallas_pell_cg import _MAX_SMEM_INTS, _make_pell_spmv
 from .spmv_pallas import PAD_PANELS, SUBLANES
+
+
+# Mosaic TC (probed on the real chip, BENCH r3) implements NEITHER
+# scatter NOR value-level dynamic_slice, and ANY 1-D iota-masked select
+# SIGABRTs its layout pass — so every small GMRES state vector lives as
+# a 2-D (1, n) row (or (n, 1) column) register value, and all dynamic
+# indexing is 2-D iota-masked select/reduce (one VREG op at m ~ 30).
+
+
+def _viota(shape2):
+    """Index grid along the non-singleton axis of a 2-D vector."""
+    dim = 1 if shape2[0] == 1 else 0
+    return jax.lax.broadcasted_iota(jnp.int32, shape2, dim)
+
+
+def _vset(v2, i, val):
+    """v2.at[i].set(val) on a 2-D (1, n)/(n, 1) vector, scatter-free."""
+    return jnp.where(_viota(v2.shape) == i, val, v2)
+
+
+def _vget(v2, i):
+    """v2[i] for traced i on a 2-D vector: masked reduction to scalar."""
+    return jnp.sum(jnp.where(_viota(v2.shape) == i, v2, 0.0))
+
+
+def _set2(mat, r, c, val):
+    """mat.at[r, c].set(val) without scatter (2-D iota-masked select)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+    return jnp.where((ri == r) & (ci == c), val, mat)
 
 
 def gmres_vmem_fits(nd: int, R: int, m: int, diag_itemsize: int = 4,
@@ -165,10 +197,12 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
 
         jax.lax.fori_loop(0, n_chunks, v0_chunk, 0)
 
-        g0 = jnp.zeros((m + 1,), jnp.float32).at[0].set(beta)
-        cs0 = jnp.zeros((m,), jnp.float32)
-        sn0 = jnp.zeros((m,), jnp.float32)
-        Rm0 = jnp.zeros((m + 1, m), jnp.float32)
+        g0 = _vset(jnp.zeros((1, m + 1), jnp.float32), 0, beta)
+        cs0 = jnp.zeros((1, m), jnp.float32)
+        sn0 = jnp.zeros((1, m), jnp.float32)
+        # R factor stored TRANSPOSED (m, m+1): column j of R is row j
+        # here, so the per-step write is a broadcast row-masked select
+        Rm0 = jnp.zeros((m, m + 1), jnp.float32)
 
         # ---- inner Arnoldi loop (early exit on the |g[j+1]| estimate) --
         def arnoldi_cond(ast):
@@ -206,13 +240,13 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
                         )
                     s = jax.lax.fori_loop(0, n_chunks, dchunk,
                                           jnp.float32(0))
-                    return h.at[i].set(s)
+                    return _vset(h, i, s)
 
                 h = jax.lax.fori_loop(0, j + 1, dot_i,
-                                      jnp.zeros((m + 1,), jnp.float32))
+                                      jnp.zeros((1, m + 1), jnp.float32))
 
                 def sub_i(i, _):
-                    hi = h[i]
+                    hi = _vget(h, i)
 
                     def schunk(c, _):
                         c0 = c * C
@@ -228,7 +262,7 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
                 jax.lax.fori_loop(0, j + 1, sub_i, 0)
                 return h_acc + h
 
-            h = gs_pass(jnp.zeros((m + 1,), jnp.float32))
+            h = gs_pass(jnp.zeros((1, m + 1), jnp.float32))
             h = gs_pass(h)
 
             def unorm_chunk(c, s):
@@ -252,33 +286,36 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
             jax.lax.fori_loop(0, n_chunks, store_next, 0)
 
             # Givens chain on the new Hessenberg column (real arithmetic)
-            h = h.at[j + 1].set(hnext)
+            h = _vset(h, j + 1, hnext)
 
             def rot(i, hv):
                 use = i < j
-                hi, hi1 = hv[i], hv[i + 1]
-                c_, s_ = cs[i], sn[i]
+                hi, hi1 = _vget(hv, i), _vget(hv, i + 1)
+                c_, s_ = _vget(cs, i), _vget(sn, i)
                 new_i = jnp.where(use, c_ * hi + s_ * hi1, hi)
                 new_i1 = jnp.where(use, -s_ * hi + c_ * hi1, hi1)
-                return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+                return _vset(_vset(hv, i, new_i), i + 1, new_i1)
 
             h = jax.lax.fori_loop(0, m, rot, h)
-            a_, b_ = h[j], h[j + 1]
+            a_, b_ = _vget(h, j), _vget(h, j + 1)
             denom = jnp.sqrt(a_ * a_ + b_ * b_)
             safe_d = jnp.where(denom > 0, denom, 1.0)
             c_new = jnp.where(denom > 0, jnp.abs(a_) / safe_d, 1.0)
             phase = jnp.where(jnp.abs(a_) > 0, jnp.sign(a_), 1.0)
             s_new = jnp.where(denom > 0, phase * b_ / safe_d, 0.0)
-            h_rot = h.at[j].set(c_new * h[j] + s_new * h[j + 1]).at[
-                j + 1].set(0.0)
-            g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
-            Rm_new = jax.lax.dynamic_update_slice(
-                Rm, h_rot[:, None], (jnp.int32(0), j)
-            )
-            cs_new = cs.at[j].set(c_new)
-            sn_new = sn.at[j].set(s_new)
+            h_rot = _vset(_vset(h, j, c_new * a_ + s_new * b_),
+                          j + 1, 0.0)
+            gj = _vget(g, j)
+            g_new = _vset(_vset(g, j + 1, -s_new * gj), j, c_new * gj)
+            # write column j of R = row j of the transposed store:
+            # (1, m+1) h_rot broadcasts across the masked row
+            ri_T = jax.lax.broadcasted_iota(jnp.int32, Rm.shape, 0)
+            Rm_new = jnp.where(ri_T == j, h_rot, Rm)
+            cs_new = _vset(cs, j, c_new)
+            sn_new = _vset(sn, j, s_new)
             it_n = it_a + 1
-            res_sq = g_new[j + 1] * g_new[j + 1]
+            gj1 = _vget(g_new, j + 1)
+            res_sq = gj1 * gj1
             active = (res_sq > tol_sq) & (it_n < max_iters)
             return (j + 1, it_n, g_new, cs_new, sn_new, Rm_new, active)
 
@@ -289,26 +326,30 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
         steps = j  # columns taken this cycle
 
         # ---- back-substitution: y = R^{-1} g on the first `steps` cols
+        ri_T = jax.lax.broadcasted_iota(jnp.int32, (m, m + 1), 0)
+        ci_T = jax.lax.broadcasted_iota(jnp.int32, (m, m + 1), 1)
+
         def bsub(t, y):
             i = steps - 1 - t
-
-            def row_dot(k, acc):
-                return acc + Rm[i, k] * y[k]
-
-            acc = jax.lax.fori_loop(i + 1, steps, row_dot, jnp.float32(0))
-            diag = Rm[i, i]
+            # acc = sum_{k>i} R[i, k] y[k] = sum_{k>i} RmT[k, i] y[k];
+            # y[k] is zero for k >= steps, so masking k > i suffices
+            acc = jnp.sum(jnp.where(
+                (ci_T == i) & (ri_T > i), Rm * y, 0.0
+            ))
+            diag = jnp.sum(jnp.where((ci_T == i) & (ri_T == i), Rm, 0.0))
             safe = jnp.where(diag != 0, diag, 1.0)
-            yi = jnp.where(diag != 0, (g[i] - acc) / safe, 0.0)
-            return y.at[i].set(jnp.where(i >= 0, yi, 0.0))
+            yi = jnp.where(diag != 0, (_vget(g, i) - acc) / safe, 0.0)
+            return _vset(y, i, jnp.where(i >= 0, yi, 0.0))
 
-        y = jax.lax.fori_loop(0, steps, bsub, jnp.zeros((m,), jnp.float32))
+        y = jax.lax.fori_loop(0, steps, bsub,
+                              jnp.zeros((m, 1), jnp.float32))
 
         # ---- x += V[:steps]^T y ----------------------------------------
         def xup_chunk(c, _):
             c0 = c * C
 
             def add_i(i, acc):
-                return acc + y[i] * basis_row_chunk(i, c0)
+                return acc + _vget(y, i) * basis_row_chunk(i, c0)
 
             acc = jax.lax.fori_loop(
                 0, steps, add_i, x_s[pl.ds(c0, C), :]
@@ -478,10 +519,14 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
 
         g0 = jnp.zeros((k, m + 1), jnp.float32)
         for col in range(k):
-            g0 = g0.at[col, 0].set(beta[col])
+            g0 = _set2(g0, col, 0, beta[col])
         cs0 = jnp.zeros((k, m), jnp.float32)
         sn0 = jnp.zeros((k, m), jnp.float32)
-        Rm0 = jnp.zeros((k, m + 1, m), jnp.float32)
+        # per-column TRANSPOSED R factors (m, m+1) — static tuple, all
+        # dynamic indexing stays 2-D (Mosaic layout constraint)
+        Rm0 = tuple(
+            jnp.zeros((m, m + 1), jnp.float32) for _ in range(k)
+        )
         act0 = tuple(~done[col] for col in range(k))
 
         # ---- inner Arnoldi loop: shared j, per-column masked QR --------
@@ -533,7 +578,7 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
 
                     s = jax.lax.fori_loop(0, n_chunks, dchunk, zk)
                     for col in range(k):
-                        h = h.at[col, i].set(s[col])
+                        h = _set2(h, col, i, s[col])
                     return h
 
                 h = jax.lax.fori_loop(
@@ -546,7 +591,8 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
                         for col in range(k):
                             u_s[col, pl.ds(c0, C), :] = (
                                 u_s[col, pl.ds(c0, C), :]
-                                - h[col, i] * basis_row(col, i, c0)
+                                - _vget(h[col:col + 1], i)
+                                * basis_row(col, i, c0)
                             )
                         return 0
 
@@ -591,45 +637,50 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
             act_new, itc_new = [], []
             it_n = it_a + 1
             for col in range(k):
-                hv = h[col].at[j + 1].set(hnext[col])
+                hv = _vset(h[col:col + 1], j + 1, hnext[col])
 
                 def rot(i, hv, col=col):
                     use = i < j
-                    hi, hi1 = hv[i], hv[i + 1]
-                    c_, s_ = cs[col, i], sn[col, i]
+                    hi, hi1 = _vget(hv, i), _vget(hv, i + 1)
+                    c_ = _vget(cs[col:col + 1], i)
+                    s_ = _vget(sn[col:col + 1], i)
                     new_i = jnp.where(use, c_ * hi + s_ * hi1, hi)
                     new_i1 = jnp.where(use, -s_ * hi + c_ * hi1, hi1)
-                    return hv.at[i].set(new_i).at[i + 1].set(new_i1)
+                    return _vset(_vset(hv, i, new_i), i + 1, new_i1)
 
                 hv = jax.lax.fori_loop(0, m, rot, hv)
-                a_, b_ = hv[j], hv[j + 1]
+                a_, b_ = _vget(hv, j), _vget(hv, j + 1)
                 denom = jnp.sqrt(a_ * a_ + b_ * b_)
                 safe_d = jnp.where(denom > 0, denom, 1.0)
                 c_new = jnp.where(denom > 0, jnp.abs(a_) / safe_d, 1.0)
                 phase = jnp.where(jnp.abs(a_) > 0, jnp.sign(a_), 1.0)
                 s_new = jnp.where(denom > 0, phase * b_ / safe_d, 0.0)
-                h_rot = hv.at[j].set(
-                    c_new * hv[j] + s_new * hv[j + 1]
-                ).at[j + 1].set(0.0)
-                gj1 = -s_new * g[col, j]
-                gj = c_new * g[col, j]
+                h_rot = _vset(_vset(hv, j, c_new * a_ + s_new * b_),
+                              j + 1, 0.0)
+                g_cj = _vget(g[col:col + 1], j)
+                gj1 = -s_new * g_cj
+                gj = c_new * g_cj
                 a = act[col]
-                g_n = g_n.at[col, j + 1].set(
-                    jnp.where(a, gj1, g[col, j + 1])
-                ).at[col, j].set(jnp.where(a, gj, g[col, j]))
-                cs_n = cs_n.at[col, j].set(
-                    jnp.where(a, c_new, cs[col, j])
+                g_cj1 = _vget(g[col:col + 1], j + 1)
+                g_n = _set2(
+                    _set2(g_n, col, j + 1, jnp.where(a, gj1, g_cj1)),
+                    col, j, jnp.where(a, gj, g_cj),
                 )
-                sn_n = sn_n.at[col, j].set(
-                    jnp.where(a, s_new, sn[col, j])
-                )
+                cs_n = _set2(cs_n, col, j,
+                             jnp.where(a, c_new, _vget(cs[col:col + 1], j)))
+                sn_n = _set2(sn_n, col, j,
+                             jnp.where(a, s_new, _vget(sn[col:col + 1], j)))
                 # column j of each R factor is written at most once (at
                 # step j), so writing zeros for a stopped column equals
                 # keeping its (never-written) old values
-                new_col = jnp.where(a, h_rot, 0.0)
-                Rm_n = jax.lax.dynamic_update_slice(
-                    Rm_n, new_col[None, :, None],
-                    (jnp.int32(col), jnp.int32(0), j)
+                new_col = jnp.where(a, h_rot, 0.0)  # (1, m+1)
+                ri_T = jax.lax.broadcasted_iota(
+                    jnp.int32, Rm_n[col].shape, 0
+                )
+                Rm_n = tuple(
+                    jnp.where(ri_T == j, new_col, Rm_n[c2])
+                    if c2 == col else Rm_n[c2]
+                    for c2 in range(k)
                 )
                 res_sq = gj1 * gj1
                 still = a & (res_sq > col_tol(col)) & (it_n < max_iters)
@@ -644,36 +695,43 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
         )
 
         # ---- guarded back-substitution over the full m (rows past a
-        # column's own step count have Rm diag 0 -> y = 0)
-        y = jnp.zeros((k, m), jnp.float32)
-        lane = jnp.arange(m)
+        # column's own step count have R diag 0 -> y = 0); per-column
+        # (m, 1) solves, all masks 2-D over the transposed R factors
+        ri_T = jax.lax.broadcasted_iota(jnp.int32, (m, m + 1), 0)
+        ci_T = jax.lax.broadcasted_iota(jnp.int32, (m, m + 1), 1)
 
         def bsub(t, y):
             i = jnp.asarray(m - 1 - t, jnp.int32)  # x64-safe index
-            row = jax.lax.dynamic_slice(
-                Rm, (jnp.int32(0), i, jnp.int32(0)), (k, 1, m)
-            )[:, 0, :]  # (k, m)
-            acc = jnp.sum(jnp.where(lane[None, :] > i, row * y, 0.0),
-                          axis=1)
-            diag = jax.lax.dynamic_slice(row, (jnp.int32(0), i), (k, 1))[:, 0]
-            gcol = jax.lax.dynamic_slice(g, (jnp.int32(0), i), (k, 1))[:, 0]
-            safe = jnp.where(diag != 0, diag, 1.0)
-            yi = jnp.where(diag != 0, (gcol - acc) / safe, 0.0)
-            return jax.lax.dynamic_update_slice(
-                y, yi[:, None], (jnp.int32(0), i)
-            )
+            out = []
+            for col in range(k):
+                yc = y[col]
+                acc = jnp.sum(jnp.where(
+                    (ci_T == i) & (ri_T > i), Rm[col] * yc, 0.0
+                ))
+                diag = jnp.sum(jnp.where(
+                    (ci_T == i) & (ri_T == i), Rm[col], 0.0
+                ))
+                gcol = _vget(g[col:col + 1], i)
+                safe = jnp.where(diag != 0, diag, 1.0)
+                yi = jnp.where(diag != 0, (gcol - acc) / safe, 0.0)
+                out.append(_vset(yc, i, yi))
+            return tuple(out)
 
-        y = jax.lax.fori_loop(0, m, bsub, y)
+        y = jax.lax.fori_loop(
+            0, m, bsub,
+            tuple(jnp.zeros((m, 1), jnp.float32) for _ in range(k)),
+        )
         # a column already done at cycle start gets a zero update
-        for col in range(k):
-            y = y.at[col].set(jnp.where(done[col], 0.0, y[col]))
+        y = tuple(
+            jnp.where(done[col], 0.0, y[col]) for col in range(k)
+        )
 
         # ---- x += V^T y (y is zero past each column's step count) -----
         def xup_chunk(c, _):
             c0 = c * C
             for col in range(k):
                 def add_i(i, acc, col=col):
-                    return acc + y[col, i] * basis_row(col, i, c0)
+                    return acc + _vget(y[col], i) * basis_row(col, i, c0)
 
                 x_s[col, pl.ds(c0, C), :] = jax.lax.fori_loop(
                     0, j, add_i, x_s[col, pl.ds(c0, C), :]
@@ -708,6 +766,7 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
         stats[1 + 2 * k + col] = itc[col].astype(jnp.float32)
 
 
+@logged_kernel
 def gmres_vmem_solve_multi(diags, offsets, b3, x0_3, minv2=None, *, m,
                            tol_sq_eff, max_iters,
                            basis_dtype=jnp.float32, interpret=False):
@@ -816,6 +875,7 @@ def _gmres_pell_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm,
     )
 
 
+@logged_kernel
 def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
                      tol_sq_eff, max_iters, basis_dtype=jnp.float32,
                      interpret=False):
@@ -883,6 +943,7 @@ def gmres_vmem_solve(diags, offsets, b2, x0_2, minv2=None, *, m,
     return x2, it, stats[1], stats[2] > 0
 
 
+@logged_kernel
 def pell_gmres_vmem_solve(A, b2, x0_2, minv2=None, *, m, tol_sq_eff,
                           max_iters, basis_dtype=jnp.float32,
                           interpret=False):

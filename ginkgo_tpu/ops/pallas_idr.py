@@ -30,6 +30,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_cg import (
@@ -301,6 +303,7 @@ def _idr_kernel(scal, iscal, diags, P3, r0_hbm, x0_hbm, b_hbm, minv,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def idr_vmem_solve(diags, offsets, P3, r0_2, x0_2, b_2, minv2=None, *,
                    s, kappa, tol_sq_eff, max_iters, interpret=False):
     """Run biorthogonal IDR(s) to convergence in one Pallas kernel.

@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
@@ -240,6 +242,7 @@ def _common_call(kernel, diags, b2, x02, minv2, R, pad_lo, pad_hi,
     )
 
 
+@logged_kernel
 def ir_vmem_smooth(diags, offsets, b2, x02, minv2, *, omega, iters,
                    with_residual=False, interpret=False):
     """Fixed-count damped Jacobi/Richardson sweeps in one kernel.
@@ -271,6 +274,7 @@ def ir_vmem_smooth(diags, offsets, b2, x02, minv2, *, omega, iters,
     return x2, r2
 
 
+@logged_kernel
 def ir_vmem_solve(diags, offsets, b2, x02, minv2, *, omega, tol_sq_eff,
                   max_iters, interpret=False):
     """Run IR/Richardson to convergence in one Pallas kernel.

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_bicgstab import _sdiv
@@ -336,14 +338,27 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
         if tr["kind"] == "lane":
             m0, m1 = _lane_mats_inkernel(tr["S"])
             Cc = tr["Cc"]
-            r_ = jax.lax.broadcasted_iota(jnp.int32, (2 * Cc, LANES), 0)
-            idx_e = jnp.minimum(2 * r_, 2 * Cc - 2)
+            # even/odd row deinterleave as constant 0/1 MXU matmuls:
+            # Mosaic's sublane dynamic_gather is single-vreg only
+            # ("Multiple source vregs along gather dimension" on chip),
+            # and these are FIXED permutations — same trick as the
+            # stride-1 lane compaction (PERF.md)
+            r_c = jax.lax.broadcasted_iota(jnp.int32, (Cc, 2 * Cc), 0)
+            c_c = jax.lax.broadcasted_iota(jnp.int32, (Cc, 2 * Cc), 1)
+            Ee = (c_c == 2 * r_c).astype(jnp.float32)
+            Eo = (c_c == 2 * r_c + 1).astype(jnp.float32)
 
             def body(c, _):
                 c0 = c * Cc
                 fb = rs[l][pl.ds(2 * c0, 2 * Cc), :]
-                fe = jnp.take_along_axis(fb, idx_e, axis=0)[:Cc]
-                fo = jnp.take_along_axis(fb, idx_e + 1, axis=0)[:Cc]
+                fe = jax.lax.dot_general(
+                    Ee, fb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                fo = jax.lax.dot_general(
+                    Eo, fb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 t = jax.lax.dot_general(
                     fe, m0, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -376,8 +391,12 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
             m0, m1 = _lane_mats_inkernel(pr["S"])
             Cf = pr["Cf"]
             h = Cf // 2
-            r_ = jax.lax.broadcasted_iota(jnp.int32, (Cf, LANES), 0)
-            idx = r_ // 2 + (r_ % 2) * h
+            # row interleave (even rows <- ge, odd <- go) as constant 0/1
+            # MXU matmuls — sublane dynamic_gather is single-vreg only
+            r_f = jax.lax.broadcasted_iota(jnp.int32, (Cf, h), 0)
+            c_f = jax.lax.broadcasted_iota(jnp.int32, (Cf, h), 1)
+            Ie = (r_f == 2 * c_f).astype(jnp.float32)
+            Io = (r_f == 2 * c_f + 1).astype(jnp.float32)
 
             def body(c, _):
                 f0 = c * Cf
@@ -390,8 +409,13 @@ def _vcycle_refs(plan, diags, dinv, minv, xs, bs, rs, ws, use_x0=False,
                     cb, m1, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                cat = jnp.concatenate([ge, go], axis=0)
-                add = jnp.take_along_axis(cat, idx, axis=0)
+                add = jax.lax.dot_general(
+                    Ie, ge, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    Io, go, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 xs[l][pl.ds(f0, Cf), :] = xs[l][pl.ds(f0, Cf), :] + add
                 return 0
 
@@ -624,6 +648,7 @@ def _mg_kernel(*refs, plan, use_x0):
     cp_o.wait()
 
 
+@logged_kernel
 def mg_vmem_vcycle(plan, diags_list, dinv2_list, minv2, b2, x02=None,
                    interpret=False):
     """One V-cycle, whole hierarchy VMEM-resident.
@@ -845,6 +870,7 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def mg_cg_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2, r0_2,
                      x0_2, *, tol_sq_eff, max_iters, use_implicit=False,
                      flexible=False, interpret=False):
@@ -1008,6 +1034,7 @@ def _mg_solve_kernel(*refs, plan):
     stats[2] = (rr <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def mg_vmem_solve(plan, diags_list, dinv2_list, minv2, b2, x02, *,
                   tol_sq_eff, max_iters, interpret=False):
     """Run the criteria-driven multigrid solve in one Pallas kernel.
@@ -1270,6 +1297,7 @@ def _bicgstab_mg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def mg_bicgstab_vmem_solve(A_dia, plan, diags_list, dinv2_list, minv2,
                            r0_2, x0_2, *, tol_sq_eff, max_iters,
                            use_implicit=False, interpret=False):

@@ -34,6 +34,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_cg import _chunk_rows, _sdiv, cg_vmem_budget_bytes
@@ -216,6 +218,7 @@ def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
                        use_implicit=False, flexible=False,
                        interpret=False):
@@ -464,6 +467,7 @@ def _pell_bicgstab_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def pell_bicgstab_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
                              max_iters, use_implicit=False, interpret=False):
     """Run BiCGSTAB to convergence in one Pallas kernel on a Pell
@@ -699,6 +703,7 @@ def _pell_cgs_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
     stats[2] = (stop_mon <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def pell_cgs_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
                         max_iters, use_implicit=False, interpret=False):
     """Run CGS to convergence in one Pallas kernel on a Pell operator.
@@ -869,6 +874,7 @@ def _pell_ir_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm, x0_hbm,
     stats[2] = (rr <= tol_sq).astype(jnp.float32)
 
 
+@logged_kernel
 def pell_ir_vmem_solve(A, b2, x0_2, minv2=None, *, omega, tol_sq_eff,
                        max_iters, interpret=False):
     """Run Richardson/IR to convergence in one Pallas kernel on a Pell

@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ..log.logger import logged_kernel
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dia import _plan
@@ -67,6 +69,7 @@ def _trs_kernel(diags, invd, b_hbm, x_hbm, b_s, out_s, w_s, sems, *, qs,
     cp_x.wait()
 
 
+@logged_kernel
 def trs_vmem_solve(T_dia, invd2, b2, *, sweeps, interpret=False):
     """x = approx T^{-1} b in one kernel.
 

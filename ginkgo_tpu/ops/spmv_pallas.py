@@ -56,6 +56,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..log.logger import logged_kernel
+
 LANES = 128
 SUBLANES = 8
 TILE_ROWS = LANES * SUBLANES  # 1024
@@ -315,6 +317,7 @@ def _step_chunks(plan):
     return chunks
 
 
+@logged_kernel
 def pell_spmv(plan: PellPlan, x, *, interpret=False):
     """y = A @ x through the PELL plan; x is (n,), returns (n_rows,)."""
     n_rows, n_cols = plan.shape
@@ -429,6 +432,7 @@ def _pell_spmm_call(tiles, bases, values, qidx, x_panels, NT, G, k, dtype,
 _SPMM_X_BYTES = 64 << 20
 
 
+@logged_kernel
 def pell_spmm(plan: PellPlan, X, *, interpret=False):
     """Y = A @ X for (n, k) X: the matrix streams from HBM ONCE for all k
     columns (vs k passes of pell_spmv), so HBM bytes/nnz-column fall to

@@ -309,6 +309,55 @@ def test_vmem_cg_multi_rhs_percolumn_stopping(poisson_dia, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("solver_name", ["Cg", "Bicgstab", "Gmres"])
+def test_krhs_seeded_stopped_columns(solver_name, poisson_dia, monkeypatch):
+    """VERDICT r2 #9 — the reference's deliberately-seeded extreme
+    (test/solver/cg_kernels.cpp:55-120, stopping_status.hpp:62-145): one
+    column converged at iteration ~1 (tiny absolute rhs), one NEVER
+    (huge rhs vs an absolute tolerance).  The k-RHS fused kernel must
+    freeze/flag per column exactly as the streaming loop does."""
+    import ginkgo_tpu as gko
+
+    solver_cls = getattr(gko, solver_name)
+    A, _ = poisson_dia
+    n = A.shape[0]
+    rng = np.random.default_rng(42)
+    b = np.empty((n, 2), np.float32)
+    b[:, 0] = rng.standard_normal(n) * 1e-7   # below tol at iteration ~1
+    b[:, 1] = rng.standard_normal(n) * 1e6    # unreachable in max_iters
+    b = jnp.asarray(b)
+    crit = [
+        stop.Iteration(max_iters=40),
+        stop.ResidualNorm(tolerance=1e-5, baseline="absolute"),
+    ]
+    kw = {"krylov_dim": 10} if solver_name == "Gmres" else {}
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = solver_cls.build(criteria=crit, **kw).generate(A)
+    # the k-RHS fused kernel must actually take this solve
+    assert s._try_vmem_fused_multi(b, jnp.zeros_like(b)) is not None
+    xf, inf_f = s.solve(b)
+    monkeypatch.delenv("GINKGO_TPU_FORCE_VMEM_CG")
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    xg, inf_g = solver_cls.build(criteria=crit, **kw).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    for inf in (inf_f, inf_g):
+        conv = np.asarray(inf.converged)
+        assert bool(conv[0]) and not bool(conv[1]), (solver_name, conv)
+        assert int(inf.iterations) == 40  # the live column ran them all
+    np.testing.assert_array_equal(
+        np.asarray(inf_f.converged), np.asarray(inf_g.converged)
+    )
+    # the frozen column's solution must be identical stream vs fused
+    # (frozen means UNTOUCHED after its stop iteration)
+    np.testing.assert_allclose(
+        np.asarray(xf[:, 0]), np.asarray(xg[:, 0]), rtol=2e-5, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(xf[:, 1]), np.asarray(xg[:, 1]), rtol=2e-4,
+        atol=2e-4 * 1e6,
+    )
+
+
 def test_vmem_cg_multi_rhs_jacobi_and_iteronly(poisson_dia, monkeypatch):
     A, _ = poisson_dia
     b = _multi_rhs(A, k=2, scales=(1.0, 7.0))

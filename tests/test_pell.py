@@ -452,6 +452,130 @@ def test_pell_apply_multirhs_uses_spmm_kernel(monkeypatch, rng):
     )
 
 
+def _powerlaw_data(n, seed=23):
+    """Zipf-degree rows with hub-biased targets — a genuinely irregular
+    graph pattern with NO designed-in column locality (the SuiteSparse
+    worst case, BENCHMARKING.md:60)."""
+    rng_p = np.random.default_rng(seed)
+    deg = np.minimum(rng_p.zipf(2.1, size=n) + 2, 64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    u = rng_p.random(rows.size)
+    cols = np.minimum((u ** 3.0 * n).astype(np.int64), n - 1)
+    vals = rng_p.standard_normal(rows.size).astype(np.float32) * 1e-2
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    return MatrixData.from_coo(
+        (n, n),
+        np.concatenate([rows, np.arange(n)]),
+        np.concatenate([cols, np.arange(n)]),
+        np.concatenate([vals, np.full(n, 4.0, np.float32)]),
+    ).sum_duplicates()
+
+
+def test_irregular_powerlaw_strategy_and_gate(monkeypatch):
+    """VERDICT r2 #5: the `auto` strategy and the PELL inflation gate
+    must behave sanely on a genuinely irregular power-law matrix.
+
+    At small n the padded plan FITS comfortably, so 'auto' on TPU picks
+    pallas even at high inflation (streaming padded zeros still beats
+    7 ns/element gathers — the memory-aware gate); and the stats pass
+    must never materialize slots while deciding."""
+    from ginkgo_tpu.ops.spmv_pallas import PellPlan
+
+    data = _powerlaw_data(1 << 12)
+    A = Csr.from_matrix_data(data, index_dtype=np.int32)
+    stats = PellPlan(
+        np.asarray(A.row_ptrs), np.asarray(A.col_idxs),
+        np.asarray(A.values), tuple(A.shape), materialize=False,
+    )
+    assert stats.values is None  # stats-only: nothing materialized
+    assert stats.inflation > 3.0  # genuinely irregular: poor locality
+    # CPU backend: never pallas
+    assert A._resolve_strategy() in ("classical", "merge_path")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    strat = A._resolve_strategy()
+    if stats.inflation <= 16.0:
+        assert strat == "pallas"
+    else:
+        assert strat == "classical"
+    # whichever path auto picks must be numerically right
+    monkeypatch.undo()
+    x = np.random.default_rng(1).standard_normal(A.shape[0])
+    y = np.asarray(A.with_strategy("auto").apply(jnp.asarray(x)))
+    import scipy.sparse as _sps
+
+    spm = _sps.csr_matrix(
+        (np.asarray(data.values), (data.rows, data.cols)), shape=A.shape
+    )
+    np.testing.assert_allclose(y, spm @ x, rtol=1e-4, atol=1e-4)
+    # the streaming kernel itself (interpret) is exact on this pattern
+    plan = PellPlan(
+        np.asarray(A.row_ptrs), np.asarray(A.col_idxs),
+        np.asarray(A.values), tuple(A.shape),
+    )
+    y2 = pell_spmv(plan, jnp.asarray(x.astype(np.float32)), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y2, np.float64), spm @ x, rtol=1e-3, atol=1e-3
+    )
+
+
+def test_irregular_rcm_profile_strategy(monkeypatch):
+    """Post-RCM FEM-profile matrix (banded-ish envelope after reordering
+    a scattered pattern): locality recovered by Rcm must flip the PELL
+    gate from decline/high-inflation to accept — the reorder-then-stream
+    pipeline the MemoryError message recommends."""
+    import scipy.sparse as sps
+    from ginkgo_tpu.ops.spmv_pallas import PellPlan
+
+    # scattered FEM-like: random geometric connectivity
+    rng = np.random.default_rng(9)
+    n = 3000
+    pts = rng.random((n, 2))
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(0.035, output_type="ndarray")
+    rows = np.concatenate([pairs[:, 0], pairs[:, 1], np.arange(n)])
+    cols = np.concatenate([pairs[:, 1], pairs[:, 0], np.arange(n)])
+    vals = np.concatenate([
+        np.full(2 * len(pairs), -1.0, np.float32),
+        np.full(n, 20.0, np.float32),
+    ])
+    data = gko.MatrixData.from_coo((n, n), rows, cols, vals).sort_row_major()
+    # scatter the natural geometric order to destroy locality
+    perm = rng.permutation(n)
+    data_scat = gko.MatrixData.from_coo(
+        (n, n), perm[data.rows], perm[data.cols], data.values
+    ).sort_row_major()
+    A_scat = Csr.from_matrix_data(data_scat, index_dtype=np.int32)
+    stats_scat = PellPlan(
+        np.asarray(A_scat.row_ptrs), np.asarray(A_scat.col_idxs),
+        np.asarray(A_scat.values), (n, n), materialize=False,
+    )
+    from ginkgo_tpu.reorder.rcm import rcm_permutation
+
+    A_rcm = A_scat.symm_permute(rcm_permutation(A_scat))
+    stats_rcm = PellPlan(
+        np.asarray(A_rcm.row_ptrs), np.asarray(A_rcm.col_idxs),
+        np.asarray(A_rcm.values), (n, n), materialize=False,
+    )
+    # RCM recovers locality: inflation drops substantially
+    assert stats_rcm.inflation < 0.6 * stats_scat.inflation, (
+        stats_scat.inflation, stats_rcm.inflation,
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert A_rcm._resolve_strategy() == "pallas"
+    monkeypatch.undo()
+    # reordered apply parity vs scipy
+    x = rng.standard_normal(n)
+    spm = sps.csr_matrix(
+        (np.asarray(A_rcm.values), np.asarray(A_rcm.col_idxs),
+         np.asarray(A_rcm.row_ptrs)), shape=(n, n)
+    )
+    y = np.asarray(A_rcm.with_strategy("auto").apply(jnp.asarray(x)))
+    np.testing.assert_allclose(y, spm @ x, rtol=1e-4, atol=1e-4)
+
+
 def test_plan_cache_byte_budget(monkeypatch):
     """VERDICT r2 #6: the plan caches evict by BYTES (LRU), and evicted
     plans rebuild correctly on re-access."""
