@@ -265,9 +265,21 @@ class IterativeSolverMixin:
         # operator applies to complex vectors transparently under jnp).
         caller_dtype = barr.dtype
         op_dtype = jnp.dtype(self.A.dtype)
-        convert = caller_dtype != op_dtype and (
-            jnp.issubdtype(caller_dtype, jnp.complexfloating)
-            == jnp.issubdtype(op_dtype, jnp.complexfloating)
+        # reduced-storage operators (bf16/f16 via reduce_storage) are a
+        # STORAGE format with f32 accumulation (base/accessor.py), not a
+        # solve precision: never downcast the solve below f32 (doing so
+        # silently declined the fused gate's f32-RHS check and ran the
+        # whole solve as a bf16 streaming loop — 10x, found by BENCH r3)
+        storage_reduced = op_dtype in (
+            jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16),
+        ) and jnp.dtype(caller_dtype).itemsize >= 4
+        convert = (
+            not storage_reduced
+            and caller_dtype != op_dtype
+            and (
+                jnp.issubdtype(caller_dtype, jnp.complexfloating)
+                == jnp.issubdtype(op_dtype, jnp.complexfloating)
+            )
         )
         if convert:
             barr = barr.astype(op_dtype)

@@ -477,3 +477,42 @@ def test_vmem_bicgstab_multi_rhs_percolumn_jacobi(poisson_dia, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(xg), rtol=2e-4, atol=2e-4
     )
+
+
+def test_reduced_storage_solve_stays_f32_and_fused(poisson_dia, monkeypatch):
+    """BENCH r3 regression: solve() on a reduce_storage (bf16-storage)
+    operator must NOT downcast the solve to bf16 — storage reduction is
+    an accessor concept with f32 accumulation.  The fused kernel must
+    engage through the public solve() even under an enclosing user jit,
+    and the result dtype is the caller's."""
+    from ginkgo_tpu.log.logger import (
+        Counters, add_global_logger, remove_global_logger,
+    )
+
+    A, b = poisson_dia
+    A16 = A.reduce_storage()
+    assert A16.diags.dtype == jnp.bfloat16
+    monkeypatch.setenv("GINKGO_TPU_FORCE_VMEM_CG", "1")
+    s = Cg.build(criteria=[stop.Iteration(max_iters=30)]).generate(A16)
+    c = Counters()
+    add_global_logger(c)
+    try:
+        @jax.jit
+        def run(rhs):
+            x, info = s.solve(rhs)
+            return x
+
+        x = run(b)
+    finally:
+        remove_global_logger(c)
+    assert x.dtype == jnp.float32
+    assert c.kernel_counts.get("cg_vmem_solve", 0) >= 1, dict(c.kernel_counts)
+    # numerics match the f32-operator fused solve to bf16-storage error
+    monkeypatch.setenv("GINKGO_TPU_NO_PALLAS", "1")
+    x_ref, _ = Cg.build(
+        criteria=[stop.Iteration(max_iters=30)]
+    ).generate(A).solve(b)
+    monkeypatch.delenv("GINKGO_TPU_NO_PALLAS")
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_ref), rtol=2e-2, atol=2e-2
+    )
