@@ -216,22 +216,37 @@ def _bind_pell(lib):
         lib.gko_pell_plan_fill.restype = ctypes.c_int
         lib.gko_pell_plan_free.argtypes = [ctypes.c_void_p]
         lib.gko_pell_plan_free.restype = None
+        try:
+            lib.gko_pell_plan_retarget.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32,
+            ]
+            lib.gko_pell_plan_retarget.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so: auto-G falls back to fixed G
         lib._pell_bound = True
         return True
     except AttributeError:
         return False
 
 
-def pell_plan_native(indptr, indices, n_cols: int, G: int, S: int, *,
-                     stats_only: bool = False):
+def pell_plan_native(indptr, indices, n_cols: int, G, S: int, *,
+                     stats_only: bool = False, bytes_per_cell: int = 8):
     """Native PELL layout planning (native/pell_plan.cpp): fused decode
     + one index sort instead of ~20 numpy passes.  Returns None when the
     native library is unavailable, else a dict with NT/NP/total_slots/
-    n_steps (+ per-nnz gslot/srow/lane/q, bases, tile_of_step when not
-    stats_only)."""
+    n_steps/G (+ per-nnz gslot/srow/lane/q, bases, tile_of_step when not
+    stats_only).
+
+    G may be a tuple of candidates: the plan is built once, the
+    G-dependent padding retargeted per candidate (O(NT) each, no
+    re-sort), and the winner of the grid-overhead-vs-padded-traffic cost
+    model (spmv_pallas._g_cost) is kept."""
     lib = load()
     if lib is None or not _bind_pell(lib):
         return None
+    candidates = tuple(G) if isinstance(G, (tuple, list)) else (int(G),)
+    if len(candidates) > 1 and not hasattr(lib, "gko_pell_plan_retarget"):
+        candidates = (candidates[0],)
     indptr = np.ascontiguousarray(indptr, np.int64)
     indices = np.ascontiguousarray(indices, np.int64)
     n_rows = len(indptr) - 1
@@ -243,7 +258,8 @@ def pell_plan_native(indptr, indices, n_cols: int, G: int, S: int, *,
     rc = lib.gko_pell_plan_build(
         pp(indptr, ctypes.c_int64), pp(indices, ctypes.c_int64),
         ctypes.c_int64(n_rows), ctypes.c_int64(int(n_cols)),
-        ctypes.c_int32(G), ctypes.c_int32(S), ctypes.byref(handle),
+        ctypes.c_int32(candidates[0]), ctypes.c_int32(S),
+        ctypes.byref(handle),
     )
     if rc != 0:
         return None
@@ -252,10 +268,30 @@ def pell_plan_native(indptr, indices, n_cols: int, G: int, S: int, *,
         ns = ctypes.c_int64()
         nt = ctypes.c_int64()
         npn = ctypes.c_int64()
-        lib.gko_pell_plan_sizes(handle, ctypes.byref(ts), ctypes.byref(ns),
-                                ctypes.byref(nt), ctypes.byref(npn))
-        out = dict(total_slots=ts.value, n_steps=ns.value, NT=nt.value,
-                   NP=npn.value)
+
+        def sizes():
+            lib.gko_pell_plan_sizes(
+                handle, ctypes.byref(ts), ctypes.byref(ns),
+                ctypes.byref(nt), ctypes.byref(npn),
+            )
+            return ts.value, ns.value
+
+        g_pick = candidates[0]
+        if len(candidates) > 1:
+            from ..ops.spmv_pallas import _g_cost
+
+            best = None
+            for g in candidates:
+                lib.gko_pell_plan_retarget(handle, ctypes.c_int32(g))
+                slots, steps = sizes()
+                c = _g_cost(steps, slots, S, bytes_per_cell)
+                if best is None or c < best[0]:
+                    best = (c, g)
+            g_pick = best[1]
+            lib.gko_pell_plan_retarget(handle, ctypes.c_int32(g_pick))
+        slots_v, steps_v = sizes()
+        out = dict(total_slots=slots_v, n_steps=steps_v, NT=nt.value,
+                   NP=npn.value, G=g_pick)
         if stats_only:
             return out
         nnz = len(indices)

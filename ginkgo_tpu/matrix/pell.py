@@ -42,7 +42,7 @@ class Pell(LinOp):
     # -- construction ---------------------------------------------------------
 
     @staticmethod
-    def from_csr(csr, G: int = 4, S: int = 8, q_dtype=np.int32) -> "Pell":
+    def from_csr(csr, G="auto", S: int = 8, q_dtype=np.int32) -> "Pell":
         from ..ops.spmv_pallas import PellPlan
 
         plan = PellPlan(
@@ -68,7 +68,7 @@ class Pell(LinOp):
         )
 
     @staticmethod
-    def from_matrix_data(data: MatrixData, G: int = 4, S: int = 8,
+    def from_matrix_data(data: MatrixData, G="auto", S: int = 8,
                          q_dtype=np.int32) -> "Pell":
         from .csr import Csr
 

@@ -305,7 +305,43 @@ def dia_spmm_pallas(diags, offsets, xk, *, block_rows=512, interpret=False):
 @logged_kernel
 def dia_spmv_pallas(diags, offsets, x2, *, block_rows=512, interpret=False):
     """y2 = A @ x2 for DIA ``diags`` (nd, R, 128) / static ``offsets`` and x2
-    (R, 128) in the row frame.  Returns (R, 128)."""
+    (R, 128) in the row frame.  Returns (R, 128).
+
+    vmap-safe: batching over x2 dispatches to the k-RHS SpMM kernel
+    (Pallas calls cannot be auto-batched by JAX — the HBM-resident
+    operand's BlockSpec does not admit an extra axis), so solver drivers
+    may ``jax.vmap`` whole single-RHS solves over columns (e.g. the
+    streaming GMRES multi-RHS path, solver/gmres.py)."""
+
+    @jax.custom_batching.custom_vmap
+    def spmv(diags_, x2_):
+        return _dia_spmv_call(diags_, offsets, x2_, block_rows=block_rows,
+                              interpret=interpret)
+
+    @spmv.def_vmap
+    def spmv_vmap(axis_size, in_batched, diags_b, x2_b):
+        d_b, x_b = in_batched
+        if d_b:
+            # batched matrix: serial map (rare; keeps Pallas un-batched)
+            dd = diags_b if d_b else jnp.broadcast_to(
+                diags_b[None], (axis_size,) + diags_b.shape)
+            xx = x2_b if x_b else jnp.broadcast_to(
+                x2_b[None], (axis_size,) + x2_b.shape)
+            y = jax.lax.map(
+                lambda ab: _dia_spmv_call(ab[0], offsets, ab[1],
+                                          block_rows=block_rows,
+                                          interpret=interpret),
+                (dd, xx))
+            return y, True
+        # x batched on the leading axis == the SpMM (k, R, 128) layout
+        yk = dia_spmm_pallas(diags_b, offsets, x2_b, block_rows=block_rows,
+                             interpret=interpret)
+        return yk, True
+
+    return spmv(diags, x2)
+
+
+def _dia_spmv_call(diags, offsets, x2, *, block_rows=512, interpret=False):
     nd, R, lanes = diags.shape
     assert lanes == LANES
     if nd == 0:

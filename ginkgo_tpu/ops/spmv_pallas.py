@@ -63,6 +63,24 @@ SUBLANES = 8
 TILE_ROWS = LANES * SUBLANES  # 1024
 PAD_PANELS = 7  # zero panels either side so any base +- 7 slices validly
 
+# -- auto-G cost model --------------------------------------------------------
+# G (slots per grid step) trades Mosaic's ~0.2 us/step grid overhead
+# against per-tile padding roundup (slots pad to a multiple of G): BENCH
+# r3 found the 1M-row default-G=4 plan was GRID-BOUND (~9k steps ~ 1.8 ms
+# of a 2.2 ms apply).  The model scores steps * step-cost + padded cells
+# at HBM rate; constants from chip characterization (CLAUDE.md).
+_G_STEP_SECONDS = 2e-7
+_G_HBM_BYTES_PER_S = 8.3e11
+_G_CANDIDATES = (4, 8, 16, 32, 64)
+
+
+def _g_cost(n_steps: int, total_slots: int, S: int,
+            bytes_per_cell: int) -> float:
+    return (
+        n_steps * _G_STEP_SECONDS
+        + total_slots * S * LANES * bytes_per_cell / _G_HBM_BYTES_PER_S
+    )
+
 
 class PellPlan:
     """Static PELL expansion of a CSR pattern (host-built, numpy).
@@ -74,7 +92,7 @@ class PellPlan:
     packed lane indices (int8 halves index traffic; lanes < 128 always
     fit); the kernel widens to int32 in-register."""
 
-    def __init__(self, indptr, indices, values, shape, G: int = 8,
+    def __init__(self, indptr, indices, values, shape, G="auto",
                  S: int = SUBLANES, q_dtype=np.int32, *,
                  materialize: bool = True, max_cells: int | None = None):
         indptr = np.asarray(indptr)
@@ -87,7 +105,10 @@ class PellPlan:
         n_rows, n_cols = int(shape[0]), int(shape[1])
         nnz = len(indices)
         self.shape = (n_rows, n_cols)
-        self.G = G
+        auto_g = G == "auto"
+        bytes_per_cell = values.dtype.itemsize + np.dtype(q_dtype).itemsize
+        self.G = _G_CANDIDATES[0] if auto_g else int(G)
+        G = self.G
         self.S = int(S)
         self.pad = self.S - 1
         tile_rows = self.S * LANES
@@ -106,14 +127,17 @@ class PellPlan:
                 from ..io.native import pell_plan_native
 
                 nat = pell_plan_native(
-                    indptr, indices, n_cols, G, self.S,
+                    indptr, indices, n_cols,
+                    _G_CANDIDATES if auto_g else G, self.S,
                     stats_only=not materialize,
+                    bytes_per_cell=bytes_per_cell,
                 )
             except Exception:
                 nat = None
         if nat is not None and (nat["NT"] != NT or nat["NP"] != NP):
             nat = None  # stale/skewed native library: numpy fallback
         if nat is not None:
+            self.G = G = int(nat.get("G", G))
             self.n_steps = int(nat["n_steps"])
             total_slots = int(nat["total_slots"])
             self.total_cells = total_slots * tile_rows
@@ -177,6 +201,16 @@ class PellPlan:
         K_t = np.zeros(NT, np.int64)
         if len(uniqK):
             np.add.at(K_t, u_t, 1)
+        if auto_g:
+            # same model the native path applies (io/native.py): score
+            # each candidate's padded layout, keep the cheapest
+            best = None
+            for g in _G_CANDIDATES:
+                st = int(np.maximum(-(-K_t // g), 1).sum())
+                c = _g_cost(st, st * g, self.S, bytes_per_cell)
+                if best is None or c < best[0]:
+                    best = (c, g)
+            self.G = G = best[1]
         steps_t = np.maximum(-(-K_t // G), 1)
         K_t_pad = steps_t * G
         slot_off = np.concatenate([[0], np.cumsum(K_t_pad)])
@@ -319,7 +353,25 @@ def _step_chunks(plan):
 
 @logged_kernel
 def pell_spmv(plan: PellPlan, x, *, interpret=False):
-    """y = A @ x through the PELL plan; x is (n,), returns (n_rows,)."""
+    """y = A @ x through the PELL plan; x is (n,), returns (n_rows,).
+
+    vmap-safe: batching over x dispatches to ``pell_spmm`` (Pallas calls
+    cannot be auto-batched; the SpMM kernel is also the faster answer —
+    the matrix streams once for all batched columns)."""
+
+    @jax.custom_batching.custom_vmap
+    def spmv(x_):
+        return _pell_spmv_single(plan, x_, interpret=interpret)
+
+    @spmv.def_vmap
+    def spmv_vmap(axis_size, in_batched, x_b):
+        yk = pell_spmm(plan, x_b.T, interpret=interpret)
+        return yk.T, True
+
+    return spmv(x)
+
+
+def _pell_spmv_single(plan: PellPlan, x, *, interpret=False):
     n_rows, n_cols = plan.shape
     G = plan.G
     NP = plan.NP

@@ -34,7 +34,31 @@ struct PlanState {
     std::vector<int64_t> order;     // nnz indices sorted by K
     std::vector<int64_t> slot_off;  // per-tile padded slot offset
     std::vector<int64_t> steps_t;   // per-tile step count
+    std::vector<int64_t> K_t;       // per-tile UNPADDED slot count
 };
+
+namespace {
+
+// recompute the G-dependent padding (steps_t / slot_off / totals) from
+// the stored per-tile slot counts — O(NT), no re-sort; the auto-G
+// chooser evaluates several G values this way before filling
+void retarget_padding(PlanState* st, int32_t G) {
+    st->G = G;
+    int64_t steps_total = 0;
+    st->slot_off.assign(static_cast<size_t>(st->NT) + 1, 0);
+    st->steps_t.resize(static_cast<size_t>(st->NT));
+    for (int64_t t = 0; t < st->NT; ++t) {
+        const int64_t steps =
+            std::max<int64_t>((st->K_t[t] + G - 1) / G, 1);
+        st->steps_t[t] = steps;
+        st->slot_off[t + 1] = st->slot_off[t] + steps * G;
+        steps_total += steps;
+    }
+    st->total_slots = st->slot_off[static_cast<size_t>(st->NT)];
+    st->n_steps = steps_total;
+}
+
+}  // namespace
 
 }  // namespace
 
@@ -98,19 +122,16 @@ int gko_pell_plan_build(const int64_t* indptr, const int64_t* indices,
             ++K_t[static_cast<size_t>(t)];
         }
     }
-    st->steps_t.resize(static_cast<size_t>(st->NT));
-    st->slot_off.assign(static_cast<size_t>(st->NT) + 1, 0);
-    int64_t steps_total = 0;
-    for (int64_t t = 0; t < st->NT; ++t) {
-        const int64_t steps =
-            std::max<int64_t>((K_t[t] + G - 1) / G, 1);
-        st->steps_t[t] = steps;
-        st->slot_off[t + 1] = st->slot_off[t] + steps * G;
-        steps_total += steps;
-    }
-    st->total_slots = st->slot_off[static_cast<size_t>(st->NT)];
-    st->n_steps = steps_total;
+    st->K_t = std::move(K_t);
+    retarget_padding(st, G);
     *out = reinterpret_cast<GkoPellPlan*>(st);
+    return 0;
+}
+
+int gko_pell_plan_retarget(GkoPellPlan* h, int32_t G) {
+    auto* st = reinterpret_cast<PlanState*>(h);
+    if (!st || G < 1) return 1;
+    retarget_padding(st, G);
     return 0;
 }
 

@@ -132,3 +132,24 @@ def test_dia_spmm_pallas_matches_oracle(rng):
     got = dia_spmm_pallas(D.diags, D.offsets, xk, block_rows=8, interpret=True)
     got_flat = np.asarray(got).reshape(k, R * LANES)[:, :n].T
     np.testing.assert_allclose(got_flat, want, atol=1e-4)
+
+
+def test_dia_spmv_vmap_dispatches_to_spmm(rng):
+    """jax.vmap over dia_spmv_pallas's x must dispatch to the k-RHS SpMM
+    kernel (custom_vmap) — Pallas calls cannot be auto-batched, and the
+    streaming GMRES multi-RHS driver vmaps whole solves over columns
+    (the round-3 on-chip crash at ops/pallas_dia.py:328)."""
+    offs = [-130, -1, 0, 5, 128]
+    data = _banded(700, offs, rng)
+    D = Dia.from_matrix_data(data)
+    R = D.diags.shape[1]
+    f = lambda x2: dia_spmv_pallas(D.diags, D.offsets, x2, interpret=True)
+    X = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, R, LANES))
+        .astype(np.float32))
+    import jax
+
+    yv = jax.vmap(f)(X)
+    ys = jnp.stack([f(X[i]) for i in range(4)])
+    np.testing.assert_allclose(np.asarray(yv), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)

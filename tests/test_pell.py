@@ -631,3 +631,51 @@ def test_native_plan_parity_v5(monkeypatch, rng, S):
                                   np.asarray(p_np.qidx))
     np.testing.assert_array_equal(np.asarray(p_nat.bases),
                                   np.asarray(p_np.bases))
+
+
+def test_pell_auto_g_picks_cost_model_argmin(monkeypatch, rng):
+    """G='auto' (the round-3 default) must pick the argmin of the
+    grid-overhead-vs-padded-traffic cost model over the candidate set,
+    identically on the native and numpy planners, and yield an exact
+    SpMV.  Motivation: the chip G-sweep found the old fixed G=4 plan
+    GRID-bound (5x slower than the model's pick at 524k rows)."""
+    from ginkgo_tpu.ops.spmv_pallas import _g_cost, _G_CANDIDATES, LANES
+
+    sp = _random_csr(3000, 3000, 0.004, seed=91)
+    args = (sp.indptr, sp.indices, sp.data, sp.shape)
+    auto = PellPlan(*args)  # default G="auto"
+    bpc = sp.data.dtype.itemsize + 4  # f64 values + int32 qidx
+    costs = {}
+    for g in _G_CANDIDATES:
+        p = PellPlan(*args, G=g, materialize=False)
+        costs[g] = _g_cost(p.n_steps, p.total_cells // (p.S * LANES),
+                           p.S, bpc)
+    assert auto.G == min(costs, key=costs.get)
+    # numpy fallback picks the same G
+    from ginkgo_tpu.io import native as gko_native
+
+    monkeypatch.setattr(gko_native, "pell_plan_native",
+                        lambda *a, **k: None)
+    p_np = PellPlan(*args)
+    assert p_np.G == auto.G
+    assert p_np.n_steps == auto.n_steps
+    x = rng.standard_normal(3000)
+    y = pell_spmv(auto, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float64), sp @ x,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pell_spmv_vmap_dispatches_to_spmm(rng):
+    """jax.vmap over pell_spmv's vector must work (Pallas calls cannot
+    be auto-batched) by dispatching to the SpMM kernel — the path the
+    streaming GMRES multi-RHS driver takes (solver/gmres.py vmaps whole
+    single-RHS solves over columns)."""
+    sp = _random_csr(900, 900, 0.01, seed=55)
+    plan = PellPlan(sp.indptr, sp.indices, sp.data.astype(np.float32),
+                    sp.shape, G=4)
+    f = lambda x: pell_spmv(plan, x, interpret=True)
+    X = jnp.asarray(rng.standard_normal((3, 900)).astype(np.float32))
+    yv = jax.vmap(f)(X)
+    ys = jnp.stack([f(X[i]) for i in range(3)])
+    np.testing.assert_allclose(np.asarray(yv), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
