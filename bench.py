@@ -280,11 +280,21 @@ def main():
         return A, dev_bytes
 
     def row_pell():
-        # int8 packed lane indices keep the 1M-row plan under the upload
-        # cap (values f32 4 B + qidx 1 B = 5 B/cell vs 8 B/cell r2)
-        n_u = (1 << 20) if on_tpu else (1 << 13)
-        data_u = _local_spd(n_u)
-        A, dev_bytes = _pell_capped(data_u, q_dtype=np.int8)
+        # int8 packed lane indices shrink the plan to 5 B/cell (values
+        # f32 4 B + qidx 1 B vs 8 B/cell in r2), but the padded plan for
+        # this profile still inflates past the tunnel cap at 1M rows —
+        # take the largest size that fits (VERDICT r2 weak #1).
+        A = data_u = dev_bytes = None
+        for shift in ((20, 19, 18) if on_tpu else (13,)):
+            n_u = 1 << shift
+            data_u = _local_spd(n_u)
+            try:
+                A, dev_bytes = _pell_capped(data_u, q_dtype=np.int8)
+                break
+            except MemoryError:
+                continue
+        if A is None:
+            raise MemoryError("no PELL size fits under the tunnel cap")
         Au = A.scale(0.2)
         xu = jnp.ones((n_u,), jnp.float32)
         t = amortized_seconds(
