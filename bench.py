@@ -170,14 +170,26 @@ def main():
     B.row("xla_dia", row_xla_dia)
 
     def row_csr_classical():
+        # strategy pinned: "auto" routes this banded matrix to the PELL
+        # streaming plan, which belongs in the csr_auto row below
         data_s = generators.poisson_2d(512, dtype=np.float32)
-        A = Csr.from_matrix_data(data_s, index_dtype=np.int32).scale(0.125)
+        A = Csr.from_matrix_data(
+            data_s, index_dtype=np.int32, strategy="classical"
+        ).scale(0.125)
         xs = jnp.ones((data_s.shape[0],), dtype=jnp.float32)
         t = amortized_seconds(lambda v: A.apply(v), xs, trips=5, trials=2)
-        return {
+        out = {
             "csr_classical_seconds_512": t,
             "csr_classical_gnnz_per_s": round(data_s.nnz / t / 1e9, 4),
         }
+        A_auto = A.with_strategy("auto")
+        t_auto = amortized_seconds(
+            lambda v: A_auto.apply(v), xs, trips=trips // 10, trials=2
+        )
+        out["csr_auto_seconds_512"] = t_auto
+        out["csr_auto_gnnz_per_s"] = round(data_s.nnz / t_auto / 1e9, 4)
+        out["csr_auto_strategy"] = A_auto._resolve_strategy()
+        return out
 
     B.row("csr_classical", row_csr_classical)
 

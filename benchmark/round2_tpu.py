@@ -36,7 +36,11 @@ def emit(row):
 
 def guard(name, fn):
     """Per-row isolation (VERDICT r2 weak #1: one failed row must never
-    destroy the rest of the session's evidence)."""
+    destroy the rest of the session's evidence).  ROUND2_ROWS=a,b,c
+    restricts the session to the named rows (cheap re-measurement)."""
+    only = os.environ.get("ROUND2_ROWS")
+    if only and name not in only.split(","):
+        return
     try:
         fn()
     except Exception as e:  # noqa: BLE001
@@ -85,7 +89,9 @@ def main():
 
     # ---- unstructured matrix with column locality (bench.py profile) --
     rng = np.random.default_rng(11)
-    n_u = 1 << (13 if small else 19)
+    # 2^18: the v4 int32 variant's padded plan at 2^19 rode the jitted
+    # closure past the ~300 MB tunnel cap (HTTP 413)
+    n_u = 1 << (13 if small else 18)
     per_row = 9
     rows_u = np.repeat(np.arange(n_u, dtype=np.int64), per_row)
     cols_u = rows_u + rng.integers(-256, 257, size=rows_u.size)
@@ -255,6 +261,13 @@ def main():
         for fused in (True, False):
             lo = ilu_total(20 if small else 100, fused)
             hi = ilu_total(80 if small else 400, fused)
+            # chip clock drift can make the longer solve read faster;
+            # re-measure until the slope is positive (up to 2 retries)
+            for _ in range(2):
+                if hi > lo:
+                    break
+                lo = min(lo, ilu_total(20 if small else 100, fused))
+                hi = min(hi, ilu_total(80 if small else 400, fused))
             ic["fused" if fused else "stream"] = max(
                 (hi - lo) / (60 if small else 300), 1e-9
             )
@@ -317,10 +330,13 @@ def main():
     # per-cycle cost (iteration-capped slope) AND iterations-to-tol: the
     # K-cycle's second inner solves cost ~2x/cycle but cut iteration
     # counts ~2.5x on deep hierarchies
+    # max_levels must reach a tiny coarse grid: 5 levels at 262k left a
+    # 16k-row coarse problem (10 ms dense coarse solves, no convergence
+    # in 200 cycles) — 10 levels coarsens to ~256 rows
     def mg_total(cyc, iters):
         s = gko.Multigrid.build(
             criteria=[stop.Iteration(max_iters=iters)],
-            max_levels=5, cycle=cyc,
+            max_levels=10, cycle=cyc,
         ).generate(Dg)
 
         @jax.jit
@@ -340,7 +356,7 @@ def main():
         s = gko.Multigrid.build(
             criteria=[stop.Iteration(max_iters=200),
                       stop.ResidualNorm(tolerance=1e-5)],
-            max_levels=5, cycle=cyc,
+            max_levels=10, cycle=cyc,
         ).generate(Dg)
         _, info = s.solve(bg)
         return int(info.iterations)
@@ -383,11 +399,18 @@ def main():
             os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
     def row_trs():
+        # the fused solve is ~µs-scale: 10-trip chains sit inside the
+        # ~25 ms dispatch jitter — use 100/200 trips and retry on drift
         trs = {}
         for fused in (True, False):
-            t1 = trs_seconds(fused, 10)
-            t2 = trs_seconds(fused, 20)
-            trs["fused" if fused else "stream"] = max((t2 - t1) / 10, 1e-9)
+            t1 = trs_seconds(fused, 100)
+            t2 = trs_seconds(fused, 200)
+            for _ in range(2):
+                if t2 > t1:
+                    break
+                t1 = min(t1, trs_seconds(fused, 100))
+                t2 = min(t2, trs_seconds(fused, 200))
+            trs["fused" if fused else "stream"] = max((t2 - t1) / 100, 1e-9)
         emit({"row": "trs_fused_ab", "n": data_g.shape[0], "sweeps": nsw,
               "fused_us_per_solve": round(trs["fused"] * 1e6, 1),
               "stream_us_per_solve": round(trs["stream"] * 1e6, 1),
