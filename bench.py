@@ -63,14 +63,45 @@ def _total_seconds(apply_fn, x0, trips, trials):
     return best
 
 
-def amortized_seconds(apply_fn, x0, trips=300, trials=3):
+# minimum measurable span between the two trip counts: below this the
+# slope is tunnel/dispatch noise, not signal (the ~25 ms fixed overhead
+# cancels in the subtraction but its jitter does not)
+_MIN_SPAN_SECONDS = 0.010
+
+
+class MeasurementInvalid(RuntimeError):
+    """A slope measurement failed its validity guards after retries.
+
+    Mirrors the reference protocol's min_runtime / repetition-growth
+    guards (benchmark/utils/general.hpp:94-117).  VERDICT r3 weak #1:
+    the old `max(slope, 1e-9)` clamp published a failed PELL measurement
+    as 5.2e6 Gnnz/s; a failed row must now surface as `<row>_error`."""
+
+
+def amortized_seconds(apply_fn, x0, trips=300, trials=3, retries=2):
     """Per-apply seconds as the slope between two trip counts — chained
     applies inside one jit (data-dependent, so XLA cannot elide iterations
     through the Pallas call), scalar readback as the fence.  The slope
-    cancels the tunnel's fixed dispatch/fence overhead."""
-    t1 = _total_seconds(apply_fn, x0, trips, trials)
-    t2 = _total_seconds(apply_fn, x0, 2 * trips, trials)
-    return max((t2 - t1) / trips, 1e-9)
+    cancels the tunnel's fixed dispatch/fence overhead.
+
+    Validity guards (each failure retries with 4x trips, then raises
+    MeasurementInvalid — never returns a clamped value):
+    - slope must be positive (non-monotone trip counts = session drift)
+    - the measured span t2-t1 must exceed the dispatch-jitter floor"""
+    last = None
+    for _ in range(retries + 1):
+        t1 = _total_seconds(apply_fn, x0, trips, trials)
+        t2 = _total_seconds(apply_fn, x0, 2 * trips, trials)
+        span = t2 - t1
+        last = (trips, t1, t2)
+        if span > 0 and span >= _MIN_SPAN_SECONDS:
+            return span / trips
+        trips *= 4
+    raise MeasurementInvalid(
+        f"slope invalid after retries: trips={last[0]}, "
+        f"t1={last[1]:.6f}s, t2={last[2]:.6f}s (span "
+        f"{last[2] - last[1]:.6f}s < {_MIN_SPAN_SECONDS}s or non-positive)"
+    )
 
 
 def _solve_total(solver, b, trials=3):
@@ -88,10 +119,23 @@ def _solve_total(solver, b, trials=3):
     return best
 
 
-def _iter_slope(make_solver, b, iters_lo, iters_hi):
-    lo = _solve_total(make_solver(iters_lo), b)
-    hi = _solve_total(make_solver(iters_hi), b)
-    return max((hi - lo) / (iters_hi - iters_lo), 1e-9)
+def _iter_slope(make_solver, b, iters_lo, iters_hi, retries=2):
+    """Seconds/iteration with the same validity guards as
+    amortized_seconds: a non-positive or sub-jitter span retries with a
+    4x-wider iteration range and finally raises MeasurementInvalid."""
+    last = None
+    for _ in range(retries + 1):
+        lo = _solve_total(make_solver(iters_lo), b)
+        hi = _solve_total(make_solver(iters_hi), b)
+        span = hi - lo
+        last = (iters_lo, iters_hi, lo, hi)
+        if span > 0 and span >= _MIN_SPAN_SECONDS:
+            return span / (iters_hi - iters_lo)
+        iters_hi = iters_lo + 4 * (iters_hi - iters_lo)
+    raise MeasurementInvalid(
+        f"iter slope invalid after retries: iters=({last[0]},{last[1]}), "
+        f"lo={last[2]:.6f}s, hi={last[3]:.6f}s"
+    )
 
 
 class Bench:
@@ -143,6 +187,13 @@ def main():
         nd = D.num_diags
         bytes_apply = (nd + 2) * 4 * R * LANES
         gbs = bytes_apply / t / 1e9
+        if gbs > 4 * hbm_bandwidth_gbs():
+            # loop-invariant operands can legitimately beat pure HBM
+            # streaming, but >4x nominal is a broken measurement, not a
+            # fast kernel (VERDICT r3 weak #1 sanity bound)
+            raise MeasurementInvalid(
+                f"implausible {gbs:.0f} GB/s > 4x nominal HBM"
+            )
         headline["frac"] = gbs / hbm_bandwidth_gbs()
         return {
             "spmv_seconds": t,
@@ -415,9 +466,11 @@ def main():
     B.row("pell_cg", row_pell_cg)
 
     # ---- fused-vs-streaming interleaved A/B rows ----------------------------
-    def _ab_slope(make_solver, b, iters_lo, iters_hi):
+    def _ab_slope(make_solver, b, iters_lo, iters_hi, retries=2):
         """Interleaved fused/stream A/B (chip clock drifts between
-        sessions; CLAUDE.md): returns (fused, stream) s/iter."""
+        sessions; CLAUDE.md): returns (fused, stream) s/iter.  Both
+        slopes must pass the validity guards or the row errors out —
+        no clamped ratios (VERDICT r3 weak #1)."""
         def total(iters, fused):
             if not fused:
                 os.environ["GINKGO_TPU_NO_FUSED_CG"] = "1"
@@ -426,14 +479,24 @@ def main():
             finally:
                 os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
 
-        f1 = total(iters_lo, True)
-        s1 = total(iters_lo, False)
-        f2 = total(iters_hi, True)
-        s2 = total(iters_hi, False)
-        span = iters_hi - iters_lo
-        return (
-            max((f2 - f1) / span, 1e-9),
-            max((s2 - s1) / span, 1e-9),
+        last = None
+        for _ in range(retries + 1):
+            f1 = total(iters_lo, True)
+            s1 = total(iters_lo, False)
+            f2 = total(iters_hi, True)
+            s2 = total(iters_hi, False)
+            span = iters_hi - iters_lo
+            last = (iters_lo, iters_hi, f1, f2, s1, s2)
+            if (
+                f2 - f1 > 0 and s2 - s1 > 0
+                and min(f2 - f1, s2 - s1) >= _MIN_SPAN_SECONDS
+            ):
+                return (f2 - f1) / span, (s2 - s1) / span
+            iters_hi = iters_lo + 4 * (iters_hi - iters_lo)
+        raise MeasurementInvalid(
+            f"A/B slope invalid after retries: iters=({last[0]},{last[1]}) "
+            f"fused=({last[2]:.6f},{last[3]:.6f})s "
+            f"stream=({last[4]:.6f},{last[5]:.6f})s"
         )
 
     def row_gmres():
