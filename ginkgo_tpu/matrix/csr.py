@@ -151,18 +151,32 @@ class Csr(LinOp):
             return "classical"
         if jax.default_backend() == "tpu":
             from ..ops import spmv_pallas
+            from ..ops.spmv_well import WellPlan
 
-            # stats-only pass: resolution must not materialize (or
-            # upload) the padded slot arrays before the gate accepts
+            # stats-only passes: resolution must not materialize (or
+            # upload) the padded slot arrays before a gate accepts
+            ip = np.asarray(self.row_ptrs)
+            ci = np.asarray(self.col_idxs)
+            vv = np.asarray(self.values)
             stats = spmv_pallas.PellPlan(
-                np.asarray(self.row_ptrs), np.asarray(self.col_idxs),
-                np.asarray(self.values), tuple(self.shape),
-                materialize=False,
+                ip, ci, vv, tuple(self.shape), materialize=False
             )
             if stats.inflation <= 16.0 and stats.total_cells * 8 <= (
                 spmv_pallas._HARD_PAD_BYTES
             ):
                 return "pallas"
+            # locality-free pattern: the WELL windowed-gather layout
+            # replaces the reference's load_balance/merge_path role
+            # (cuda/matrix/csr_kernels.cu:276-310) — accept it under the
+            # same memory-aware gates as linop_streaming_spmv
+            if stats.nnz > 0:
+                ws = WellPlan(ip, ci, vv, tuple(self.shape),
+                              materialize=False)
+                pad = ws.padded_bytes
+                if (
+                    ws.inflation <= 16.0 or pad <= 256 << 20
+                ) and pad <= spmv_pallas._HARD_PAD_BYTES:
+                    return "pallas"
             self._maybe_hint_gather()
             return "classical"
         lengths = self.host_row_lengths()

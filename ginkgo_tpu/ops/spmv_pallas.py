@@ -552,7 +552,9 @@ def _plan_bytes(plan) -> int:
     if plan is None or getattr(plan, "values", None) is None:
         return 0
     total = 0
-    for arr in (plan.values, plan.qidx, plan.bases, plan.tile_of_step):
+    arrs = [plan.values, plan.qidx, plan.bases, plan.tile_of_step,
+            getattr(plan, "rt", None)]
+    for arr in arrs:
         if arr is not None:
             total += arr.size * arr.dtype.itemsize
     return total
@@ -612,7 +614,13 @@ _PLAN_CACHE = _ByteLRU(_cache_budget_bytes())
 def _plan_for(row_ptrs, col_idxs, values, shape):
     """Plan cache keyed on the identity of the storage arrays (a Csr is
     immutable; repeated applies of the same matrix reuse the plan).  The
-    strong refs kept in the cache entry make the id()s stable."""
+    strong refs kept in the cache entry make the id()s stable.
+
+    The cached plan is whichever of PELL / WELL the cost model picks
+    (spmv_well.choose_unstructured_plan) — WELL covers the locality-free
+    patterns where PELL's diagonal-base slots inflate unboundedly."""
+    from .spmv_well import choose_unstructured_plan
+
     key = (id(row_ptrs), id(col_idxs), id(values), tuple(shape))
     hit = _PLAN_CACHE.get(key)
     if (
@@ -620,13 +628,13 @@ def _plan_for(row_ptrs, col_idxs, values, shape):
         and hit[2] is values
     ):
         return hit[3]
-    plan = PellPlan(
+    plan = choose_unstructured_plan(
         np.asarray(row_ptrs), np.asarray(col_idxs), np.asarray(values),
         shape, max_cells=_HARD_PAD_BYTES // 8,
     )
     if plan.too_large:
         raise MemoryError(
-            "PELL plan for this pattern would materialize "
+            "PELL/WELL plans for this pattern would materialize "
             f"{plan.total_cells * 8 / 2**30:.1f} GB of padded slots "
             f"(inflation {plan.inflation:.0f}x); use an XLA strategy "
             "(classical/merge_path) or reorder the matrix (e.g. Rcm) to "
@@ -641,13 +649,16 @@ def _plan_for(row_ptrs, col_idxs, values, shape):
 def csr_spmv(row_ptrs, col_idxs, values, arr, n_rows, *, interpret=False):
     """Csr 'pallas' strategy entry (csr.py): SpMM kernel for multi-RHS.
 
-    Host-builds (and caches) the PELL plan, so this path must be entered
-    OUTSIDE jit; inside jit use a prebuilt plan / the Pell format class."""
+    Host-builds (and caches) the PELL-or-WELL plan, so this path must be
+    entered OUTSIDE jit; inside jit use a prebuilt plan / the Pell format
+    class."""
+    from .spmv_well import plan_spmm, plan_spmv
+
     shape = (n_rows, arr.shape[0])
     plan = _plan_for(row_ptrs, col_idxs, values, shape)
     if arr.shape[1] > 1:
-        return pell_spmm(plan, arr, interpret=interpret)
-    return pell_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
+        return plan_spmm(plan, arr, interpret=interpret)
+    return plan_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
 
 
 # ---------------------------------------------------------------------------
@@ -714,26 +725,54 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         ip = np.asarray(csr.row_ptrs)
         ci = np.asarray(csr.col_idxs)
         vv = np.asarray(csr.values)
-        # stats-only pass first: the padding gate must run BEFORE the
+        # stats-only passes first: the padding gates must run BEFORE the
         # padded arrays are allocated (a low-locality pattern can
-        # inflate to tens of GB)
-        stats = PellPlan(ip, ci, vv, tuple(op.shape), materialize=False)
-        bytes_per_cell = (
-            vv.dtype.itemsize + np.dtype(np.int32).itemsize
+        # inflate to tens of GB).  PELL and WELL are both candidates;
+        # the cheaper acceptable layout wins (WELL covers locality-free
+        # patterns where PELL inflates unboundedly).
+        from .spmv_well import WellPlan, _plan_cost
+
+        shape = tuple(op.shape)
+        pell_s = PellPlan(ip, ci, vv, shape, materialize=False)
+        well_s = (
+            WellPlan(ip, ci, vv, shape, materialize=False)
+            if pell_s.inflation > 4.0 and pell_s.nnz > 0
+            else None
         )
-        pad_bytes = stats.total_cells * bytes_per_cell
-        accept = stats.nnz > 0 and (
-            stats.inflation <= max_inflation or pad_bytes <= max_pad_bytes
-        ) and pad_bytes <= _HARD_PAD_BYTES
-        plan = (
-            PellPlan(ip, ci, vv, tuple(op.shape)) if accept else None
-        )
+
+        def _ok(stats, bpc):
+            pad = stats.total_cells * bpc
+            return stats.nnz > 0 and (
+                stats.inflation <= max_inflation or pad <= max_pad_bytes
+            ) and pad <= _HARD_PAD_BYTES
+
+        bpc_p = vv.dtype.itemsize + 4
+        bpc_w = vv.dtype.itemsize + 2
+        cands = []
+        if _ok(pell_s, bpc_p):
+            cands.append(
+                (_plan_cost(pell_s.n_steps, pell_s.total_cells, bpc_p),
+                 "pell")
+            )
+        if well_s is not None and _ok(well_s, bpc_w):
+            cands.append(
+                (_plan_cost(well_s.n_steps, well_s.total_cells, bpc_w,
+                            gather_factor=1.15), "well")
+            )
+        if not cands:
+            plan = None
+        elif min(cands)[1] == "pell":
+            plan = PellPlan(ip, ci, vv, shape)
+        else:
+            plan = WellPlan(ip, ci, vv, shape)
         _OP_PLAN_CACHE.put(key, (leaves, plan), _plan_bytes(plan))
     if plan is None:
         return None
+    from .spmv_well import plan_spmm, plan_spmv
+
     interpret = not on_tpu
     if arr.shape[1] > 1:
-        out = pell_spmm(plan, arr, interpret=interpret)
+        out = plan_spmm(plan, arr, interpret=interpret)
     else:
-        out = pell_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
+        out = plan_spmv(plan, arr[:, 0], interpret=interpret)[:, None]
     return out.astype(arr.dtype)
