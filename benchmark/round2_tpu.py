@@ -34,12 +34,18 @@ def emit(row):
     print(json.dumps(row), flush=True)
 
 
+_SEEN_ROWS = set()
+
+
 def guard(name, fn):
     """Per-row isolation (VERDICT r2 weak #1: one failed row must never
     destroy the rest of the session's evidence).  ROUND2_ROWS=a,b,c
-    restricts the session to the named rows (cheap re-measurement)."""
+    restricts the session to the named rows (cheap re-measurement);
+    tokens are stripped and unknown names are reported at exit
+    (ADVICE r3: 'a, b' silently skipped row b)."""
+    _SEEN_ROWS.add(name)
     only = os.environ.get("ROUND2_ROWS")
-    if only and name not in only.split(","):
+    if only and name not in [s.strip() for s in only.split(",")]:
         return
     try:
         fn()
@@ -48,6 +54,20 @@ def guard(name, fn):
 
         traceback.print_exc()
         emit({"row": name, "error": f"{type(e).__name__}: {e}"[:300]})
+
+
+def report_unmatched_rows():
+    only = os.environ.get("ROUND2_ROWS")
+    if not only:
+        return
+    unknown = [
+        s.strip() for s in only.split(",")
+        if s.strip() and s.strip() not in _SEEN_ROWS
+    ]
+    if unknown:
+        emit({"row": "_filter_warning",
+              "unmatched_names": unknown,
+              "known_rows": sorted(_SEEN_ROWS)})
 
 
 def chain_seconds(apply_fn, x0, trips, trials=3):
@@ -64,10 +84,36 @@ def chain_seconds(apply_fn, x0, trips, trials=3):
     return best
 
 
+def pos_slope(lo_fn, hi_fn, span, retries=2):
+    """Positive slope between two totals with drift retries.
+
+    Each retry measures a FRESH lo/hi pair and only the lo endpoint is
+    min-ed across attempts — an anomalously fast hi reading can then be
+    corrected upward on the next attempt (ADVICE r3: min-ing both
+    endpoints could never recover).  A persistently non-positive slope
+    raises instead of clamping to 1e-9, so the row records an error
+    rather than a 0.0 µs figure and an absurd ratio."""
+    lo = lo_fn()
+    hi = hi_fn()
+    for _ in range(retries):
+        if hi > lo:
+            break
+        lo = min(lo, lo_fn())
+        hi = hi_fn()
+    if hi <= lo:
+        raise RuntimeError(
+            f"non-positive slope after {retries} retries "
+            f"(lo={lo:.6f}s hi={hi:.6f}s)"
+        )
+    return (hi - lo) / span
+
+
 def slope(apply_fn, x0, trips):
-    t1 = chain_seconds(apply_fn, x0, trips)
-    t2 = chain_seconds(apply_fn, x0, 2 * trips)
-    return max((t2 - t1) / trips, 1e-9)
+    return pos_slope(
+        lambda: chain_seconds(apply_fn, x0, trips),
+        lambda: chain_seconds(apply_fn, x0, 2 * trips),
+        trips,
+    )
 
 
 def main():
@@ -201,10 +247,10 @@ def main():
     def row_gmres():
         g = {}
         for fused in (True, False):
-            lo = gmres_total(10 if small else 60, fused)
-            hi = gmres_total(40 if small else 240, fused)
-            g["fused" if fused else "stream"] = max(
-                (hi - lo) / (30 if small else 180), 1e-9
+            g["fused" if fused else "stream"] = pos_slope(
+                lambda: gmres_total(10 if small else 60, fused),
+                lambda: gmres_total(40 if small else 240, fused),
+                30 if small else 180,
             )
         emit({"row": "gmres_fused_ab", "n": data_g.shape[0],
               "fused_us_per_iter": round(g["fused"] * 1e6, 1),
@@ -259,17 +305,10 @@ def main():
     def row_ilu():
         ic = {}
         for fused in (True, False):
-            lo = ilu_total(20 if small else 100, fused)
-            hi = ilu_total(80 if small else 400, fused)
-            # chip clock drift can make the longer solve read faster;
-            # re-measure until the slope is positive (up to 2 retries)
-            for _ in range(2):
-                if hi > lo:
-                    break
-                lo = min(lo, ilu_total(20 if small else 100, fused))
-                hi = min(hi, ilu_total(80 if small else 400, fused))
-            ic["fused" if fused else "stream"] = max(
-                (hi - lo) / (60 if small else 300), 1e-9
+            ic["fused" if fused else "stream"] = pos_slope(
+                lambda: ilu_total(20 if small else 100, fused),
+                lambda: ilu_total(80 if small else 400, fused),
+                60 if small else 300,
             )
         emit({"row": "ilu_cg_ab", "n": data_g.shape[0],
               "fused_us_per_iter": round(ic["fused"] * 1e6, 1),
@@ -314,10 +353,10 @@ def main():
     def row_mgcg():
         mc = {}
         for fused in (True, False):
-            lo = mgcg_total(5 if small else 20, fused)
-            hi = mgcg_total(20 if small else 80, fused)
-            mc["fused" if fused else "stream"] = max(
-                (hi - lo) / (15 if small else 60), 1e-9
+            mc["fused" if fused else "stream"] = pos_slope(
+                lambda: mgcg_total(5 if small else 20, fused),
+                lambda: mgcg_total(20 if small else 80, fused),
+                15 if small else 60,
             )
         emit({"row": "mg_cg_fused_ab", "n": data_g.shape[0],
               "fused_us_per_iter": round(mc["fused"] * 1e6, 1),
@@ -364,10 +403,10 @@ def main():
     def row_kcycle():
         kc = {}
         for cyc in ("v", "k"):
-            lo = mg_total(cyc, 4 if small else 10)
-            hi = mg_total(cyc, 16 if small else 40)
-            kc[cyc] = {"us_per_cycle": max(
-                (hi - lo) / (12 if small else 30), 1e-9) * 1e6,
+            kc[cyc] = {"us_per_cycle": pos_slope(
+                lambda: mg_total(cyc, 4 if small else 10),
+                lambda: mg_total(cyc, 16 if small else 40),
+                12 if small else 30) * 1e6,
                 "iters_to_tol": mg_iters(cyc)}
         tot_v = kc["v"]["us_per_cycle"] * kc["v"]["iters_to_tol"]
         tot_k = kc["k"]["us_per_cycle"] * kc["k"]["iters_to_tol"]
@@ -376,7 +415,7 @@ def main():
               "k_us_per_cycle": round(kc["k"]["us_per_cycle"], 1),
               "v_iters": kc["v"]["iters_to_tol"],
               "k_iters": kc["k"]["iters_to_tol"],
-              "total_speedup_k_vs_v": round(tot_v / max(tot_k, 1e-9), 2)})
+              "total_speedup_k_vs_v": round(tot_v / tot_k, 2)})
 
     guard("mg_kcycle_ab", row_kcycle)
 
@@ -403,14 +442,11 @@ def main():
         # ~25 ms dispatch jitter — use 100/200 trips and retry on drift
         trs = {}
         for fused in (True, False):
-            t1 = trs_seconds(fused, 100)
-            t2 = trs_seconds(fused, 200)
-            for _ in range(2):
-                if t2 > t1:
-                    break
-                t1 = min(t1, trs_seconds(fused, 100))
-                t2 = min(t2, trs_seconds(fused, 200))
-            trs["fused" if fused else "stream"] = max((t2 - t1) / 100, 1e-9)
+            trs["fused" if fused else "stream"] = pos_slope(
+                lambda: trs_seconds(fused, 100),
+                lambda: trs_seconds(fused, 200),
+                100,
+            )
         emit({"row": "trs_fused_ab", "n": data_g.shape[0], "sweeps": nsw,
               "fused_us_per_solve": round(trs["fused"] * 1e6, 1),
               "stream_us_per_solve": round(trs["stream"] * 1e6, 1),
@@ -455,11 +491,10 @@ def main():
         return best
 
     def row_pell_cg():
-        t_pc = max(
-            (pell_total(120 if small else 600) - pell_total(
-                20 if small else 100
-            )) / (100 if small else 500),
-            1e-9,
+        t_pc = pos_slope(
+            lambda: pell_total(20 if small else 100),
+            lambda: pell_total(120 if small else 600),
+            100 if small else 500,
         )
         emit({"row": "pell_fused_cg", "n": n_c,
               "us_per_iter": round(t_pc * 1e6, 2)})
@@ -504,9 +539,11 @@ def main():
     def row_cg_multi():
         mm = {}
         for mode in ("multi", "seq", "stream"):
-            lo = multi_total(20 if small else 100, mode)
-            hi = multi_total(80 if small else 400, mode)
-            mm[mode] = max((hi - lo) / (60 if small else 300), 1e-9)
+            mm[mode] = pos_slope(
+                lambda: multi_total(20 if small else 100, mode),
+                lambda: multi_total(80 if small else 400, mode),
+                60 if small else 300,
+            )
         emit({"row": "cg_multi_rhs_ab", "n": data_g.shape[0], "k": k_m,
               "multi_us_per_iter": round(mm["multi"] * 1e6, 1),
               "seq_fused_us_per_iter": round(mm["seq"] * 1e6, 1),
@@ -589,10 +626,10 @@ def main():
     def row_gmres_multi():
         gm = {}
         for fused in (True, False):
-            lo = gmres_multi_total(10 if small else 60, fused)
-            hi = gmres_multi_total(40 if small else 240, fused)
-            gm["fused" if fused else "stream"] = max(
-                (hi - lo) / (30 if small else 180), 1e-9
+            gm["fused" if fused else "stream"] = pos_slope(
+                lambda: gmres_multi_total(10 if small else 60, fused),
+                lambda: gmres_multi_total(40 if small else 240, fused),
+                30 if small else 180,
             )
         emit({"row": "gmres_multi_rhs_ab", "n": n_s, "k": k_g,
               "fused_us_per_iter": round(gm["fused"] * 1e6, 1),
@@ -609,10 +646,12 @@ def main():
         def row_krylov(cls=cls, kw=kw, name=name):
             res = {}
             for fused in (True, False):
-                lo = krylov_total(cls, 20 if small else 100, fused, **kw)
-                hi = krylov_total(cls, 80 if small else 400, fused, **kw)
-                res["fused" if fused else "stream"] = max(
-                    (hi - lo) / (60 if small else 300), 1e-9
+                res["fused" if fused else "stream"] = pos_slope(
+                    lambda: krylov_total(cls, 20 if small else 100,
+                                         fused, **kw),
+                    lambda: krylov_total(cls, 80 if small else 400,
+                                         fused, **kw),
+                    60 if small else 300,
                 )
             emit({"row": f"{name}_fused_ab", "n": n_s,
                   "fused_us_per_iter": round(res["fused"] * 1e6, 1),
@@ -620,6 +659,8 @@ def main():
                   "speedup": round(res["stream"] / res["fused"], 2)})
 
         guard(f"{name}_fused_ab", row_krylov)
+
+    report_unmatched_rows()
 
 
 if __name__ == "__main__":
