@@ -316,3 +316,93 @@ def pell_plan_native(indptr, indices, n_cols: int, G, S: int, *,
         return out
     finally:
         lib.gko_pell_plan_free(handle)
+
+
+# -- sparse Cholesky (native/cholesky.cpp) ------------------------------------
+
+
+def _bind_chol(lib):
+    if getattr(lib, "_chol_bound", False):
+        return True
+    try:
+        lib.gko_chol_factor.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.gko_chol_factor.restype = ctypes.c_int
+        lib.gko_chol_sizes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.gko_chol_sizes.restype = None
+        lib.gko_chol_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.gko_chol_fill.restype = None
+        lib.gko_chol_free.argtypes = [ctypes.c_void_p]
+        lib.gko_chol_free.restype = None
+        lib._chol_bound = True
+        return True
+    except AttributeError:
+        return False
+
+
+class NotPositiveDefinite(RuntimeError):
+    """Cholesky breakdown: non-positive pivot at the reported row."""
+
+
+def sparse_cholesky_native(indptr, indices, values):
+    """Up-looking sparse LL^T of a full symmetric CSR (native/cholesky.cpp).
+
+    Returns (col_ptr, row_idx, val) of L in CSC (equivalently, CSR of
+    L^T), or None when the native library is unavailable.  Raises
+    NotPositiveDefinite on breakdown.  O(flops(L)) time / O(nnz(L))
+    memory — the reference's cholesky_kernels role
+    (core/factorization/cholesky_kernels.hpp)."""
+    lib = load()
+    if lib is None or not _bind_chol(lib):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    values = np.ascontiguousarray(values, np.float64)
+    n = len(indptr) - 1
+
+    def pp(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    handle = ctypes.c_void_p()
+    info = ctypes.c_int64()
+    rc = lib.gko_chol_factor(
+        ctypes.c_int64(n), pp(indptr, ctypes.c_int64),
+        pp(indices, ctypes.c_int64), pp(values, ctypes.c_double),
+        ctypes.byref(handle), ctypes.byref(info),
+    )
+    if rc == 1:
+        raise NotPositiveDefinite(
+            f"matrix is not positive definite (breakdown at row "
+            f"{info.value})"
+        )
+    if rc != 0:
+        return None
+    try:
+        n_out = ctypes.c_int64()
+        lnnz = ctypes.c_int64()
+        lib.gko_chol_sizes(handle, ctypes.byref(n_out), ctypes.byref(lnnz))
+        col_ptr = np.empty(n + 1, np.int64)
+        row_idx = np.empty(max(lnnz.value, 1), np.int64)
+        val = np.empty(max(lnnz.value, 1), np.float64)
+        lib.gko_chol_fill(
+            handle, pp(col_ptr, ctypes.c_int64),
+            pp(row_idx, ctypes.c_int64), pp(val, ctypes.c_double),
+        )
+        return col_ptr, row_idx[:lnnz.value], val[:lnnz.value]
+    finally:
+        lib.gko_chol_free(handle)
