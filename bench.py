@@ -422,10 +422,18 @@ def main():
         )
         out["powerlaw_auto_seconds"] = t
         out["powerlaw_auto_gnnz_per_s"] = round(data_p.nnz / t / 1e9, 3)
-        # PELL stats on this pattern (gate honesty, no materialization)
-        from ginkgo_tpu.ops.spmv_pallas import PellPlan
+        # which plan carried it (WELL expected: the windowed-gather
+        # layout built for exactly this locality-free class), plus PELL
+        # stats for the gate-honesty record
+        from ginkgo_tpu.ops.spmv_pallas import PellPlan, _plan_for
 
         csr = A
+        if strat == "pallas":
+            plan = _plan_for(
+                csr.row_ptrs, csr.col_idxs, csr.values, tuple(csr.shape)
+            )
+            out["powerlaw_plan"] = type(plan).__name__
+            out["powerlaw_plan_inflation"] = round(plan.inflation, 1)
         stats = PellPlan(
             np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
             np.asarray(csr.values), tuple(csr.shape), materialize=False,

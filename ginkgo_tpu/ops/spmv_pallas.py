@@ -323,15 +323,20 @@ def _pell_call(tiles, bases, values, qidx, x_panels, NT, G, dtype,
 
 
 def _step_chunks(plan):
-    """Tile-aligned [s0, s1) step ranges, each under the prefetch cap.
+    """Tile-aligned (s0, s1, t0, t1) step/tile ranges, each under the
+    prefetch cap.
 
     Every chunk owns a disjoint, contiguous tile range of the output, so
     independent pallas_calls can each write their own slice.  A single
     tile whose step count alone exceeds the cap is taken whole (the SMEM
-    estimate is conservative)."""
+    estimate is conservative).  Must be called with a CONCRETE
+    tile_of_step when multiple chunks are needed — compute chunk
+    metadata on the host BEFORE entering custom_vmap/jit (the wrapped
+    kernels receive traced arrays; a single-chunk plan never touches
+    the array)."""
     step_cap = max(_MAX_PREFETCH_INTS // (plan.G + 1), 1)
     if plan.n_steps <= step_cap:
-        return [(0, plan.n_steps)]
+        return [(0, plan.n_steps, 0, plan.NT)]
     tiles_host = np.asarray(plan.tile_of_step)
     chunks = []
     s0 = 0
@@ -346,9 +351,33 @@ def _step_chunks(plan):
                 s1 = first
             else:
                 s1 = int(np.searchsorted(tiles_host, tile_cut, side="right"))
-        chunks.append((s0, s1))
+        chunks.append(
+            (s0, s1, int(tiles_host[s0]), int(tiles_host[s1 - 1]) + 1)
+        )
         s0 = s1
     return chunks
+
+
+class _PlanView:
+    """Plan proxy with the static geometry of `plan` but explicit array
+    leaves.  custom_vmap lifts its wrapped function to a jaxpr, and any
+    TRACED closure constant (a Pell pytree riding through a jitted
+    solve has tracer leaves) has no constant handler — so the arrays
+    must travel as arguments, not closure (pre-r4 bug: vmapped GMRES
+    over a Pell operator crashed with 'No constant handler')."""
+
+    __slots__ = ("_geom", "values", "qidx", "bases", "tile_of_step", "rt")
+
+    def __init__(self, geom, values, qidx, bases, tile_of_step, rt=None):
+        self._geom = geom
+        self.values = values
+        self.qidx = qidx
+        self.bases = bases
+        self.tile_of_step = tile_of_step
+        self.rt = rt
+
+    def __getattr__(self, name):
+        return getattr(self._geom, name)
 
 
 @logged_kernel
@@ -358,20 +387,26 @@ def pell_spmv(plan: PellPlan, x, *, interpret=False):
     vmap-safe: batching over x dispatches to ``pell_spmm`` (Pallas calls
     cannot be auto-batched; the SpMM kernel is also the faster answer —
     the matrix streams once for all batched columns)."""
+    assert getattr(plan, "rt", None) is None, (
+        "WELL plan routed to the PELL kernel — use spmv_well.plan_spmv"
+    )
+    chunks = _step_chunks(plan)  # host metadata, static in the closure
 
     @jax.custom_batching.custom_vmap
-    def spmv(x_):
-        return _pell_spmv_single(plan, x_, interpret=interpret)
+    def spmv(x_, values, qidx, bases, tiles):
+        p = _PlanView(plan, values, qidx, bases, tiles)
+        return _pell_spmv_single(p, x_, interpret=interpret, chunks=chunks)
 
     @spmv.def_vmap
-    def spmv_vmap(axis_size, in_batched, x_b):
-        yk = pell_spmm(plan, x_b.T, interpret=interpret)
+    def spmv_vmap(axis_size, in_batched, x_b, values, qidx, bases, tiles):
+        p = _PlanView(plan, values, qidx, bases, tiles)
+        yk = pell_spmm(p, x_b.T, interpret=interpret, chunks=chunks)
         return yk.T, True
 
-    return spmv(x)
+    return spmv(x, plan.values, plan.qidx, plan.bases, plan.tile_of_step)
 
 
-def _pell_spmv_single(plan: PellPlan, x, *, interpret=False):
+def _pell_spmv_single(plan: PellPlan, x, *, interpret=False, chunks=None):
     n_rows, n_cols = plan.shape
     G = plan.G
     NP = plan.NP
@@ -385,18 +420,16 @@ def _pell_spmv_single(plan: PellPlan, x, *, interpret=False):
     )
     x_panels = xp.reshape(-1, LANES)
 
-    chunks = _step_chunks(plan)
+    if chunks is None:
+        chunks = _step_chunks(plan)
     if len(chunks) == 1:
         out = _pell_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx,
             x_panels, plan.NT, G, x.dtype, interpret, S=S,
         )
         return out.reshape(-1)[:n_rows]
-    tiles_host = np.asarray(plan.tile_of_step)
     outs = []
-    for s0, s1 in chunks:
-        t0 = int(tiles_host[s0])
-        t1 = int(tiles_host[s1 - 1]) + 1
+    for s0, s1, t0, t1 in chunks:
         out = _pell_call(
             plan.tile_of_step[s0:s1] - t0,
             plan.bases[s0 * G: s1 * G],
@@ -485,7 +518,7 @@ _SPMM_X_BYTES = 64 << 20
 
 
 @logged_kernel
-def pell_spmm(plan: PellPlan, X, *, interpret=False):
+def pell_spmm(plan: PellPlan, X, *, interpret=False, chunks=None):
     """Y = A @ X for (n, k) X: the matrix streams from HBM ONCE for all k
     columns (vs k passes of pell_spmv), so HBM bytes/nnz-column fall to
     8/k.  Returns (n_rows, k).
@@ -507,7 +540,8 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
     k_group = max(1, min(k, _SPMM_X_BYTES // max(per_col_bytes, 1)))
     if k_group < k:
         groups = [
-            pell_spmm(plan, X[:, j: j + k_group], interpret=interpret)
+            pell_spmm(plan, X[:, j: j + k_group], interpret=interpret,
+                      chunks=chunks)
             for j in range(0, k, k_group)
         ]
         return jnp.concatenate(groups, axis=1)
@@ -516,18 +550,16 @@ def pell_spmm(plan: PellPlan, X, *, interpret=False):
     Xp = Xp.at[:, pad * LANES: pad * LANES + n_cols].set(X.T)
     x_panels = Xp.reshape(k, n_pan, LANES)
 
-    chunks = _step_chunks(plan)
+    if chunks is None:
+        chunks = _step_chunks(plan)
     if len(chunks) == 1:
         out = _pell_spmm_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx,
             x_panels, plan.NT, G, k, X.dtype, interpret, S=S,
         )
         return out.transpose(0, 2, 3, 1).reshape(-1, k)[:n_rows]
-    tiles_host = np.asarray(plan.tile_of_step)
     outs = []
-    for s0, s1 in chunks:
-        t0 = int(tiles_host[s0])
-        t1 = int(tiles_host[s1 - 1]) + 1
+    for s0, s1, t0, t1 in chunks:
         out = _pell_spmm_call(
             plan.tile_of_step[s0:s1] - t0,
             plan.bases[s0 * G: s1 * G],

@@ -386,34 +386,40 @@ def well_spmv(plan: WellPlan, x, *, interpret=False):
     vmap-safe: batching dispatches to ``well_spmm`` (the matrix then
     streams once for all batched columns)."""
 
+    from .spmv_pallas import _PlanView
+
+    chunks = _step_chunks(plan)  # host metadata, static in the closure
+
     @jax.custom_batching.custom_vmap
-    def spmv(x_):
-        return _well_spmv_single(plan, x_, interpret=interpret)
+    def spmv(x_, values, qidx, rt, bases, tiles):
+        p = _PlanView(plan, values, qidx, bases, tiles, rt=rt)
+        return _well_spmv_single(p, x_, interpret=interpret, chunks=chunks)
 
     @spmv.def_vmap
-    def spmv_vmap(axis_size, in_batched, x_b):
-        yk = well_spmm(plan, x_b.T, interpret=interpret)
+    def spmv_vmap(axis_size, in_batched, x_b, values, qidx, rt, bases,
+                  tiles):
+        p = _PlanView(plan, values, qidx, bases, tiles, rt=rt)
+        yk = well_spmm(p, x_b.T, interpret=interpret, chunks=chunks)
         return yk.T, True
 
-    return spmv(x)
+    return spmv(x, plan.values, plan.qidx, plan.rt, plan.bases,
+                plan.tile_of_step)
 
 
-def _well_spmv_single(plan: WellPlan, x, *, interpret=False):
+def _well_spmv_single(plan: WellPlan, x, *, interpret=False, chunks=None):
     n_rows = plan.shape[0]
     G = plan.G
     x_panels = _x_panels(plan, x)
-    chunks = _step_chunks(plan)
+    if chunks is None:
+        chunks = _step_chunks(plan)
     if len(chunks) == 1:
         out = _well_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx, plan.rt,
             x_panels, plan.NT, G, x.dtype, interpret,
         )
         return out.reshape(-1)[:n_rows]
-    tiles_host = np.asarray(plan.tile_of_step)
     outs = []
-    for s0, s1 in chunks:
-        t0 = int(tiles_host[s0])
-        t1 = int(tiles_host[s1 - 1]) + 1
+    for s0, s1, t0, t1 in chunks:
         out = _well_call(
             plan.tile_of_step[s0:s1] - t0,
             plan.bases[s0 * G: s1 * G],
@@ -501,7 +507,7 @@ def _well_spmm_call(tiles, bases, values, qidx, rt, x_panels, NT, G, k,
 
 
 @logged_kernel
-def well_spmm(plan: WellPlan, X, *, interpret=False):
+def well_spmm(plan: WellPlan, X, *, interpret=False, chunks=None):
     """Y = A @ X for (n, k) X: the matrix streams from HBM once for all k
     columns.  Returns (n_rows, k).  Chunked at tile boundaries beyond the
     scalar-prefetch cap; column-grouped beyond the resident-X VMEM
@@ -515,7 +521,8 @@ def well_spmm(plan: WellPlan, X, *, interpret=False):
     k_group = max(1, min(k, _SPMM_X_BYTES // max(per_col_bytes, 1)))
     if k_group < k:
         groups = [
-            well_spmm(plan, X[:, j: j + k_group], interpret=interpret)
+            well_spmm(plan, X[:, j: j + k_group], interpret=interpret,
+                      chunks=chunks)
             for j in range(0, k, k_group)
         ]
         return jnp.concatenate(groups, axis=1)
@@ -524,18 +531,16 @@ def well_spmm(plan: WellPlan, X, *, interpret=False):
     Xp = Xp.at[:, :n_cols].set(X.T)
     x_panels = Xp.reshape(k, n_pan, LANES)
 
-    chunks = _step_chunks(plan)
+    if chunks is None:
+        chunks = _step_chunks(plan)
     if len(chunks) == 1:
         out = _well_spmm_call(
             plan.tile_of_step, plan.bases, plan.values, plan.qidx, plan.rt,
             x_panels, plan.NT, G, k, X.dtype, interpret,
         )
         return out.transpose(0, 2, 3, 1).reshape(-1, k)[:n_rows]
-    tiles_host = np.asarray(plan.tile_of_step)
     outs = []
-    for s0, s1 in chunks:
-        t0 = int(tiles_host[s0])
-        t1 = int(tiles_host[s1 - 1]) + 1
+    for s0, s1, t0, t1 in chunks:
         out = _well_spmm_call(
             plan.tile_of_step[s0:s1] - t0,
             plan.bases[s0 * G: s1 * G],
