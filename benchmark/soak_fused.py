@@ -128,7 +128,68 @@ def main():
         except Exception as e:  # noqa: BLE001
             emit({"cell": label, "error": f"{type(e).__name__}: {e}"[:300]})
             failures += 1
-    emit({"summary": "soak_fused", "cells": len(cells),
+    # ---- k-RHS seeded stopped-column cells (VERDICT r3 #9) --------------
+    # one column converged at iteration ~1 (tiny absolute rhs), one never
+    # (huge rhs vs absolute tol): the fused k-RHS kernels must freeze and
+    # flag per column exactly as the streaming loop — certified ON CHIP
+    # (the CPU-interpret version lives in test_pallas_cg.py:313).
+    D_spd = Dia.from_matrix_data(spd)
+    bk = np.empty((n, 2), np.float32)
+    bk[:, 0] = rng.standard_normal(n) * 1e-7
+    bk[:, 1] = rng.standard_normal(n) * 1e6
+    bk = jnp.asarray(bk)
+
+    def solve_krhs(cls, fused, **kw):
+        env = dict(force) if fused else {"GINKGO_TPU_NO_FUSED_CG": "1"}
+        old = {k: os.environ.get(k) for k in
+               ("GINKGO_TPU_FORCE_VMEM_CG", "GINKGO_TPU_NO_FUSED_CG")}
+        os.environ.pop("GINKGO_TPU_FORCE_VMEM_CG", None)
+        os.environ.pop("GINKGO_TPU_NO_FUSED_CG", None)
+        os.environ.update(env)
+        try:
+            s = cls.build(
+                criteria=[stop.Iteration(max_iters=40),
+                          stop.ResidualNorm(tolerance=1e-5,
+                                            baseline="absolute")],
+                **kw,
+            ).generate(D_spd)
+            x, info = s.solve(bk)
+            return np.asarray(x), info
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    for name, cls, kw in (("cg", gko.Cg, {}),
+                          ("bicgstab", gko.Bicgstab, {}),
+                          ("gmres", gko.Gmres, {"krylov_dim": 10})):
+        label = f"krhs_stopped_{name}"
+        try:
+            xf, inf_f = solve_krhs(cls, fused=True, **kw)
+            xg, inf_g = solve_krhs(cls, fused=False, **kw)
+            cf = np.asarray(inf_f.converged)
+            cg_ = np.asarray(inf_g.converged)
+            frozen_identical = bool(np.allclose(
+                xf[:, 0], xg[:, 0], rtol=2e-5, atol=1e-10
+            ))
+            ok = (
+                bool(cf[0]) and not bool(cf[1])
+                and np.array_equal(cf, cg_)
+                and int(inf_f.iterations) == int(inf_g.iterations) == 40
+                and frozen_identical
+            )
+            emit({"cell": label, "converged_fused": cf.tolist(),
+                  "converged_stream": cg_.tolist(),
+                  "iters": [int(inf_f.iterations), int(inf_g.iterations)],
+                  "frozen_column_identical": frozen_identical,
+                  "pass": ok})
+            failures += 0 if ok else 1
+        except Exception as e:  # noqa: BLE001
+            emit({"cell": label, "error": f"{type(e).__name__}: {e}"[:300]})
+            failures += 1
+    emit({"summary": "soak_fused", "cells": len(cells) + 3,
           "failures": failures,
           "device": str(jax.devices()[0])})
     sys.exit(1 if failures else 0)

@@ -40,6 +40,7 @@ from .matrix.hybrid import Hybrid
 from .matrix.fbcsr import Fbcsr
 from .matrix.bell import Bell
 from .matrix.pell import Pell
+from .matrix.well import Well
 from .matrix.auto import choose_format
 from .matrix.sparsity_csr import SparsityCsr
 from .matrix.fft import Fft, Fft2, Fft3

@@ -41,8 +41,8 @@ def choose_format(
         from .pell import Pell
 
         csr = Csr.from_matrix_data(data)
-        # stats-only plan: selection must not materialize (or upload)
-        # the padded slot arrays of a candidate that loses to Bell/Csr
+        # stats-only plans: selection must not materialize (or upload)
+        # the padded slot arrays of a candidate that loses
         stats = PellPlan(
             np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
             np.asarray(csr.values), tuple(csr.shape), materialize=False,
@@ -57,4 +57,19 @@ def choose_format(
             return Bell.from_matrix_data(data, block_rows=best_bell[0])
         if stats.inflation <= 2 * max_inflation:
             return Pell.from_csr(csr)  # far better than gather-speed Csr
+        # locality-free tail: the WELL windowed-gather layout
+        # (ops/spmv_well.py) replaces the reference's load_balance CSR
+        # kernel class — accept it whenever its padded bytes are sane
+        from ..ops.spmv_well import WellPlan
+        from .well import Well
+
+        wstats = WellPlan(
+            np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
+            np.asarray(csr.values), tuple(csr.shape), materialize=False,
+        )
+        if (
+            wstats.inflation * 6 < min(pell_bytes, bell_bytes)
+            and wstats.padded_bytes <= 1 << 30
+        ):
+            return Well.from_csr(csr)
     return Csr.from_matrix_data(data)

@@ -198,3 +198,45 @@ def test_well_streaming_route(monkeypatch, rng):
     np.testing.assert_allclose(
         np.asarray(y)[:, 0], sp.tocsr() @ x, rtol=1e-10, atol=1e-10
     )
+
+
+def test_well_format_roundtrip_and_ops(rng):
+    """Well format class: apply parity, reconstruction round-trip,
+    scale/abs/astype/reduce_storage/transpose surface."""
+    import jax.numpy as jnp_
+    from ginkgo_tpu.matrix.well import Well
+    from ginkgo_tpu.matrix.csr import Csr
+
+    sp = _powerlaw(2048, seed=9)
+    A = Csr.from_scipy(sp)
+    W = Well.from_csr(A)
+    assert W.nnz == sp.nnz
+    x = rng.standard_normal(sp.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(W.apply(jnp.asarray(x))), sp @ x, rtol=1e-10, atol=1e-10
+    )
+    # round-trip reconstruction
+    back = W.to_csr().to_scipy()
+    diff = abs(back - sp)
+    assert (diff.max() if diff.nnz else 0.0) == 0.0
+    # ops
+    np.testing.assert_allclose(
+        np.asarray(W.scale(2.0).apply(jnp.asarray(x))), 2 * (sp @ x),
+        rtol=1e-10, atol=1e-10,
+    )
+    Wt = W.transpose()
+    t_back = Wt.to_csr().to_scipy()
+    diff_t = abs(t_back - sp.T.tocsr())
+    assert (diff_t.max() if diff_t.nnz else 0.0) == 0.0
+    assert W.reduce_storage().values.dtype == jnp_.bfloat16
+
+
+def test_choose_format_picks_well_for_locality_free():
+    from ginkgo_tpu.matrix.auto import choose_format
+    from ginkgo_tpu.matrix.well import Well
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    sp = _powerlaw(8192).tocoo()
+    data = MatrixData.from_coo(sp.shape, sp.row, sp.col, sp.data)
+    op = choose_format(data, max_inflation=20.0)
+    assert isinstance(op, Well), type(op)
