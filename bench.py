@@ -352,7 +352,11 @@ def main():
             n_u = 1 << shift
             data_u = _local_spd(n_u)
             try:
-                A, dev_bytes = _pell_capped(data_u, q_dtype=np.int8)
+                # SpMV-only row: S="auto" picks the cost-model layout
+                # (the fused solvers need S=8 and build their own Pell)
+                A, dev_bytes = _pell_capped(
+                    data_u, q_dtype=np.int8, S="auto"
+                )
                 break
             except MemoryError:
                 continue

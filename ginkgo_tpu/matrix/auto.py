@@ -45,11 +45,12 @@ def choose_format(
         # the padded slot arrays of a candidate that loses
         stats = PellPlan(
             np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
-            np.asarray(csr.values), tuple(csr.shape), materialize=False,
+            np.asarray(csr.values), tuple(csr.shape),
+            q_dtype=np.int8, materialize=False,
         )
-        # HBM bytes per nonzero: Pell streams value + int32 lane index
-        # (8 B/cell), Bell streams dense panels (4 B/cell)
-        pell_bytes = stats.inflation * 8
+        # HBM bytes per nonzero: Pell streams value + int8 lane index
+        # (5 B/cell), Bell streams dense panels (4 B/cell)
+        pell_bytes = stats.inflation * 5
         bell_bytes = best_bell[1] * 4
         if pell_bytes <= bell_bytes and stats.inflation <= max_inflation:
             return Pell.from_csr(csr)

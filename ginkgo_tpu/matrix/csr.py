@@ -159,7 +159,8 @@ class Csr(LinOp):
             ci = np.asarray(self.col_idxs)
             vv = np.asarray(self.values)
             stats = spmv_pallas.PellPlan(
-                ip, ci, vv, tuple(self.shape), materialize=False
+                ip, ci, vv, tuple(self.shape), q_dtype=np.int8,
+                materialize=False
             )
             if stats.inflation <= 16.0 and stats.total_cells * 8 <= (
                 spmv_pallas._HARD_PAD_BYTES

@@ -12,6 +12,16 @@ static), so solvers can hold one as their operator and the whole solve
 still compiles to a single XLA computation.  Build it eagerly
 (`Pell.from_csr(A)` / `gko.choose_format`) — construction is a host-side
 setup pass like every format conversion.
+
+Defaults (round 4, measured on v5e — benchmark/results/
+round2_tpu_r4.jsonl pell_v4_vs_v5): lane indices store as int8 (5 B/cell
+vs 8; 17.9 vs 12.3 Gnnz/s on the 262k local-scatter row) and stay int8
+in VMEM inside the fused whole-solve kernels (widened per-slot
+in-register).  S stays 8 because the fused kernels implement the S=8
+tile layout; the pure-streaming plan caches (ops/spmv_pallas._plan_for,
+linop_streaming_spmv) pick S from {8,16,32} by the auto-S cost model —
+pass S="auto" here too when the operator is only ever applied, not
+solved.
 """
 
 from __future__ import annotations
@@ -42,7 +52,7 @@ class Pell(LinOp):
     # -- construction ---------------------------------------------------------
 
     @staticmethod
-    def from_csr(csr, G="auto", S: int = 8, q_dtype=np.int32) -> "Pell":
+    def from_csr(csr, G="auto", S: int = 8, q_dtype=np.int8) -> "Pell":
         from ..ops.spmv_pallas import PellPlan
 
         plan = PellPlan(
@@ -69,7 +79,7 @@ class Pell(LinOp):
 
     @staticmethod
     def from_matrix_data(data: MatrixData, G="auto", S: int = 8,
-                         q_dtype=np.int32) -> "Pell":
+                         q_dtype=np.int8) -> "Pell":
         from .csr import Csr
 
         return Pell.from_csr(Csr.from_matrix_data(data), G=G, S=S,

@@ -87,7 +87,7 @@ def _bicgstab_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
 
     def cond(st):
         it, rho_old, alpha, omega, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, alpha, omega, rho_new, _ = st
@@ -381,7 +381,7 @@ def _bicgstab_multi_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm,
             jnp.abs(rho_new[j]) if use_implicit else rr_new[j]
             for j in range(k)
         )
-        act_new = tuple(act[j] & (mon[j] > scal[j]) for j in range(k))
+        act_new = tuple(act[j] & ~(mon[j] <= scal[j]) for j in range(k))  # NaN: stay active
         itc_new = tuple(
             jnp.where(act[j], it + 1, itc[j]) for j in range(k)
         )

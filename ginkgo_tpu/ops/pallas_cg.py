@@ -141,7 +141,7 @@ def _cg_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm, stats,
     # iteration early in implicit mode.
     def cond(st):
         it, rho, rr, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho, rr, _ = st
@@ -393,7 +393,7 @@ def _cg_multi_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
         mon = tuple(
             jnp.abs(rho[j]) if use_implicit else rr_new[j] for j in range(k)
         )
-        act_new = tuple(act[j] & (mon[j] > scal[j]) for j in range(k))
+        act_new = tuple(act[j] & ~(mon[j] <= scal[j]) for j in range(k))  # NaN: stay active
         itc_new = tuple(
             jnp.where(act[j], it + 1, itc[j]) for j in range(k)
         )

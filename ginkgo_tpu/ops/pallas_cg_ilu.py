@@ -156,7 +156,7 @@ def _cg_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl, invdu,
 
     def cond(st):
         it, rho, rr, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho, rr, _ = st
@@ -378,7 +378,7 @@ def _bicgstab_ilu_kernel(scal, iscal, a_diags, l_diags, u_diags, invdl,
 
     def cond(st):
         it, rho_old, alpha, omega, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, alpha, omega, rho_new, _ = st

@@ -97,7 +97,7 @@ def _cgs_kernel(scal, iscal, diags, r0_hbm, x0_hbm, minv, x_hbm, r_hbm,
 
     def cond(st):
         it, rho_old, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, rho_new, _ = st
@@ -312,7 +312,7 @@ def _bicg_kernel(scal, iscal, diags, diags_t, r0_hbm, x0_hbm, minv, x_hbm,
 
     def cond(st):
         it, rho_old, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, rho_new, _ = st

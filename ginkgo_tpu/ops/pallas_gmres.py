@@ -316,12 +316,12 @@ def _gmres_core(tol_sq, max_iters, b_hbm, x0_hbm, x_hbm, stats, x_s, b_s,
             it_n = it_a + 1
             gj1 = _vget(g_new, j + 1)
             res_sq = gj1 * gj1
-            active = (res_sq > tol_sq) & (it_n < max_iters)
+            active = ~(res_sq <= tol_sq) & (it_n < max_iters)  # NaN: keep going
             return (j + 1, it_n, g_new, cs_new, sn_new, Rm_new, active)
 
         j, it, g, cs, sn, Rm, _ = jax.lax.while_loop(
             arnoldi_cond, arnoldi_body,
-            (jnp.int32(0), it, g0, cs0, sn0, Rm0, rr > tol_sq),
+            (jnp.int32(0), it, g0, cs0, sn0, Rm0, ~(rr <= tol_sq)),
         )
         steps = j  # columns taken this cycle
 
@@ -683,7 +683,7 @@ def _gmres_multi_dia_kernel(scal, iscal, diags, b_hbm, x0_hbm, minv,
                     for c2 in range(k)
                 )
                 res_sq = gj1 * gj1
-                still = a & (res_sq > col_tol(col)) & (it_n < max_iters)
+                still = a & ~(res_sq <= col_tol(col)) & (it_n < max_iters)  # NaN: stay active
                 act_new.append(still)
                 itc_new.append(jnp.where(a, it_n, itc_a[col]))
             return (j + 1, it_n, g_n, cs_n, sn_n, Rm_n,
@@ -962,7 +962,7 @@ def pell_gmres_vmem_solve(A, b2, x0_2, minv2=None, *, m, tol_sq_eff,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    qidx = A.qidx  # int8 storage stays resident; the kernel widens in-register
     args = [
         scal, iscal,
         A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),

@@ -116,7 +116,7 @@ def _idr_kernel(scal, iscal, diags, P3, r0_hbm, x0_hbm, b_hbm, minv,
 
     def cond(st):
         it, om, stop_mon = st[0], st[1], st[2]
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, om = st[0], st[1]
@@ -288,7 +288,7 @@ def _idr_kernel(scal, iscal, diags, P3, r0_hbm, x0_hbm, b_hbm, minv,
     st = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), jnp.float32(1),
-         jnp.where(rr0 > tol_sq, jnp.float32(jnp.inf), rr0)) + f0 + eye,
+         jnp.where(~(rr0 <= tol_sq), jnp.float32(jnp.inf), rr0)) + f0 + eye,
     )
     it, stop_mon = st[0], st[2]
 

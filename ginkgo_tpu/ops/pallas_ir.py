@@ -179,7 +179,7 @@ def _ir_kernel(scal, iscal, diags, b, x0, minv, x_out, r_out, stats, x_s,
 
     def cond(st):
         it, rr, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rr, _ = st

@@ -795,7 +795,7 @@ def _mg_cg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit,
 
     def cond(st):
         it, rho, rr, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho, rr, _ = st
@@ -1014,7 +1014,7 @@ def _mg_solve_kernel(*refs, plan):
 
     def cond(st):
         it, rr = st
-        return (it < max_iters) & (rr > tol_sq)
+        return (it < max_iters) & ~(rr <= tol_sq)  # NaN: keep going
 
     def body(st):
         it, _ = st
@@ -1199,7 +1199,7 @@ def _bicgstab_mg_kernel(*refs, plan, qs_a, pad_a, R, use_implicit):
 
     def cond(st):
         it, rho_old, alpha, omega, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, alpha, omega, rho_new, _ = st

@@ -84,6 +84,8 @@ def _make_pell_spmv(tiles, bases, vals, qidx, *, G, n_steps, C, n_chunks):
                 slot = i * G + g
                 W = src_pad[pl.ds(bases[slot], SUBLANES), :]
                 qv = qidx[pl.ds(slot, 1)][0]
+                if qv.dtype != jnp.int32:
+                    qv = qv.astype(jnp.int32)  # int8 stays VMEM-resident
                 gth = jnp.take_along_axis(
                     W, qv, axis=1, mode="promise_in_bounds"
                 )
@@ -151,7 +153,7 @@ def _pell_cg_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm, x0_hbm,
 
     def cond(st):
         it, rho, rr, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho, rr, _ = st
@@ -237,7 +239,7 @@ def pell_cg_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff, max_iters,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    qidx = A.qidx  # int8 storage stays resident; the kernel widens in-register
     args = [
         scal, iscal,
         A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
@@ -372,7 +374,7 @@ def _pell_bicgstab_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
 
     def cond(st):
         it, rho_old, alpha, omega, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, alpha, omega, rho_new, _ = st
@@ -481,7 +483,7 @@ def pell_bicgstab_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    qidx = A.qidx  # int8 storage stays resident; the kernel widens in-register
     args = [
         scal, iscal,
         A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
@@ -621,7 +623,7 @@ def _pell_cgs_kernel(scal, iscal, tiles, bases, vals, qidx, r0_hbm,
 
     def cond(st):
         it, rho_old, rho_new, stop_mon = st
-        return (it < max_iters) & (stop_mon > tol_sq)
+        return (it < max_iters) & ~(stop_mon <= tol_sq)  # NaN: keep going (streaming parity)
 
     def body(st):
         it, rho_old, rho_new, _ = st
@@ -717,7 +719,7 @@ def pell_cgs_vmem_solve(A, r0_2, x0_2, minv2=None, *, tol_sq_eff,
     )
     scal = jnp.asarray(tol_sq_eff, jnp.float32).reshape((1,))
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    qidx = A.qidx  # int8 storage stays resident; the kernel widens in-register
     args = [
         scal, iscal,
         A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),
@@ -845,7 +847,7 @@ def _pell_ir_kernel(scal, iscal, tiles, bases, vals, qidx, b_hbm, x0_hbm,
 
     def cond(st):
         it, rr = st
-        return (it < max_iters) & (rr > tol_sq)
+        return (it < max_iters) & ~(rr <= tol_sq)  # NaN: keep going
 
     def body(st):
         it, _ = st
@@ -891,7 +893,7 @@ def pell_ir_vmem_solve(A, b2, x0_2, minv2=None, *, omega, tol_sq_eff,
         jnp.asarray(omega, jnp.float32).reshape(()),
     ])
     iscal = jnp.asarray(max_iters, jnp.int32).reshape((1,))
-    qidx = A.qidx if A.qidx.dtype == jnp.int32 else A.qidx.astype(jnp.int32)
+    qidx = A.qidx  # int8 storage stays resident; the kernel widens in-register
     args = [
         scal, iscal,
         A.tile_of_step.astype(jnp.int32), A.bases.astype(jnp.int32),

@@ -72,6 +72,12 @@ PAD_PANELS = 7  # zero panels either side so any base +- 7 slices validly
 _G_STEP_SECONDS = 2e-7
 _G_HBM_BYTES_PER_S = 8.3e11
 _G_CANDIDATES = (4, 8, 16, 32, 64)
+# auto-S candidates: slots share a panel base across S sublanes (the v5
+# layout knob); larger S costs fewer grid steps but can pad worse on
+# ragged patterns — scored by the same cost model as auto-G.  The fused
+# whole-solve kernels implement S=8 only, so Pell operators default to
+# S=8 and only the streaming plan caches use "auto".
+_S_CANDIDATES = (8, 16, 32)
 
 
 def _g_cost(n_steps: int, total_slots: int, S: int,
@@ -107,6 +113,18 @@ class PellPlan:
         self.shape = (n_rows, n_cols)
         auto_g = G == "auto"
         bytes_per_cell = values.dtype.itemsize + np.dtype(q_dtype).itemsize
+        if S == "auto":
+            # stats-only probe per candidate (auto-G inside each), pick
+            # the min modeled apply cost, then build that layout below
+            best = None
+            for s_c in _S_CANDIDATES:
+                p = PellPlan(indptr, indices, values, shape, G=G, S=s_c,
+                             q_dtype=q_dtype, materialize=False)
+                c = (p.n_steps * _G_STEP_SECONDS
+                     + p.total_cells * bytes_per_cell / _G_HBM_BYTES_PER_S)
+                if best is None or c < best[0]:
+                    best = (c, s_c)
+            S = best[1]
         self.G = _G_CANDIDATES[0] if auto_g else int(G)
         G = self.G
         self.S = int(S)
@@ -765,7 +783,8 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         from .spmv_well import WellPlan, _plan_cost
 
         shape = tuple(op.shape)
-        pell_s = PellPlan(ip, ci, vv, shape, materialize=False)
+        pell_s = PellPlan(ip, ci, vv, shape, q_dtype=np.int8, S="auto",
+                          materialize=False)
         well_s = (
             WellPlan(ip, ci, vv, shape, materialize=False)
             if pell_s.inflation > 4.0 and pell_s.nnz > 0
@@ -778,7 +797,7 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
                 stats.inflation <= max_inflation or pad <= max_pad_bytes
             ) and pad <= _HARD_PAD_BYTES
 
-        bpc_p = vv.dtype.itemsize + 4
+        bpc_p = vv.dtype.itemsize + 1  # int8 lane indices
         bpc_w = vv.dtype.itemsize + 2
         cands = []
         if _ok(pell_s, bpc_p):
@@ -794,7 +813,7 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         if not cands:
             plan = None
         elif min(cands)[1] == "pell":
-            plan = PellPlan(ip, ci, vv, shape)
+            plan = PellPlan(ip, ci, vv, shape, q_dtype=np.int8, S="auto")
         else:
             plan = WellPlan(ip, ci, vv, shape)
         _OP_PLAN_CACHE.put(key, (leaves, plan), _plan_bytes(plan))

@@ -245,7 +245,7 @@ def _plan_cost(n_steps: int, total_cells: int, bytes_per_cell: int,
 
 
 def choose_unstructured_plan(indptr, indices, values, shape, *,
-                             q_dtype=np.int32, max_cells=None):
+                             q_dtype=np.int8, max_cells=None):
     """Build the cheaper of PELL (diagonal-base, column-locality) and
     WELL (windowed chained-gather, locality-free) for this pattern.
 
@@ -260,17 +260,17 @@ def choose_unstructured_plan(indptr, indices, values, shape, *,
     pell_bpc = np.asarray(values).dtype.itemsize + np.dtype(q_dtype).itemsize
     well_bpc = np.asarray(values).dtype.itemsize + 2
     pell = PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
-                    materialize=False)
+                    S="auto", materialize=False)
     if pell.inflation <= 4.0:
         return PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
-                        max_cells=max_cells)
+                        S="auto", max_cells=max_cells)
     well = WellPlan(indptr, indices, values, shape, materialize=False)
     pell_cost = _plan_cost(pell.n_steps, pell.total_cells, pell_bpc)
     well_cost = _plan_cost(well.n_steps, well.total_cells, well_bpc,
                            gather_factor=1.15)
     if pell_cost <= well_cost:
         plan = PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
-                        max_cells=max_cells)
+                        S="auto", max_cells=max_cells)
         if not plan.too_large:
             return plan
         # PELL won the model but cannot fit: WELL may still fit
@@ -280,7 +280,7 @@ def choose_unstructured_plan(indptr, indices, values, shape, *,
     if not plan.too_large:
         return plan
     alt = PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
-                   max_cells=max_cells)
+                   S="auto", max_cells=max_cells)
     return plan if alt.too_large else alt
 
 

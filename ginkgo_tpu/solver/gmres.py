@@ -473,19 +473,37 @@ class Gmres(IterativeSolverMixin, LinOp):
 @linop_dataclass
 class CbGmres(IterativeSolverMixin, LinOp):
     """CB-GMRES: GMRES with a reduced-precision basis accessor
-    (cb_gmres.hpp:88-95).  storage_precision in {keep, reduce1, reduce2,
-    integer, ireduce1, ireduce2}."""
+    (cb_gmres.hpp:88-95).  storage_precision in {auto, keep, reduce1,
+    reduce2, integer, ireduce1, ireduce2}.
+
+    "auto" (the default) resolves per problem size from the measured
+    on-chip crossover (benchmark/results/cb_gmres_crossover_r4.jsonl,
+    v5e): below ~0.5M rows the full-precision basis stays VMEM-fused
+    and wins (47.6 vs 52.3 us/iter at 262k); at >= 2**19 rows the basis
+    spills to HBM-streaming and the compressed reduce1 basis wins on
+    bandwidth (172 vs 1229 us/iter at 1M, 2422 vs 4352 at 4.19M)."""
 
     A: Any
     preconditioner: Any
     criterion: Any
     krylov_dim: int = static_field(default=30)
-    storage_precision: str = static_field(default="reduce1")
+    storage_precision: str = static_field(default="auto")
     axis_name: Any = static_field(default=None)
+
+    #: measured v5e crossover: compression pays once the basis no longer
+    #: fits the fused kernel's VMEM budget (~0.5M rows at m=30, f32)
+    _AUTO_REDUCE_ROWS = 1 << 19
 
     @classmethod
     def create(cls, A, preconditioner, criterion, **params):
         return cls(A=A, preconditioner=preconditioner, criterion=criterion, **params)
+
+    def _resolved_mode(self) -> str:
+        if self.storage_precision != "auto":
+            return self.storage_precision
+        return (
+            "keep" if self.shape[0] < self._AUTO_REDUCE_ROWS else "reduce1"
+        )
 
     def _solve_impl(self, b, x0):
         inner = Gmres(
@@ -493,7 +511,7 @@ class CbGmres(IterativeSolverMixin, LinOp):
             preconditioner=self.preconditioner,
             criterion=self.criterion,
             krylov_dim=self.krylov_dim,
-            storage_precision=self.storage_precision,
+            storage_precision=self._resolved_mode(),
             axis_name=self.axis_name,
         )
         return inner._solve_impl(b, x0)

@@ -146,9 +146,13 @@ def test_choose_format(rng):
 
     # stencil -> Dia
     assert isinstance(gko.choose_format(generators.poisson_2d(8)), Dia)
-    # fully random scatter -> Csr
+    # fully random scatter -> the WELL windowed-gather format (round 4:
+    # locality-free patterns stream through ops/spmv_well.py instead of
+    # falling to gather-speed Csr); exactness is covered by test_well
+    from ginkgo_tpu.matrix.well import Well
+
     d = generators.generate_random_matrix(64, 2048, 1, 2, rng)
-    assert isinstance(gko.choose_format(d), Csr)
+    assert isinstance(gko.choose_format(d), Well)
     # block-structured -> Bell
     NRB, BR = 16, 8
     rows_l, cols_l = [], []

@@ -308,6 +308,15 @@ def test_pell_v5_tile_variants(S, q_dtype, rng):
     """(S, 128) slot tiles + int8 packed lane indices (the v5 knobs):
     exact parity with scipy on random rectangular patterns, and the Pell
     format round-trips the layout."""
+    # full-suite runs segfault inside XLA-CPU compilation of this test's
+    # interpret-mode SpMM — only after ~300 prior compilations in the
+    # same process (reproduced twice at the identical spot, r4; every
+    # subset that includes this file passes).  Dropping the accumulated
+    # executables avoids the resource-exhaustion crash; the test itself
+    # is unchanged.
+    import jax
+
+    jax.clear_caches()
     sp = _random_csr(700, 900, 0.02, seed=S)
     plan = PellPlan(sp.indptr, sp.indices, sp.data, sp.shape, S=S,
                     q_dtype=q_dtype)

@@ -97,8 +97,10 @@ def test_streaming_plan_cached(monkeypatch, rng):
 
     monkeypatch.setattr(spmv_pallas, "PellPlan", CountingPlan)
     A.apply(x)
-    first = sum(builds)  # stats-only pass + materialization
-    assert first == 2
+    # stats passes + auto-S probes + (at most one) materialization; the
+    # exact count is an implementation detail of the plan chooser
+    first = sum(builds)
+    assert first >= 2
     A.apply(x)
     assert sum(builds) == first  # second apply reused the cached plan
 
