@@ -67,7 +67,7 @@ class DistPell(LinOp):
 
     # local block (gathers from the local x shard)
     l_vals: jnp.ndarray  # (P, S, 8, 128)
-    l_qidx: jnp.ndarray  # (P, S, 8, 128) int32
+    l_qidx: jnp.ndarray  # (P, S, 8, 128) int8 packed lane indices
     l_bases: jnp.ndarray  # (P, S) int32
     l_tiles: jnp.ndarray  # (P, steps) int32
     # non-local block (gathers from the halo buffer)
@@ -112,10 +112,12 @@ class DistPell(LinOp):
             l_plans.append(PellPlan(
                 np.asarray(base.l_row_ptrs[p]), np.asarray(base.l_cols[p]),
                 np.asarray(base.l_vals[p]), (L, Lc), G=G,
+                q_dtype=np.int8,
             ))
             nl_plans.append(PellPlan(
                 np.asarray(base.nl_row_ptrs[p]), np.asarray(base.nl_cols[p]),
                 np.asarray(base.nl_vals[p]), (L, H), G=G,
+                q_dtype=np.int8,
             ))
         lv, lq, lb, lt, l_steps, lNT = _stack_plans(l_plans)
         nv, nq, nb, nt, nl_steps, nNT = _stack_plans(nl_plans)
