@@ -414,3 +414,13 @@ def test_direct_solver_uses_sparse_cholesky(rng):
     np.testing.assert_allclose(
         A.to_scipy() @ x, b, rtol=1e-8, atol=1e-8
     )
+    # and through the user-facing Direct factory (direct.cpp:299 analog:
+    # any factorization with get_l/u_factor slots in)
+    from ginkgo_tpu.solver import Direct
+    from ginkgo_tpu.factorization.lu import CholeskyFactory
+
+    d = Direct.build(factorization=CholeskyFactory()).generate(A)
+    xd, info = d.solve(jnp.asarray(b)[:, None])
+    np.testing.assert_allclose(
+        A.to_scipy() @ np.asarray(xd)[:, 0], b, rtol=1e-8, atol=1e-8
+    )
