@@ -271,12 +271,16 @@ def read_distributed(data, partition, col_partition=None, axis_name="rows",
 
     Preference: DistDia (banded data on a contiguous equal-block
     partition — gather-free shift SpMV per shard) > DistPell (general
-    unstructured streaming slots) > DistCsr (gather fallback, with a
-    PerformanceHint).  Returns the assembled operator."""
+    unstructured streaming slots) > DistWell (locality-free windowed
+    chained-gather — power-law/graph patterns where PELL inflates
+    unboundedly) > DistCsr (gather fallback, with a PerformanceHint).
+    Returns the assembled operator."""
     from ..matrix.dia import suitable_for_dia
     from ..ops.spmv_pallas import PellPlan
+    from ..ops.spmv_well import WellPlan
     from .dia import DistDia
     from .pell import DistPell
+    from .well import DistWell
 
     n, m = data.shape
     if (
@@ -303,11 +307,20 @@ def read_distributed(data, partition, col_partition=None, axis_name="rows",
             data, partition, col_partition=col_partition,
             axis_name=axis_name, halo=halo,
         )
+    if stats is not None:
+        wstats = WellPlan(indptr, cols_s,
+                          np.ones(len(cols_s), np.float32), (n, m),
+                          materialize=False)
+        if wstats.inflation <= 4 * max_pell_inflation:
+            return DistWell.from_matrix_data(
+                data, partition, col_partition=col_partition,
+                axis_name=axis_name, halo=halo,
+            )
     import warnings
 
     warnings.warn(
         "[PerformanceHint] read_distributed: pattern unsuitable for "
-        "DistDia/DistPell (inflation "
+        "DistDia/DistPell/DistWell (PELL inflation "
         f"{getattr(stats, 'inflation', float('inf')):.1f}) - DistCsr "
         "local SpMV runs at gather speed on TPU",
         stacklevel=2,

@@ -546,7 +546,10 @@ def test_read_distributed_auto_choice():
     B = read_distributed(d2, p2)
     assert isinstance(B, DistPell)
 
-    # pathological scatter -> DistCsr + PerformanceHint
+    # locality-free scatter -> DistWell (round 4: the windowed
+    # chained-gather layout replaces the gather fallback here)
+    from ginkgo_tpu.distributed.well import DistWell
+
     nb = 4096
     rows3 = rng.integers(0, nb, size=3 * nb)
     cols3 = rng.integers(0, nb, size=3 * nb)
@@ -556,8 +559,102 @@ def test_read_distributed_auto_choice():
     p3 = Partition.build_from_contiguous(
         np.asarray([0, 1024, 2048, 3072, 4096])
     )
+    C = read_distributed(d3, p3, max_pell_inflation=4.0)
+    assert isinstance(C, DistWell)
+
+    # hyper-sparse scatter (1 nnz/row over 64k cols): even WELL inflates
+    # past its gate -> DistCsr + PerformanceHint
+    nh = 1 << 16
+    d4 = MatrixData.from_coo(
+        (nh, nh), np.arange(nh), rng.integers(0, nh, size=nh),
+        np.ones(nh, np.float32),
+    ).sum_duplicates()
+    p4 = Partition.build_from_contiguous(
+        np.asarray([0, nh // 2, nh])
+    )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        C = read_distributed(d3, p3, max_pell_inflation=4.0)
-    assert isinstance(C, DistCsr) and not isinstance(C, DistPell)
+        D = read_distributed(d4, p4, max_pell_inflation=4.0)
+    assert isinstance(D, DistCsr) and not isinstance(D, DistPell)
     assert any("PerformanceHint" in str(x.message) for x in w)
+
+
+def test_dist_well_matches_replicated(rng):
+    """DistWell: locality-free local/non-local blocks stream via the
+    WELL chained-gather kernel; result must match the replicated
+    product."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.distributed import DistWell
+
+    mesh = make_mesh(4)
+    n = 600
+    rows = rng.integers(0, n, size=5 * n)
+    cols = rng.integers(0, n, size=5 * n)
+    data = MatrixData.from_coo(
+        (n, n),
+        np.concatenate([rows, np.arange(n)]),
+        np.concatenate([cols, np.arange(n)]),
+        np.concatenate([
+            rng.standard_normal(rows.size) * 1e-1, np.full(n, 4.0)
+        ]),
+    ).sum_duplicates()
+    part = Partition.build_from_global_size_uniform(n, 4)
+    A = DistWell.from_matrix_data(data, part)
+    x = generators.generate_random_dense(n, 2, rng)
+    xp, _ = pad_global(x, part)
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    y = shard_map(
+        lambda a, v: a.apply(v),
+        mesh=mesh,
+        in_specs=(a_specs, P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )(A, xp)
+    y_global = unpad_global(y, part)
+    np.testing.assert_allclose(
+        np.asarray(y_global), data.to_dense() @ x, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dist_well_solve_and_diagonal(rng):
+    """Distributed BiCGSTAB on a DistWell operator (scalar-Jacobi via
+    the chained-gather-reconstructed local diagonal)."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.distributed import DistWell, distributed_solve
+    import ginkgo_tpu as gko2
+    from ginkgo_tpu import stop as stop2
+
+    mesh = make_mesh(4)
+    n = 512
+    rows = rng.integers(0, n, size=4 * n)
+    cols = rng.integers(0, n, size=4 * n)
+    data = MatrixData.from_coo(
+        (n, n),
+        np.concatenate([rows, np.arange(n)]),
+        np.concatenate([cols, np.arange(n)]),
+        np.concatenate([
+            rng.standard_normal(rows.size) * 1e-2, np.full(n, 3.0)
+        ]),
+    ).sum_duplicates()
+    part = Partition.build_from_global_size_uniform(n, 4)
+    A = DistWell.from_matrix_data(data, part)
+    # diagonal parity vs assembled data
+    diag_expected = np.zeros(n)
+    dd = data.sum_duplicates()
+    on = dd.rows == dd.cols
+    np.add.at(diag_expected, dd.rows[on], dd.values[on])
+    a_specs = jax.tree_util.tree_map(lambda _: P("rows"), A)
+    d = shard_map(
+        lambda a: a.extract_diagonal_local(),
+        mesh=mesh, in_specs=(a_specs,), out_specs=P("rows"),
+        check_vma=False,
+    )(A)
+    d_global = unpad_global(np.asarray(d)[:, None], part)[:, 0]
+    np.testing.assert_allclose(d_global, diag_expected, rtol=1e-12)
+    b = np.ones((n, 1))
+    x, info = distributed_solve(
+        mesh, gko2.Bicgstab, A, b, part,
+        criteria=[stop2.Iteration(500), stop2.ResidualNorm(1e-9)],
+    )
+    r = data.to_dense() @ np.asarray(x) - b
+    assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b)
