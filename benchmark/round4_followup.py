@@ -327,6 +327,39 @@ def main():
 
         guard(f"{name}_fused_ab", row_pell_k)
 
+    # ---- WELL f32 vs bf16 storage on the power-law profile -------------
+    def row_well_bf16():
+        from ginkgo_tpu.matrix.well import Well
+
+        n_p = (1 << 12) if small else (1 << 17)
+        rng_p = np.random.default_rng(23)
+        deg = np.minimum(rng_p.zipf(2.1, size=n_p) + 2, 64)
+        rows_p = np.repeat(np.arange(n_p, dtype=np.int64), deg)
+        u = rng_p.random(rows_p.size)
+        cols_p = np.minimum((u ** 2.5 * n_p).astype(np.int64), n_p - 1)
+        data_p = MatrixData.from_coo(
+            (n_p, n_p),
+            np.concatenate([rows_p, np.arange(n_p)]),
+            np.concatenate([cols_p, np.arange(n_p)]),
+            np.concatenate([
+                rng_p.random(rows_p.size).astype(np.float32) * 1e-2,
+                np.full(n_p, 2.0, np.float32),
+            ]),
+        ).sum_duplicates()
+        W = Well.from_matrix_data(data_p)
+        B = W.reduce_storage()
+        xp = jnp.ones((n_p,), jnp.float32)
+        trips = 8 if small else 30
+        t_f32 = slope(lambda v: W.apply(v), xp, trips)
+        t_bf16 = slope(lambda v: B.apply(v), xp, trips)
+        emit({"row": "well_bf16_ab", "n": n_p, "nnz": int(data_p.nnz),
+              "inflation": round(W.inflation, 1),
+              "f32_gnnz_per_s": round(data_p.nnz / t_f32 / 1e9, 3),
+              "bf16_gnnz_per_s": round(data_p.nnz / t_bf16 / 1e9, 3),
+              "speedup": round(t_f32 / t_bf16, 2)})
+
+    guard("well_bf16_ab", row_well_bf16)
+
     # ---- NaN stop-semantics parity (the round-4 fix, on chip) ----------
     def row_nan_parity():
         Dn = Dia.from_matrix_data(
