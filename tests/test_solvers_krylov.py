@@ -180,3 +180,24 @@ def test_idr_f32_reports_honest_convergence(rng):
         assert rel < 5e-5  # claimed convergence must be (roughly) true
     else:
         assert rel < 5e-4  # and even unconverged runs should make progress
+
+
+def test_cb_gmres_auto_storage_resolution(rng):
+    """'auto' storage picks keep below the measured VMEM crossover and
+    reduce1 above it (benchmark/results/cb_gmres_crossover_r4.jsonl)."""
+    A, dense, x_true, b = nonsym_system(rng, n=40, k=1)
+    s = gko.CbGmres.build(criteria=CRIT(1e-8, iters=200)).generate(A)
+    assert s.storage_precision == "auto"
+    assert s._resolved_mode() == "keep"  # 40 rows << 2**19
+    big = s.replace(A=_FakeShape((1 << 20, 1 << 20)))
+    assert big._resolved_mode() == "reduce1"
+    # the solve itself behaves as 'keep' at this size
+    x, info = s.solve(b)
+    res = np.linalg.norm(b - dense @ np.asarray(x)) / np.linalg.norm(b)
+    assert res < 1e-6
+
+
+class _FakeShape:
+    def __init__(self, shape):
+        self.shape = shape
+        self.dtype = np.float32
