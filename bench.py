@@ -374,17 +374,25 @@ def main():
             "pell_n": n_u,
             "pell_device_mb": round(dev_bytes / 2**20, 1),
         }
-        # chunked multi-RHS SpMM: matrix streams ONCE for all k columns
+        # chunked multi-RHS SpMM: matrix streams ONCE for all k columns.
+        # S=8 layout — the k-RHS kernel measurably prefers it while
+        # auto-S optimizes the single-vector stream (PERF.md); the
+        # amortization ratio is quoted against the SAME S=8 layout.
         k = 8
+        A8, _ = _pell_capped(data_u, q_dtype=np.int8, S=8)
+        A8u = A8.scale(0.2)
+        t1_s8 = amortized_seconds(
+            lambda v: A8u.apply(v), xu, trips=max(trips // 3, 5)
+        )
         Xu = jnp.ones((n_u, k), jnp.float32)
         t8 = amortized_seconds(
-            lambda V: Au.apply(V), Xu, trips=max(trips // 6, 4)
+            lambda V: A8u.apply(V), Xu, trips=max(trips // 6, 4)
         )
         out["pell_spmm_k8_seconds"] = t8
         out["pell_spmm_k8_gnnz_col_per_s"] = round(
             data_u.nnz * k / t8 / 1e9, 2
         )
-        out["pell_spmm_amortization"] = round(t * k / t8, 2)
+        out["pell_spmm_amortization"] = round(t1_s8 * k / t8, 2)
         return out
 
     B.row("pell", row_pell)
