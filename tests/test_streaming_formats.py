@@ -147,3 +147,37 @@ def test_streaming_inside_user_jit(monkeypatch, rng):
     # the cached plan must remain usable AFTER the trace that built it
     y2 = np.asarray(A.apply(x), np.float64)
     np.testing.assert_allclose(y2, sp @ np.asarray(x), rtol=1e-4, atol=1e-6)
+
+
+def test_spmm_uses_s8_sibling_plan(monkeypatch, rng):
+    """When auto-S picks a taller tile for the SpMV stream, the
+    multi-RHS entry builds (and caches) an S=8 sibling — the k-RHS
+    kernel's measured-preferred layout (PERF.md) — and stays exact."""
+    monkeypatch.setenv("GINKGO_TPU_FORCE_STREAMING", "1")
+    import scipy.sparse as sps
+
+    from ginkgo_tpu.ops.spmv_pallas import _plan_for, _spmm_plan
+
+    n = 1 << 13
+    per = 9
+    r = np.repeat(np.arange(n), per)
+    c = np.clip(r + rng.integers(-256, 257, r.size), 0, n - 1)
+    sp = sps.coo_matrix(
+        (rng.standard_normal(r.size), (r, c)), shape=(n, n)
+    ).tocsr()
+    sp.sum_duplicates()
+    A = Ell.from_matrix_data(_data(sp))
+    from ginkgo_tpu.matrix.csr import Csr
+
+    C = Csr.from_scipy(sp)
+    plan = _plan_for(C.row_ptrs, C.col_idxs, C.values, (n, n))
+    p8 = _spmm_plan(plan, C.row_ptrs, C.col_idxs, C.values, (n, n))
+    assert p8.S == 8
+    if getattr(plan, "S", 8) != 8:
+        assert p8 is not plan
+    # cached: second resolution returns the same object
+    assert _spmm_plan(plan, C.row_ptrs, C.col_idxs, C.values, (n, n)) is p8
+    # end-to-end exactness through the format apply
+    X = rng.standard_normal((n, 3))
+    Y = np.asarray(A.apply(jnp.asarray(X)))
+    np.testing.assert_allclose(Y, sp @ X, rtol=1e-6, atol=1e-8)
