@@ -188,9 +188,12 @@ class Csr(LinOp):
     def apply(self, b):
         if isinstance(b, Csr):  # apply doubles as SpGEMM (csr.cpp:188-191)
             return self.spgemm(b)
-        self._maybe_hint_gather()
         arr, was_1d = as_2d(b)
         strat = self._resolve_strategy()
+        # hint only when the apply actually lands on a gather kernel —
+        # streaming-path applies are the thing the hint recommends
+        if strat in ("classical", "merge_path"):
+            self._maybe_hint_gather()
         if strat == "classical":
             out = spmv_ops.csr_spmv_classical(
                 self.row_ptrs, self.col_idxs, self.values, arr, self.shape[0]
@@ -208,6 +211,7 @@ class Csr(LinOp):
                 # plan building needs concrete host arrays; inside a jit
                 # trace stream through the XLA kernel instead (convert to
                 # Pell/Dia/Bell eagerly for the fast path in solvers)
+                self._maybe_hint_gather()
                 out = spmv_ops.csr_spmv_classical(
                     self.row_ptrs, self.col_idxs, self.values, arr,
                     self.shape[0],
