@@ -151,6 +151,23 @@ class CholeskyFactory:
         a = csr.to_scipy().tocsr()
         a.sum_duplicates()
         a.sort_indices()
+        if np.iscomplexobj(a):
+            # Hermitian LL^H: the native kernel is real-f64 only (casting
+            # would silently drop imaginary parts — ADVICE r4), and U must
+            # be the CONJUGATE transpose of L
+            if a.shape[0] > _DENSE_FALLBACK_MAX_N:
+                raise NotImplementedError(
+                    "complex sparse Cholesky beyond n="
+                    f"{_DENSE_FALLBACK_MAX_N} is not supported (the native "
+                    "kernel is real-valued)"
+                )
+            Ls = sps.csr_matrix(np.linalg.cholesky(a.toarray()))
+            dt = csr.dtype
+            return Factorization(
+                l_factor=Csr.from_scipy(Ls).astype(dt),
+                u_factor=Csr.from_scipy(Ls.conj().T.tocsr()).astype(dt),
+                shape=csr.shape,
+            )
         out = None
         try:
             out = sparse_cholesky_native(a.indptr, a.indices, a.data)

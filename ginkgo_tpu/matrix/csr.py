@@ -174,9 +174,12 @@ class Csr(LinOp):
                 ws = WellPlan(ip, ci, vv, tuple(self.shape),
                               materialize=False)
                 pad = ws.padded_bytes
+                # the cells bound must match _plan_for's max_cells
+                # (= _HARD_PAD_BYTES // 8) or the strategy resolves to
+                # 'pallas' and then MemoryErrors at apply (ADVICE r4)
                 if (
                     ws.inflation <= 16.0 or pad <= 256 << 20
-                ) and pad <= spmv_pallas._HARD_PAD_BYTES:
+                ) and ws.total_cells * 8 <= spmv_pallas._HARD_PAD_BYTES:
                     return "pallas"
             self._maybe_hint_gather()
             return "classical"

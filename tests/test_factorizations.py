@@ -260,6 +260,23 @@ def test_cholesky_factorization_exact(rng):
     np.testing.assert_allclose(L @ L.T, dense, rtol=1e-9, atol=1e-9)
 
 
+def test_cholesky_complex_hermitian(rng):
+    """ADVICE r4: complex Hermitian input must produce an LL^H with the
+    CONJUGATE-transposed U, not a float-cast / plain-transpose factor."""
+    from ginkgo_tpu.factorization import Cholesky
+
+    n = 16
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    dense = B @ B.conj().T + n * np.eye(n)
+    A = Csr.from_scipy(sps.csr_matrix(dense.astype(np.complex128)))
+    f = Cholesky().generate(A)
+    L = np.asarray(f.get_l_factor().to_dense().values)
+    U = np.asarray(f.get_u_factor().to_dense().values)
+    assert L.dtype == np.complex128
+    np.testing.assert_allclose(U, L.conj().T, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(L @ L.conj().T, dense, rtol=1e-9, atol=1e-9)
+
+
 def test_elimination_forest_and_symbolic(rng):
     from ginkgo_tpu.factorization import elimination_forest, symbolic_cholesky
 

@@ -109,7 +109,7 @@ def test_well_layering_invariants():
     ).tocsr()
     got.sum_duplicates()
     diff = np.abs(got - sp)
-    assert diff.max() if diff.nnz else 0.0 == 0.0
+    assert (diff.max() if diff.nnz else 0.0) == 0.0
 
 
 def test_well_beats_pell_on_powerlaw():
