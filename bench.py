@@ -138,24 +138,54 @@ def _iter_slope(make_solver, b, iters_lo, iters_hi, retries=2):
     )
 
 
+def _is_transient(e) -> bool:
+    """Tunnel/remote-compile failure class (VERDICT r4 weak #1: the r4
+    driver capture lost the PELL row to a 'response body closed'
+    disconnect).  Slope-validity failures are NOT transient — they carry
+    their own retry ladder inside amortized_seconds."""
+    if isinstance(e, MeasurementInvalid):
+        return False
+    name = type(e).__name__
+    return (
+        "JaxRuntimeError" in name
+        or "XlaRuntimeError" in name
+        or isinstance(e, (ConnectionError, OSError, RuntimeError))
+    )
+
+
 class Bench:
     """Per-row isolation: rows append into `detail`; a row that raises
-    records `<row>_error` and later rows still run."""
+    records `<row>_error` and later rows still run.  Transient runtime
+    failures (tunnel drops) get ONE rebuild-and-remeasure retry — the
+    row fn rebuilds its operands from scratch, so re-calling it is the
+    teardown+rebuild the reference protocol's robustness machinery
+    provides (benchmark/utils/general.hpp:94-117)."""
 
     def __init__(self):
         self.detail = {}
         self.ctx = {}
 
     def row(self, name, fn):
-        try:
-            out = fn()
-            if out:
-                self.detail.update(out)
-        except Exception as e:  # noqa: BLE001 — artifact must survive
-            self.detail[name + "_error"] = (
-                f"{type(e).__name__}: {e}"[:300]
-            )
-            traceback.print_exc()
+        for attempt in (0, 1):
+            try:
+                out = fn()
+                if out:
+                    self.detail.update(out)
+                self.detail.pop(name + "_error", None)
+                return
+            except Exception as e:  # noqa: BLE001 — artifact must survive
+                self.detail[name + "_error"] = (
+                    f"{type(e).__name__}: {e}"[:300]
+                )
+                traceback.print_exc()
+                if attempt == 0 and _is_transient(e):
+                    self.detail[name + "_retried"] = True
+                    try:
+                        jax.clear_caches()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    continue
+                return
 
 
 def main():
@@ -400,6 +430,32 @@ def main():
 
     B.row("pell", row_pell)
 
+    def row_csr_auto_spmm():
+        """User-entry SpMM certification (VERDICT r4 next #8): the Csr
+        'auto' strategy at k=8 must amortize through the S=8 sibling
+        plan (ops/spmv_pallas._spmm_plan), not just the Pell operator.
+        Reference: benchmark/spmv/spmv.cpp benches the user entry for
+        every format x strategy."""
+        n_u = (1 << 17) if on_tpu else (1 << 12)
+        k = 8
+        data_u = _local_spd(n_u, seed=31)
+        A = Csr.from_matrix_data(data_u, index_dtype=np.int32)
+        strat = A._resolve_strategy()
+        Xu = jnp.ones((n_u, k), jnp.float32)
+        t8 = amortized_seconds(
+            lambda V: A.apply(V) * 0.2, Xu, trips=max(trips // 6, 4),
+            trials=2,
+        )
+        return {
+            "csr_auto_spmm_k8_strategy": strat,
+            "csr_auto_spmm_k8_seconds": t8,
+            "csr_auto_spmm_k8_gnnz_col_per_s": round(
+                data_u.nnz * k / t8 / 1e9, 2
+            ),
+        }
+
+    B.row("csr_auto_spmm", row_csr_auto_spmm)
+
     def row_pell_powerlaw():
         """Genuinely irregular pattern (power-law/graph degrees, no
         designed-in locality): exercises the inflation gate + auto
@@ -570,6 +626,21 @@ def main():
         }
 
     B.row("mg_cg", row_mg_cg)
+
+    def row_complex_probe():
+        """Mechanical re-check that the backend still lacks complex64
+        (VERDICT r4 next #9): Fft/complex solves are CPU-tier-only
+        because of this; the day the probe flips, the TPU surface should
+        grow the complex value-type grid (reference types.hpp:451-461)."""
+        try:
+            z = jnp.asarray([1.0 + 1.0j], jnp.complex64)
+            float(jnp.abs(jnp.fft.fft(z * z)).sum())
+            supported = True
+        except Exception:  # noqa: BLE001 — UNIMPLEMENTED expected
+            supported = False
+        return {"complex_supported": supported}
+
+    B.row("complex_probe", row_complex_probe)
 
     # ---- emit ---------------------------------------------------------------
     frac = headline["frac"]
