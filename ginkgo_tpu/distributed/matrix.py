@@ -308,9 +308,11 @@ def read_distributed(data, partition, col_partition=None, axis_name="rows",
             axis_name=axis_name, halo=halo,
         )
     if stats is not None:
+        # T pinned to 1: DistWell stacks T=1 plans (identical per-part
+        # programs inside shard_map), so gate on the T=1 inflation
         wstats = WellPlan(indptr, cols_s,
                           np.ones(len(cols_s), np.float32), (n, m),
-                          materialize=False)
+                          T=1, materialize=False)
         if wstats.inflation <= 4 * max_pell_inflation:
             return DistWell.from_matrix_data(
                 data, partition, col_partition=col_partition,

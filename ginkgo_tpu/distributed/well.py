@@ -111,13 +111,16 @@ class DistWell(LinOp):
         H = base.halo_src.shape[1]
         l_plans, nl_plans = [], []
         for p in range(P):
+            # T pinned to 1: the per-device program inside shard_map must
+            # be identical across parts, and the stacked layout carries no
+            # tsb plane (supertiles are a single-device optimization)
             l_plans.append(WellPlan(
                 np.asarray(base.l_row_ptrs[p]), np.asarray(base.l_cols[p]),
-                np.asarray(base.l_vals[p]), (L, Lc), G=G,
+                np.asarray(base.l_vals[p]), (L, Lc), G=G, T=1,
             ))
             nl_plans.append(WellPlan(
                 np.asarray(base.nl_row_ptrs[p]), np.asarray(base.nl_cols[p]),
-                np.asarray(base.nl_vals[p]), (L, H), G=G,
+                np.asarray(base.nl_vals[p]), (L, H), G=G, T=1,
             ))
         lv, lq, lr, lb, lt, l_steps, lNT = _stack_well_plans(l_plans)
         nv, nq, nr, nb, nt, nl_steps, nNT = _stack_well_plans(nl_plans)
@@ -159,8 +162,8 @@ class DistWell(LinOp):
         npan = NW * WIN_PANELS  # windows are aligned: no left pad
         xp = jnp.zeros((npan * LANES,), x.dtype).at[:n_cols].set(x)
         out = _well_call(
-            tiles, bases, vals, qidx, rt, xp.reshape(-1, LANES), NT,
-            self.G, x.dtype, interpret,
+            tiles, bases, vals, qidx, rt, None, xp.reshape(-1, LANES), NT,
+            self.G, 1, x.dtype, interpret,
         )
         return out.reshape(-1)[: self.local_size]
 

@@ -17,7 +17,14 @@ class Factorization(LinOp):
     u_factor: Any
     #: optional row permutation indices p with (P A) = L U, i.e.
     #: (A x = b)  <=>  (L U x = b[p]).  None for pivot-free factorizations.
+    #: With a fill-reducing reorder the row pivots are folded in: p maps
+    #: b to the permuted-system right-hand side in one gather.
     row_perm: Any = None
+    #: optional back-permutation for a symmetrically reordered factor
+    #: (P A P^T = L U): the permuted solution y maps back as x = y[col_perm]
+    #: (col_perm = inverse of the reorder permutation).  None when the
+    #: factor is of A itself.
+    col_perm: Any = None
     shape: tuple = static_field(default=(0, 0))
 
     @property

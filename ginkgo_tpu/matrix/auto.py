@@ -69,8 +69,9 @@ def choose_format(
             np.asarray(csr.values), tuple(csr.shape), materialize=False,
         )
         if (
-            wstats.inflation * 6 < min(pell_bytes, bell_bytes)
+            wstats.inflation * wstats.bytes_per_cell
+            < min(pell_bytes, bell_bytes)
             and wstats.padded_bytes <= 1 << 30
         ):
-            return Well.from_csr(csr)
+            return Well.from_csr(csr, T=wstats.T)
     return Csr.from_matrix_data(data)

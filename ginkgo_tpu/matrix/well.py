@@ -28,24 +28,27 @@ class Well(LinOp):
     qidx: jnp.ndarray  # (slots, 8, 128) int8 column residue per cell
     rt: jnp.ndarray  # (slots, 8, 128) int8 window-row routed by residue
     bases: jnp.ndarray  # (slots,) int32 aligned window base panel
-    tile_of_step: jnp.ndarray  # (n_steps,) int32 output tile per grid step
+    tile_of_step: jnp.ndarray  # (n_steps,) int32 output block per grid step
+    tsb: jnp.ndarray = None  # (slots, 8, 128) int8 sub-tile id (T > 1 only)
     shape: tuple = static_field(default=(0, 0))
     n_steps: int = static_field(default=0)
     nnz: int = static_field(default=0)
     G: int = static_field(default=4)
+    T: int = static_field(default=1)
     NT: int = static_field(default=0)
+    NST: int = static_field(default=0)
     NP: int = static_field(default=0)
     NW: int = static_field(default=0)
 
     # -- construction ---------------------------------------------------------
 
     @staticmethod
-    def from_csr(csr, G="auto") -> "Well":
+    def from_csr(csr, G="auto", T="auto") -> "Well":
         from ..ops.spmv_well import WellPlan
 
         plan = WellPlan(
             np.asarray(csr.row_ptrs), np.asarray(csr.col_idxs),
-            np.asarray(csr.values), csr.shape, G=G,
+            np.asarray(csr.values), csr.shape, G=G, T=T,
         )
         return Well._from_plan(plan)
 
@@ -57,20 +60,23 @@ class Well(LinOp):
             rt=plan.rt,
             bases=plan.bases,
             tile_of_step=plan.tile_of_step,
+            tsb=plan.tsb,
             shape=tuple(plan.shape),
             n_steps=plan.n_steps,
             nnz=plan.nnz,
             G=plan.G,
+            T=plan.T,
             NT=plan.NT,
+            NST=plan.NST,
             NP=plan.NP,
             NW=plan.NW,
         )
 
     @staticmethod
-    def from_matrix_data(data: MatrixData, G="auto") -> "Well":
+    def from_matrix_data(data: MatrixData, G="auto", T="auto") -> "Well":
         from .csr import Csr
 
-        return Well.from_csr(Csr.from_matrix_data(data), G=G)
+        return Well.from_csr(Csr.from_matrix_data(data), G=G, T=T)
 
     read = from_matrix_data
 
@@ -147,13 +153,17 @@ class Well(LinOp):
         rt = np.asarray(self.rt).astype(np.int64)
         bases = np.asarray(self.bases).astype(np.int64)
         tiles = np.asarray(self.tile_of_step)
-        slots_per_tile = (
-            np.bincount(tiles, minlength=self.NT) * self.G
-            if len(tiles) else np.zeros(self.NT, np.int64)
+        slots_per_blk = (
+            np.bincount(tiles, minlength=self.NST) * self.G
+            if len(tiles) else np.zeros(self.NST, np.int64)
         )
-        slot_tile = np.repeat(np.arange(self.NT), slots_per_tile)
+        slot_blk = np.repeat(np.arange(self.NST), slots_per_blk)
         sl, s, lane = np.nonzero(vals)
-        rows = slot_tile[sl] * 1024 + s * 128 + lane
+        sub = (
+            np.asarray(self.tsb).astype(np.int64)[sl, s, lane]
+            if self.T > 1 else 0
+        )
+        rows = (slot_blk[sl] * self.T + sub) * 1024 + s * 128 + lane
         qv = q[sl, s, lane]
         wr = rt[sl, s, qv]
         cols = (bases[sl] + wr) * 128 + qv

@@ -353,8 +353,10 @@ def _step_chunks(plan):
     kernels receive traced arrays; a single-chunk plan never touches
     the array)."""
     step_cap = max(_MAX_PREFETCH_INTS // (plan.G + 1), 1)
+    # out blocks: supertiles for an XL WellPlan (NST), row tiles otherwise
+    n_blocks = getattr(plan, "NST", plan.NT)
     if plan.n_steps <= step_cap:
-        return [(0, plan.n_steps, 0, plan.NT)]
+        return [(0, plan.n_steps, 0, n_blocks)]
     tiles_host = np.asarray(plan.tile_of_step)
     chunks = []
     s0 = 0
@@ -384,15 +386,18 @@ class _PlanView:
     must travel as arguments, not closure (pre-r4 bug: vmapped GMRES
     over a Pell operator crashed with 'No constant handler')."""
 
-    __slots__ = ("_geom", "values", "qidx", "bases", "tile_of_step", "rt")
+    __slots__ = ("_geom", "values", "qidx", "bases", "tile_of_step", "rt",
+                 "tsb")
 
-    def __init__(self, geom, values, qidx, bases, tile_of_step, rt=None):
+    def __init__(self, geom, values, qidx, bases, tile_of_step, rt=None,
+                 tsb=None):
         self._geom = geom
         self.values = values
         self.qidx = qidx
         self.bases = bases
         self.tile_of_step = tile_of_step
         self.rt = rt
+        self.tsb = tsb
 
     def __getattr__(self, name):
         return getattr(self._geom, name)
@@ -603,7 +608,7 @@ def _plan_bytes(plan) -> int:
         return 0
     total = 0
     arrs = [plan.values, plan.qidx, plan.bases, plan.tile_of_step,
-            getattr(plan, "rt", None)]
+            getattr(plan, "rt", None), getattr(plan, "tsb", None)]
     for arr in arrs:
         if arr is not None:
             total += arr.size * arr.dtype.itemsize
@@ -831,24 +836,24 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
             ) and pad <= _HARD_PAD_BYTES
 
         bpc_p = vv.dtype.itemsize + 1  # int8 lane indices
-        bpc_w = vv.dtype.itemsize + 2
         cands = []
         if _ok(pell_s, bpc_p):
             cands.append(
                 (_plan_cost(pell_s.n_steps, pell_s.total_cells, bpc_p),
                  "pell")
             )
-        if well_s is not None and _ok(well_s, bpc_w):
+        if well_s is not None and _ok(well_s, well_s.bytes_per_cell):
             cands.append(
-                (_plan_cost(well_s.n_steps, well_s.total_cells, bpc_w,
-                            gather_factor=1.15), "well")
+                (_plan_cost(well_s.n_steps, well_s.total_cells,
+                            well_s.bytes_per_cell, gather_factor=1.15),
+                 "well")
             )
         if not cands:
             plan = None
         elif min(cands)[1] == "pell":
             plan = PellPlan(ip, ci, vv, shape, q_dtype=np.int8, S="auto")
         else:
-            plan = WellPlan(ip, ci, vv, shape)
+            plan = WellPlan(ip, ci, vv, shape, T=well_s.T)
         _OP_PLAN_CACHE.put(key, (leaves, plan), _plan_bytes(plan))
     if plan is None:
         return None

@@ -84,9 +84,10 @@ def test_well_parity(name, rng):
 def test_well_layering_invariants():
     """The plan's routing arrays satisfy the layout contract: per (slot,
     sublane) one distinct column per residue; cell (s, l) holds only
-    entries of tile row 128 s + l; round-trip reconstruction matches."""
+    entries of tile row 128 s + l; round-trip reconstruction matches.
+    T pinned to 1: this checks the classic single-tile layout."""
     sp = _powerlaw(2048, seed=5)
-    plan = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape)
+    plan = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape, T=1)
     vals = np.asarray(plan.values)
     q = np.asarray(plan.qidx).astype(np.int64)
     rt = np.asarray(plan.rt).astype(np.int64)
@@ -110,6 +111,60 @@ def test_well_layering_invariants():
     got.sum_duplicates()
     diff = np.abs(got - sp)
     assert (diff.max() if diff.nnz else 0.0) == 0.0
+
+
+@pytest.mark.parametrize("T", [4, 16])
+def test_well_supertile_parity_and_invariants(T, rng):
+    """Supertile (XL) layout (round 5): cell (s, l) serves row
+    1024*tsb + 128 s + l of its supertile; reconstruction through the
+    tsb routing must reproduce every nonzero, and the kernel (interpret)
+    must match scipy for SpMV and SpMM."""
+    sp = _powerlaw(4096, seed=11)
+    plan = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape, T=T, G=8)
+    assert plan.T == T and plan.tsb is not None
+    vals = np.asarray(plan.values)
+    q = np.asarray(plan.qidx).astype(np.int64)
+    rt = np.asarray(plan.rt).astype(np.int64)
+    tsb = np.asarray(plan.tsb).astype(np.int64)
+    bases = np.asarray(plan.bases).astype(np.int64)
+    assert tsb.min() >= 0 and tsb.max() < T
+    tiles = np.asarray(plan.tile_of_step)
+    slots_per_blk = np.bincount(tiles, minlength=plan.NST) * plan.G
+    slot_blk = np.repeat(np.arange(plan.NST), slots_per_blk)
+    sl, s, lane = np.nonzero(vals)
+    rows = (slot_blk[sl] * T + tsb[sl, s, lane]) * 1024 + s * 128 + lane
+    qv = q[sl, s, lane]
+    cols = (bases[sl] + rt[sl, s, qv]) * 128 + qv
+    got = sps.coo_matrix(
+        (vals[sl, s, lane], (rows, cols)), shape=sp.shape
+    ).tocsr()
+    got.sum_duplicates()
+    diff = np.abs(got - sp)
+    assert (diff.max() if diff.nnz else 0.0) == 0.0
+    x = rng.standard_normal(sp.shape[1])
+    y = np.asarray(well_spmv(plan, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, sp @ x, rtol=1e-10, atol=1e-10)
+    X = rng.standard_normal((sp.shape[1], 2))
+    Y = np.asarray(well_spmm(plan, jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(Y, sp @ X, rtol=1e-10, atol=1e-10)
+
+
+def test_well_supertile_cuts_powerlaw_inflation():
+    """The r5 design point: on the locality-free power-law pattern the
+    supertile layout must cut padded cells well below the T=1 (tile,
+    window) pair floor (measured 40.9x -> 7.2x at 131k rows; at 8k rows
+    the gap is smaller but must still be >1.5x)."""
+    sp = _powerlaw(8192)
+    t1 = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape, T=1,
+                  materialize=False)
+    t16 = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape, T=16,
+                   materialize=False)
+    assert t16.total_cells * 1.5 < t1.total_cells, (
+        t16.total_cells, t1.total_cells
+    )
+    auto = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape,
+                    materialize=False)
+    assert auto.T > 1  # the cost model must pick a supertile here
 
 
 def test_well_beats_pell_on_powerlaw():
