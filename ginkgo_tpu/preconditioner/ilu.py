@@ -63,6 +63,13 @@ class IluPreconditionerFactory:
     def generate(self, op) -> IluPreconditioner:
         if hasattr(op, "get_l_factor"):
             fact = op
+            if getattr(fact, "col_perm", None) is not None:
+                raise ValueError(
+                    "factorization carries a fill-reducing reorder "
+                    "(reorder='rcm'); an ILU preconditioner would silently "
+                    "drop the permutations — use solver.Direct, or "
+                    "generate the factorization with reorder=None"
+                )
         elif hasattr(op, "operators") and len(op.operators) == 2:
             from ..factorization.factorization import Factorization
 
@@ -90,6 +97,12 @@ class IcPreconditionerFactory:
     def generate(self, op) -> IluPreconditioner:
         if hasattr(op, "get_l_factor"):
             fact = op
+            if getattr(fact, "col_perm", None) is not None:
+                raise ValueError(
+                    "factorization carries a fill-reducing reorder; an IC "
+                    "preconditioner would silently drop the permutations — "
+                    "use solver.Direct, or generate with reorder=None"
+                )
         else:
             fact = self.ff.generate(op)
         lt = fact.get_l_factor()

@@ -1,4 +1,5 @@
 from .rcm import Rcm, RcmFactory, rcm_permutation, bandwidth
+from .nd import NestedDissection, NestedDissectionFactory, nd_permutation
 from .scaled_reordered import ScaledReordered, ScaledReorderedFactory
 
 __all__ = [
@@ -6,6 +7,9 @@ __all__ = [
     "RcmFactory",
     "rcm_permutation",
     "bandwidth",
+    "NestedDissection",
+    "NestedDissectionFactory",
+    "nd_permutation",
     "ScaledReordered",
     "ScaledReorderedFactory",
 ]

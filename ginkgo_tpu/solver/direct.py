@@ -19,6 +19,9 @@ class Direct(LinOp):
     #: optional pivot permutation from the factorization (P A = L U):
     #: apply solves L U x = b[row_perm]
     row_perm: Any = None
+    #: optional back-permutation of a symmetrically reordered factor
+    #: (P A P^T = L U, e.g. reorder='rcm'): x = y[col_perm]
+    col_perm: Any = None
 
     @property
     def shape(self):
@@ -29,11 +32,14 @@ class Direct(LinOp):
         return self.l_solver.dtype
 
     def apply(self, b):
-        if self.row_perm is not None:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        if self.row_perm is not None:
             b = jnp.take(jnp.asarray(b), self.row_perm, axis=0)
-        return self.u_solver.apply(self.l_solver.apply(b))
+        y = self.u_solver.apply(self.l_solver.apply(b))
+        if self.col_perm is not None:
+            y = jnp.take(y, self.col_perm, axis=0)
+        return y
 
     def solve(self, b, x0=None):
         from .solver_base import SolveInfo
@@ -65,4 +71,5 @@ class DirectFactory:
             l_solver=self.lf.generate(fact.get_l_factor()),
             u_solver=self.uf.generate(fact.get_u_factor()),
             row_perm=getattr(fact, "row_perm", None),
+            col_perm=getattr(fact, "col_perm", None),
         )
