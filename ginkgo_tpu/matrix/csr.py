@@ -149,6 +149,22 @@ class Csr(LinOp):
             self.col_idxs, jax.core.Tracer
         ):
             return "classical"
+        # instance-level memo: the stats passes below cost ~seconds at
+        # multi-million nnz and the instance is immutable (frozen
+        # pytree), so eager repeated applies must not re-run them.
+        # Keyed on the decision inputs that can change under one
+        # instance (backend, memory cap — tests monkeypatch both).
+        from ..ops import spmv_pallas
+
+        key = (jax.default_backend(), spmv_pallas._HARD_PAD_BYTES)
+        cached = getattr(self, "_strategy_memo", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        resolved = self._resolve_strategy_uncached()
+        object.__setattr__(self, "_strategy_memo", (key, resolved))
+        return resolved
+
+    def _resolve_strategy_uncached(self) -> str:
         if jax.default_backend() == "tpu":
             from ..ops import spmv_pallas
             from ..ops.spmv_well import WellPlan
