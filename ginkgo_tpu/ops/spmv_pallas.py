@@ -839,15 +839,12 @@ def linop_streaming_spmv(op, arr, *, max_inflation=16.0,
         cands = []
         if _ok(pell_s, bpc_p):
             cands.append(
-                (_plan_cost(pell_s.n_steps, pell_s.total_cells, bpc_p),
+                (_plan_cost(pell_s.n_steps, pell_s.total_cells, bpc_p)
+                 + pell_s.n_steps * pell_s.G * 7e-9,
                  "pell")
             )
         if well_s is not None and _ok(well_s, well_s.bytes_per_cell):
-            cands.append(
-                (_plan_cost(well_s.n_steps, well_s.total_cells,
-                            well_s.bytes_per_cell, gather_factor=1.15),
-                 "well")
-            )
+            cands.append((well_s.modeled_seconds, "well"))
         if not cands:
             plan = None
         elif min(cands)[1] == "pell":

@@ -144,9 +144,19 @@ def _assign_layers(t, w, s, q, rows, cols, NW):
 
 # supertile candidates for the auto cost model: T=1 is the classic WELL
 # layout (no tsb stream, no masks); larger T divides the (tile, window)
-# pair floor on scatter patterns at +1 B/cell and T masked adds that
-# measure free on v5e (micro A/B r5).  Capped at 16: out block T*4 KB.
+# pair floor on scatter patterns at +1 B/cell and T masked adds.
+# Measured per-slot kernel cost on v5e at G=62: 13-15 ns at T in
+# {1..16} (masks hidden under the HBM stream), 20.4 ns at T=32,
+# 35.6 ns at T=64 — beyond 16 the mask chain shows, so the cost model
+# charges it (_SLOT_BASE_SECONDS + _MASK_SECONDS_PER_SUB) and deep
+# candidates are only tried at multi-million nnz where the pair-floor
+# savings dominate (measured 4.2M-row power-law: 64x at T=16 -> 39.7x
+# at T=32).
 _T_CANDIDATES = (1, 4, 16)
+_T_DEEP_CANDIDATES = (32, 64)
+_T_DEEP_MIN_NNZ = 2_000_000
+_SLOT_BASE_SECONDS = 7e-9  # slice + chained gathers, any T
+_MASK_SECONDS_PER_SUB = 0.4e-9  # per sub-tile beyond 16
 
 
 class WellPlan:
@@ -208,15 +218,23 @@ class WellPlan:
 
         def model_cost(K_t_, g, T_):
             st = int(np.maximum(-(-K_t_ // g), 1).sum())
+            slots = st * g
             return (
                 st * _G_STEP_SECONDS
-                + st * g * TILE_ROWS * vbpc(T_) / _G_HBM_BYTES_PER_S
+                + slots * TILE_ROWS * vbpc(T_) / _G_HBM_BYTES_PER_S
+                + slots * (
+                    _SLOT_BASE_SECONDS
+                    + max(0, T_ - 16) * _MASK_SECONDS_PER_SUB
+                )
             )
 
         auto_g = G == "auto"
         if T == "auto":
+            cands = _T_CANDIDATES + (
+                _T_DEEP_CANDIDATES if nnz >= _T_DEEP_MIN_NNZ else ()
+            )
             best = None
-            for T_ in _T_CANDIDATES:
+            for T_ in cands:
                 stats_ = build_stats(T_)
                 gs = _G_CANDIDATES if auto_g else (int(G),)
                 for g in gs:
@@ -241,6 +259,7 @@ class WellPlan:
         self.NST = NST
         bytes_per_cell = vbpc(T)
         self.bytes_per_cell = bytes_per_cell
+        self.modeled_seconds = model_cost(K_t, int(G), T)
 
         self.G = G = int(G)
         steps_t = np.maximum(-(-K_t // G), 1)
@@ -330,9 +349,13 @@ def choose_unstructured_plan(indptr, indices, values, shape, *,
         return PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
                         S="auto", max_cells=max_cells)
     well = WellPlan(indptr, indices, values, shape, materialize=False)
-    pell_cost = _plan_cost(pell.n_steps, pell.total_cells, pell_bpc)
-    well_cost = _plan_cost(well.n_steps, well.total_cells,
-                           well.bytes_per_cell, gather_factor=1.15)
+    # symmetric per-slot base charge (slice + gather issue) so the deep-T
+    # mask charge inside WellPlan.modeled_seconds compares fairly
+    pell_cost = (
+        _plan_cost(pell.n_steps, pell.total_cells, pell_bpc)
+        + pell.n_steps * pell.G * _SLOT_BASE_SECONDS
+    )
+    well_cost = well.modeled_seconds
     if pell_cost <= well_cost:
         plan = PellPlan(indptr, indices, values, shape, q_dtype=q_dtype,
                         S="auto", max_cells=max_cells)

@@ -149,6 +149,26 @@ def test_well_supertile_parity_and_invariants(T, rng):
     np.testing.assert_allclose(Y, sp @ X, rtol=1e-10, atol=1e-10)
 
 
+def test_well_deep_supertile_correct_and_gated(rng):
+    """T=32/64 deep supertiles: kernel parity holds (same masked-add
+    path, longer chain) and the auto search only TRIES deep candidates
+    beyond _T_DEEP_MIN_NNZ (their mask chains cost ~20-36 ns/slot on
+    chip, so small patterns must not pay the extra layering passes)."""
+    from ginkgo_tpu.ops import spmv_well as sw
+
+    sp = _powerlaw(2048, seed=3)
+    for T in (32, 64):
+        plan = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape, T=T, G=8)
+        assert plan.T == T
+        x = rng.standard_normal(sp.shape[1])
+        y = np.asarray(well_spmv(plan, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, sp @ x, rtol=1e-10, atol=1e-10)
+    # gating: small pattern -> deep candidates not evaluated
+    auto = WellPlan(sp.indptr, sp.indices, sp.data, sp.shape,
+                    materialize=False)
+    assert sp.nnz < sw._T_DEEP_MIN_NNZ and auto.T <= 16
+
+
 def test_well_supertile_cuts_powerlaw_inflation():
     """The r5 design point: on the locality-free power-law pattern the
     supertile layout must cut padded cells well below the T=1 (tile,
