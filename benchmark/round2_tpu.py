@@ -37,23 +37,48 @@ def emit(row):
 _SEEN_ROWS = set()
 
 
+def _is_transient(e):
+    """Tunnel/remote-compile failure class (same predicate as
+    bench.py:_is_transient — VERDICT r4 weak #1): a dropped tunnel
+    response deserves one rebuild-and-remeasure retry, because the row
+    fn rebuilds its operands from scratch on re-entry."""
+    name = type(e).__name__
+    return (
+        "JaxRuntimeError" in name
+        or "XlaRuntimeError" in name
+        or isinstance(e, (ConnectionError, OSError, RuntimeError))
+    )
+
+
 def guard(name, fn):
     """Per-row isolation (VERDICT r2 weak #1: one failed row must never
     destroy the rest of the session's evidence).  ROUND2_ROWS=a,b,c
     restricts the session to the named rows (cheap re-measurement);
     tokens are stripped and unknown names are reported at exit
-    (ADVICE r3: 'a, b' silently skipped row b)."""
+    (ADVICE r3: 'a, b' silently skipped row b).  Transient tunnel
+    failures get ONE retry, mirroring bench.py's row protocol."""
     _SEEN_ROWS.add(name)
     only = os.environ.get("ROUND2_ROWS")
     if only and name not in [s.strip() for s in only.split(",")]:
         return
-    try:
-        fn()
-    except Exception as e:  # noqa: BLE001
-        import traceback
+    for attempt in (0, 1):
+        try:
+            fn()
+            return
+        except Exception as e:  # noqa: BLE001
+            import traceback
 
-        traceback.print_exc()
-        emit({"row": name, "error": f"{type(e).__name__}: {e}"[:300]})
+            traceback.print_exc()
+            if attempt == 0 and _is_transient(e):
+                emit({"row": name, "transient_retry": True,
+                      "error": f"{type(e).__name__}: {e}"[:300]})
+                try:
+                    jax.clear_caches()
+                except Exception:  # noqa: BLE001
+                    pass
+                continue
+            emit({"row": name, "error": f"{type(e).__name__}: {e}"[:300]})
+            return
 
 
 def report_unmatched_rows():
